@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.core.Tier
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Continuous-aggregate rollup: min/max/sum/count(/avg) per retention tier,
+ * keyed by (source, token-position bucket, tier window).
+ *
+ * Semantic ancestor: the reference's grouped masked reductions per
+ * (sample_id, variate_id) (uni2ts/src/uni2ts/module/packed_scaler.py:78-155)
+ * — there implemented as O(n^2) pairwise-equality masks for the GPU; here a
+ * plain `groupBy().agg()`, which Spark executes as partial (map-side)
+ * aggregation + one shuffle on the group keys + final aggregation. At 100 TB
+ * the partial agg collapses each input partition to at most
+ * |sources|×|buckets|×|windows-in-partition| rows before the shuffle, so
+ * shuffle volume is bounded by group cardinality, not input size.
+ *
+ * The tier ladder (5m from 1m, 1h from 5m, 1d from 1h) is a reaggregation
+ * cascade: sum/count/min/max compose exactly; avg is re-derived. This is the
+ * standard continuous-aggregate construction (SURVEY.md §2.4) and means each
+ * coarser tier reads the (much smaller) previous tier, never the raw data.
+ *
+ * All aggregates are exact integer arithmetic (tokens are int32, sums Long)
+ * so every tier is bit-exact under any shuffle order / parallelism level —
+ * the discipline behind the north rule's "bit-exact tier match"
+ * (SURVEY.md §7.4 hard part 1).
+ */
+object Rollup {
+
+  /** Tier windows on the position axis: `window_start = (pos div W) * W`. */
+  def rollupFromPoints(points: DataFrame, tier: String): DataFrame = {
+    val w = Tier.widths(tier)
+    points
+      .groupBy(
+        col("source"),
+        (col("pos") / Tier.BucketWidth).cast("int").as("bucket"),
+        ((col("pos") / w).cast("int") * w).as("window_start"))
+      .agg(
+        min(col("tok")).as("min_tok"),
+        max(col("tok")).as("max_tok"),
+        sum(col("tok").cast("long")).as("sum_tok"),
+        count(lit(1)).as("cnt_tok"))
+      .select(
+        col("source"),
+        col("bucket"),
+        lit(tier).as("tier"),
+        col("window_start"),
+        col("min_tok"),
+        col("max_tok"),
+        col("sum_tok"),
+        col("cnt_tok"),
+        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"))
+  }
+
+  /** Reaggregate a finer tier into a coarser one (sum/count/min/max compose;
+   * avg derived). Input and output share the (source, bucket) key, so with
+   * tier tables bucketed/partitioned on (source, bucket) this is a
+   * co-partitioned aggregation. */
+  def reaggregate(finer: DataFrame, toTier: String): DataFrame = {
+    val w = Tier.widths(toTier)
+    finer
+      .groupBy(
+        col("source"),
+        col("bucket"),
+        ((col("window_start") / w).cast("int") * w).as("window_start"))
+      .agg(
+        min(col("min_tok")).as("min_tok"),
+        max(col("max_tok")).as("max_tok"),
+        sum(col("sum_tok")).as("sum_tok"),
+        sum(col("cnt_tok")).as("cnt_tok"))
+      .select(
+        col("source"),
+        col("bucket"),
+        lit(toTier).as("tier"),
+        col("window_start"),
+        col("min_tok"),
+        col("max_tok"),
+        col("sum_tok"),
+        col("cnt_tok"),
+        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"))
+  }
+
+  /** Full ladder from the point view: returns tier name -> tier DataFrame.
+   * Only the 1m tier touches the raw points; every coarser tier cascades. */
+  def ladder(points: DataFrame): Map[String, DataFrame] = {
+    val t1m = rollupFromPoints(points, Tier.OneMinute)
+    val t5m = reaggregate(t1m, Tier.FiveMinutes)
+    val t1h = reaggregate(t5m, Tier.OneHour)
+    val t1d = reaggregate(t1h, Tier.OneDay)
+    Map(
+      Tier.OneMinute -> t1m,
+      Tier.FiveMinutes -> t5m,
+      Tier.OneHour -> t1h,
+      Tier.OneDay -> t1d)
+  }
+}

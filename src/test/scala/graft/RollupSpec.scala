@@ -1,0 +1,96 @@
+package graft
+
+import graft.core.Tier
+import graft.operators.Rollup
+import graft.sources.TokenTable
+import org.apache.spark.sql.functions._
+
+/** Rollup tier ladder: correctness vs a naive in-memory oracle, cascade
+ * consistency, and the raw-tier token-array-equality invariant
+ * (FIXTURES.md §6). Descendant of the reference's manual-loop verification
+ * discipline (test_forward_reverse_correctness.py). */
+class RollupSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** Naive oracle: tokens recomputed in plain Scala from the documents
+   * table, aggregated with mutable maps (no Spark). */
+  private def naiveTier(w: Int): Map[(String, Int, Int), (Int, Int, Long, Long)] = {
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
+    val acc = scala.collection.mutable.Map
+      .empty[(String, Int, Int), (Int, Int, Long, Long)]
+    for ((d, src, n) <- docs; p <- 0 until n) {
+      val tok = (((d + 1) * 2654435761L + p * 40503L) % 50257L).toInt
+      val key = (src, p / 64, (p / w) * w)
+      val (mn, mx, s, c) =
+        acc.getOrElse(key, (Int.MaxValue, Int.MinValue, 0L, 0L))
+      acc(key) = (math.min(mn, tok), math.max(mx, tok), s + tok, c + 1)
+    }
+    acc.toMap
+  }
+
+  test("raw tier token-array equality invariant (per-row checksum)") {
+    val raw = TokenTable.raw(spark, dir)
+    val rows = raw
+      .select(col("doc_id"), col("tokens"), col("n_tok"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val d = r.getString(0).toLong
+      val toks = r.getSeq[Int](1)
+      val n = r.getInt(2)
+      assert(toks.length == n)
+      toks.zipWithIndex.foreach { case (t, p) =>
+        assert(t == (((d + 1) * 2654435761L + p * 40503L) % 50257L).toInt)
+      }
+    }
+  }
+
+  test("1m rollup matches naive oracle exactly") {
+    val got = Rollup
+      .rollupFromPoints(TokenTable.points(spark, dir), Tier.OneMinute)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(3)) ->
+          (r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    val want = naiveTier(60)
+    assert(got == want)
+  }
+
+  test("tier ladder cascade == direct rollup from points, per tier") {
+    val points = TokenTable.points(spark, dir).cache()
+    val ladder = Rollup.ladder(points)
+    for ((tier, _) <- Tier.ladder.drop(1)) {
+      val cascade = ladder(tier).collect().map(_.toSeq).toSet
+      val direct =
+        Rollup.rollupFromPoints(points, tier).collect().map(_.toSeq).toSet
+      assert(cascade == direct, s"tier $tier cascade != direct")
+    }
+    points.unpersist()
+  }
+
+  test("bit-exact across parallelism levels (local stand-in for N vs 4N)") {
+    // Same input, different shuffle partitioning — results must be
+    // identical because all tier aggregates are exact integers.
+    val p1 = Rollup
+      .rollupFromPoints(
+        TokenTable.points(spark, dir).repartition(2),
+        Tier.OneHour)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val p2 = Rollup
+      .rollupFromPoints(
+        TokenTable.points(spark, dir).repartition(16),
+        Tier.OneHour)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(p1 == p2)
+  }
+}
