@@ -2,9 +2,9 @@ package graft
 
 import graft.core.Tier
 import graft.operators.Rollup
+import graft.queries._
 import graft.sources.TokenTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
  * ScalaTest golden/property suite).
  *
  * Oracle determinism discipline: all aggregates that cross rows are exact
- * (integer/long, or decimal for money columns); doubles only appear as
- * final derived values (exact-int division), so Spark and DuckDB hash
- * identically regardless of aggregation order.
+ * (integer/long, or decimal for money columns; fixed-point for float
+ * similarity); doubles only appear as final derived values, so Spark and
+ * DuckDB hash identically regardless of aggregation order.
  */
 object SparkEntry {
 
@@ -26,82 +26,16 @@ object SparkEntry {
       TokenTable.points(spark, "/root/testdata/sf0.001"),
       Tier.OneMinute)
 
-  // ---------------------------------------------------------------------
-  // Shared DuckDB oracle fragments
-  // ---------------------------------------------------------------------
-
-  /** The deterministic token-point CTE — must stay in lockstep with
-   * [[TokenTable.points]]. */
-  private val PtsCte: String =
-    """WITH pts AS (
-      |  SELECT d.doc_id AS doc_id, d.source AS source,
-      |         CAST(t.p AS INT) AS pos,
-      |         CAST(((d.doc_id + 1) * 2654435761 + t.p * 40503) % 50257 AS INT) AS tok
-      |  FROM documents d, LATERAL (SELECT unnest(range(0, d.n_chars)) AS p) t
-      |)""".stripMargin
-
-  private def tierOracle(tier: String, w: Int): String =
-    s"""$PtsCte
-       |SELECT source, CAST(pos // 64 AS INT) AS bucket, '$tier' AS tier,
-       |       CAST((pos // $w) * $w AS INT) AS window_start,
-       |       min(tok) AS min_tok, max(tok) AS max_tok,
-       |       CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
-       |       CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok
-       |FROM pts GROUP BY 1, 2, 3, 4""".stripMargin
-
-  // ---------------------------------------------------------------------
-  // Query registry — one per implemented operator from SURVEY.md §2
-  // ---------------------------------------------------------------------
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Raw tier + per-row token-array-equality invariant (as an exact
-    // checksum: sum / first / last over the materialized array).
-    "q_raw_tokens" -> ((s, dir) =>
-      TokenTable
-        .raw(s, dir)
-        .select(
-          col("doc_id"),
-          col("source"),
-          col("n_tok"),
-          expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tok_sum"),
-          expr("element_at(tokens, 1)").as("tok_first"),
-          expr("element_at(tokens, -1)").as("tok_last"))),
-
-    // Retention-tier rollups. 1m aggregates the raw point view; every
-    // coarser tier REAGGREGATES the previous tier (the continuous-aggregate
-    // cascade), while the oracle recomputes from raw points — so a hash
-    // match also proves cascade consistency (FIXTURES.md §4).
-    "q_rollup_1m" -> ((s, dir) =>
-      Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)),
-    "q_rollup_5m" -> ((s, dir) =>
-      Rollup.reaggregate(
-        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
-        Tier.FiveMinutes)),
-    "q_rollup_1h" -> ((s, dir) => {
-      val l = Rollup.ladder(TokenTable.points(s, dir))
-      l(Tier.OneHour)
-    }),
-    "q_rollup_1d" -> ((s, dir) => {
-      val l = Rollup.ladder(TokenTable.points(s, dir))
-      l(Tier.OneDay)
-    })
-  )
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TokenRollupQueries.q ++
+      TimeSeriesQueries.q ++
+      RelationalQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = Map(
-    "q_raw_tokens" ->
-      s"""$PtsCte
-         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
-         |       CAST(count(*) AS INT) AS n_tok,
-         |       CAST(sum(tok) AS BIGINT) AS tok_sum,
-         |       CAST(min(CASE WHEN pos = 0 THEN tok END) AS INT) AS tok_first,
-         |       CAST(max(CASE WHEN pos = n - 1 THEN tok END) AS INT) AS tok_last
-         |FROM (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS n FROM pts p)
-         |GROUP BY 1, 2""".stripMargin,
-    "q_rollup_1m" -> tierOracle("1m", 60),
-    "q_rollup_5m" -> tierOracle("5m", 300),
-    "q_rollup_1h" -> tierOracle("1h", 3600),
-    "q_rollup_1d" -> tierOracle("1d", 86400)
-  )
+  def oracleSql: Map[String, String] =
+    TokenRollupQueries.oracle ++
+      TimeSeriesQueries.oracle ++
+      RelationalQueries.oracle
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.core.Tier
+import graft.operators.{AsOfJoin, GapFill, Rollup, Sessionize}
+import graft.sources.TokenTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the events table and the token tiers:
+ * gap-fill (dense spine + LOCF), as-of join, sessionization, running
+ * windows, per-group top-k.
+ *
+ * Float discipline: every cross-row sum goes through DECIMAL(18,2) (values
+ * have 2 decimals → exact) and is cast to double only at the end, so Spark
+ * and DuckDB agree bitwise regardless of aggregation order. */
+object TimeSeriesQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-fill on real timestamps: hourly continuous aggregate per user,
+    // dense hour spine from each user's first to last hour, LOCF on the
+    // summed value, zero-fill on the count.
+    "q_gapfill_hourly" -> ((s, dir) => {
+      val obs = events(s, dir)
+        .groupBy(
+          col("user_id"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+          count(lit(1)).as("cnt"))
+      GapFill.gapFill(
+        obs,
+        keys = Seq("user_id"),
+        windowCol = "hour_start",
+        width = 3600L,
+        fillCols = Seq("sum_v"),
+        zeroCols = Map("cnt" -> lit(0L)))
+    }),
+
+    // Gap-fill on the 1m token tier itself: every 4th window is dropped at
+    // the source level (mask depends only on position, so the gap survives
+    // the cross-doc aggregation), then the dense spine restores it with
+    // LOCF-filled avg and zero count (north-rule gap-fill semantics).
+    "q_gapfill_tier" -> ((s, dir) => {
+      val sparse = TokenTable
+        .points(s, dir)
+        .filter(expr("(pos div 60) % 4 != 0"))
+      val tier = Rollup
+        .rollupFromPoints(sparse, Tier.OneMinute)
+        .select("source", "bucket", "window_start", "avg_tok", "cnt_tok")
+      GapFill.gapFill(
+        tier,
+        keys = Seq("source", "bucket"),
+        windowCol = "window_start",
+        width = 60L,
+        fillCols = Seq("avg_tok"),
+        zeroCols = Map("cnt_tok" -> lit(0L)))
+    }),
+
+    // As-of join: each purchase gets the most recent at-or-before signup
+    // value of the same user (union-tag + LOCF window — one linear shuffle,
+    // no range-join blowup).
+    "q_asof_purchase_signup" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"))
+      val signups = ev
+        .filter(col("event_type") === "signup")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s_ts_us"),
+          col("value").as("signup_value"))
+      AsOfJoin.asOf(
+        purchases,
+        signups,
+        keys = Seq("user_id"),
+        leftTime = "ts_us",
+        rightTime = "s_ts_us",
+        payload = Seq("signup_value"))
+    }),
+
+    // Gap-based sessionization (30 min), then per-session aggregates.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"))
+      Sessionize
+        .assignSessions(ev, Seq("user_id"), "ts_us", 1800000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
+    // Running cumulative sum + previous value per user ordered by time
+    // (ancestor: the reference's cumulative time-id / causal-mean windows,
+    // transform/imputation.py:89-107).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"))
+        .withColumn(
+          "run_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("prev_value", lag(col("value"), 1).over(byTime))
+        .withColumn("rn", row_number().over(byTime))
+    }),
+
+    // Top-3 events by value per user (deterministic tie-break on event_id;
+    // ancestor: per-group argmin patch-size selection,
+    // model/moirai/forecast.py:255-333).
+    "q_topk_events" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_gapfill_hourly" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, CAST(t.h AS BIGINT) AS hour_start
+        |  FROM (SELECT user_id, min(hour_start) AS w0, max(hour_start) AS w1
+        |        FROM obs GROUP BY 1) b,
+        |       LATERAL (SELECT unnest(range(b.w0, b.w1 + 1, 3600)) AS h) t)
+        |SELECT s.user_id, s.hour_start,
+        |       LAST_VALUE(o.sum_v IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.hour_start
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v,
+        |       COALESCE(o.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN obs o USING (user_id, hour_start)""".stripMargin,
+    "q_gapfill_tier" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |obs AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok,
+         |         count(*) AS cnt_tok
+         |  FROM pts WHERE (pos // 60) % 4 <> 0 GROUP BY 1, 2, 3),
+         |spine AS (
+         |  SELECT source, bucket, CAST(t.w AS INT) AS window_start
+         |  FROM (SELECT source, bucket, min(window_start) AS w0,
+         |               max(window_start) AS w1 FROM obs GROUP BY 1, 2) b,
+         |       LATERAL (SELECT unnest(range(b.w0, b.w1 + 1, 60)) AS w) t)
+         |SELECT s.source, s.bucket, s.window_start,
+         |       LAST_VALUE(o.avg_tok IGNORE NULLS) OVER (
+         |         PARTITION BY s.source, s.bucket ORDER BY s.window_start
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_tok,
+         |       COALESCE(o.cnt_tok, 0) AS cnt_tok
+         |FROM spine s LEFT JOIN obs o USING (source, bucket, window_start)""".stripMargin,
+    "q_asof_purchase_signup" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       s.value AS asof_signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |                PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |       lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_value,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS INT) AS rn
+        |FROM events""".stripMargin,
+    "q_topk_events" ->
+      """SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT user_id, event_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY value DESC, event_id) AS rnk
+        |      FROM events)
+        |WHERE rnk <= 3""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.core.Tier
+import graft.operators.Rollup
+import graft.sources.TokenTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries over the north-rule token table: raw tier invariant + the
+ * retention-tier rollup ladder. All oracles are exact-integer arithmetic. */
+object TokenRollupQueries {
+
+  /** The deterministic token-point CTE — must stay in lockstep with
+   * [[TokenTable.points]]. */
+  val PtsCte: String =
+    """WITH pts AS (
+      |  SELECT d.doc_id AS doc_id, d.source AS source,
+      |         CAST(t.p AS INT) AS pos,
+      |         CAST(((d.doc_id + 1) * 2654435761 + t.p * 40503) % 50257 AS INT) AS tok
+      |  FROM documents d, LATERAL (SELECT unnest(range(0, d.n_chars)) AS p) t
+      |)""".stripMargin
+
+  private def tierOracle(tier: String, w: Int): String =
+    s"""$PtsCte
+       |SELECT source, CAST(pos // 64 AS INT) AS bucket, '$tier' AS tier,
+       |       CAST((pos // $w) * $w AS INT) AS window_start,
+       |       min(tok) AS min_tok, max(tok) AS max_tok,
+       |       CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+       |       CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok
+       |FROM pts GROUP BY 1, 2, 3, 4""".stripMargin
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Raw tier + per-row token-array-equality invariant (as an exact
+    // checksum: sum / first / last over the materialized array).
+    "q_raw_tokens" -> ((s, dir) =>
+      TokenTable
+        .raw(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_tok"),
+          expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tok_sum"),
+          expr("element_at(tokens, 1)").as("tok_first"),
+          expr("element_at(tokens, -1)").as("tok_last"))),
+
+    // Retention-tier rollups. 1m aggregates the raw point view; every
+    // coarser tier REAGGREGATES the previous tier (the continuous-aggregate
+    // cascade), while the oracle recomputes from raw points — so a hash
+    // match also proves cascade consistency (FIXTURES.md §4).
+    "q_rollup_1m" -> ((s, dir) =>
+      Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)),
+    "q_rollup_5m" -> ((s, dir) =>
+      Rollup.reaggregate(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        Tier.FiveMinutes)),
+    "q_rollup_1h" -> ((s, dir) =>
+      Rollup.ladder(TokenTable.points(s, dir))(Tier.OneHour)),
+    "q_rollup_1d" -> ((s, dir) =>
+      Rollup.ladder(TokenTable.points(s, dir))(Tier.OneDay))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_raw_tokens" ->
+      s"""$PtsCte
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) AS INT) AS n_tok,
+         |       CAST(sum(tok) AS BIGINT) AS tok_sum,
+         |       CAST(min(CASE WHEN pos = 0 THEN tok END) AS INT) AS tok_first,
+         |       CAST(max(CASE WHEN pos = n - 1 THEN tok END) AS INT) AS tok_last
+         |FROM (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS n FROM pts p)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_rollup_1m" -> tierOracle("1m", 60),
+    "q_rollup_5m" -> tierOracle("5m", 300),
+    "q_rollup_1h" -> tierOracle("1h", 3600),
+    "q_rollup_1d" -> tierOracle("1d", 86400)
+  )
+}
