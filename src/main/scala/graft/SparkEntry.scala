@@ -30,12 +30,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TokenRollupQueries.q ++
       TimeSeriesQueries.q ++
-      RelationalQueries.q
+      RelationalQueries.q ++
+      CodecQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     TokenRollupQueries.oracle ++
       TimeSeriesQueries.oracle ++
-      RelationalQueries.oracle
+      RelationalQueries.oracle ++
+      CodecQueries.oracle
 }

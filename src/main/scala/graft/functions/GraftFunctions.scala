@@ -1,0 +1,32 @@
+package graft.functions
+
+import graft.functions.expressions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of the engine's custom Catalyst expressions into a session's
+ * function registry, so they are callable from SQL and via
+ * `functions.call_function` (SURVEY.md §2.11). Idempotent. */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "gorilla_encode" -> (args => GorillaEncode(args.head)),
+    "gorilla_decode" -> (args => GorillaDecode(args.head)),
+    "dod_encode" -> (args => DodEncode(args.head)),
+    "dod_decode" -> (args => DodDecode(args.head))
+  )
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(
+          ident,
+          new ExpressionInfo("graft.functions.expressions", name),
+          builder)
+      }
+    }
+  }
+}

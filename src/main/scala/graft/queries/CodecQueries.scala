@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.functions.GraftFunctions
+import graft.sources.TokenTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Codec queries: Gorilla XOR + delta-of-delta round-trips executed INSIDE
+ * the Spark plan via the custom Catalyst expressions, verified by exact
+ * checksums the SQL oracle recomputes from the uncompressed data — the
+ * encode→operate→compare-in-encoded-space gate pattern of the reference
+ * (cli/eval_precond_space.py, SURVEY.md §3.3). */
+object CodecQueries {
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gorilla: token arrays as doubles, encode→decode in-plan, exact
+    // integer checksums of the decoded array.
+    "q_codec_gorilla_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+          "decoded",
+          call_function("gorilla_decode", call_function("gorilla_encode", col("vals"))))
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("decoded")).as("n"),
+          expr("aggregate(decoded, 0L, (a, x) -> a + CAST(x AS BIGINT))").as("sum_v"),
+          expr("element_at(decoded, 1)").as("first_v"),
+          expr("element_at(decoded, -1)").as("last_v"))
+    }),
+
+    // Delta-of-delta: per-user sorted event timestamps (epoch micros),
+    // encode→decode in-plan, exact checksums.
+    "q_codec_dod_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("ts_us"))).as("ts_arr"))
+        .withColumn(
+          "decoded",
+          call_function("dod_decode", call_function("dod_encode", col("ts_arr"))))
+        .select(
+          col("user_id"),
+          size(col("decoded")).as("n_ts"),
+          expr("element_at(decoded, 1)").as("first_us"),
+          expr("element_at(decoded, -1)").as("last_us"),
+          expr("aggregate(decoded, 0L, (a, x) -> a + x % 1000000007L)").as("sum_mod"))
+    }),
+
+    // Tier payload compression (FIXTURES.md §2 schema): per (source, bucket)
+    // the 1m tier's window/avg series packed as dod/gorilla blobs.
+    // Rows-only check (blob sizes are engine-specific); the round-trip
+    // equality is asserted by aggregate checksums over the decoded arrays.
+    "q_tier_payload" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import graft.core.Tier
+      import graft.operators.Rollup
+      Rollup
+        .rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
+        .groupBy(col("source"), col("bucket"))
+        .agg(
+          sort_array(collect_list(struct(col("window_start"), col("avg_tok"))))
+            .as("series"))
+        .select(
+          col("source"),
+          col("bucket"),
+          size(col("series")).as("n_windows"),
+          call_function(
+            "dod_encode",
+            expr("transform(series, s -> CAST(s.window_start AS BIGINT))")).as("payload_ts"),
+          call_function(
+            "gorilla_encode",
+            expr("transform(series, s -> s.avg_tok)")).as("payload_values"))
+        .select(
+          col("source"),
+          col("bucket"),
+          col("n_windows"),
+          octet_length(col("payload_ts")).as("ts_bytes"),
+          octet_length(col("payload_values")).as("values_bytes"),
+          (col("n_windows") * 8).as("raw_bytes_each"),
+          expr("aggregate(dod_decode(payload_ts), 0L, (a, x) -> a + x)").as("ts_sum_check"),
+          expr(
+            "aggregate(gorilla_decode(payload_values), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+            .as("values_sum_check"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_codec_gorilla_roundtrip" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) AS INT) AS n,
+         |       CAST(sum(tok) AS BIGINT) AS sum_v,
+         |       CAST(min(CASE WHEN pos = 0 THEN tok END) AS DOUBLE) AS first_v,
+         |       CAST(max(CASE WHEN pos = nn - 1 THEN tok END) AS DOUBLE) AS last_v
+         |FROM (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS nn FROM pts p)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_codec_dod_roundtrip" ->
+      """SELECT user_id, CAST(count(*) AS INT) AS n_ts,
+        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        |       CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS sum_mod
+        |FROM events GROUP BY 1""".stripMargin
+    // q_tier_payload: rows-only (engine-specific blob sizes); round-trip
+    // exactness is covered by CodecSpec properties + the two queries above.
+  )
+}
