@@ -1,0 +1,121 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Iceberg-style snapshot layer over parquet directories (no Iceberg jars
+ * ship in this environment, so the table format's load-bearing ideas are
+ * implemented directly): immutable data versions + atomically-committed
+ * JSON manifests, giving snapshot isolation, idempotent re-runs and
+ * checkpoint/resume.
+ *
+ * Layout per table:
+ *   <base>/<table>/data/v<N>/part-*.parquet   (immutable)
+ *   <base>/<table>/_snapshots/v<N>.json       (manifest, committed last)
+ *
+ * A manifest is only visible after an atomic rename, so a crashed writer
+ * leaves at most an orphaned data directory, never a half-visible
+ * snapshot — the same commit protocol Iceberg uses (spec: metadata file
+ * swap). Resumability contract mirrors the reference's Lightning
+ * `ckpt_path="last"` resume (reference cli/train.py:185-189): a stage is
+ * skipped when a snapshot with the same (stage, fingerprint) already
+ * exists.
+ */
+final case class SnapshotInfo(
+    table: String,
+    version: Int,
+    uid: Long, // globally unique commit id — downstream fingerprints chain on it
+    stage: String,
+    fingerprint: String,
+    rowCount: Long,
+    dataPath: String)
+
+final class SnapshotStore(base: String) {
+
+  private def tableDir(table: String): Path = Paths.get(base, table)
+  private def snapDir(table: String): Path = tableDir(table).resolve("_snapshots")
+
+  private def parse(j: String): SnapshotInfo = {
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\"([^\"]*)\"|(\\d+))").r
+      m.findFirstMatchIn(j)
+        .map(g => Option(g.group(2)).getOrElse(g.group(3)))
+        .getOrElse(sys.error(s"missing $k in manifest"))
+    }
+    SnapshotInfo(
+      field("table"),
+      field("version").toInt,
+      field("uid").toLong,
+      field("stage"),
+      field("fingerprint"),
+      field("rowCount").toLong,
+      field("dataPath"))
+  }
+
+  private def render(s: SnapshotInfo): String =
+    s"""{"table": "${s.table}", "version": ${s.version}, "uid": ${s.uid}, "stage": "${s.stage}",
+       | "fingerprint": "${s.fingerprint}", "rowCount": ${s.rowCount},
+       | "dataPath": "${s.dataPath}"}""".stripMargin
+
+  def snapshots(table: String): Seq[SnapshotInfo] = {
+    val d = snapDir(table)
+    if (!Files.isDirectory(d)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files
+      .list(d)
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(p => parse(Files.readString(p)))
+      .toSeq
+      .sortBy(_.version)
+  }
+
+  def latest(table: String): Option[SnapshotInfo] = snapshots(table).lastOption
+
+  /** Existing committed snapshot for (stage, fingerprint), if any — the
+   * resume check. */
+  def find(table: String, stage: String, fingerprint: String): Option[SnapshotInfo] =
+    snapshots(table).findLast(s => s.stage == stage && s.fingerprint == fingerprint)
+
+  /** Write `df` as the next version of `table` and commit its manifest
+   * atomically. Returns the committed snapshot. */
+  def commit(
+      df: DataFrame,
+      table: String,
+      stage: String,
+      fingerprint: String): SnapshotInfo = {
+    val next = latest(table).map(_.version + 1).getOrElse(1)
+    val dataPath = tableDir(table).resolve("data").resolve(s"v$next")
+    df.write.mode("overwrite").parquet(dataPath.toString)
+    val rows = df.sparkSession.read.parquet(dataPath.toString).count()
+    val info =
+      SnapshotInfo(table, next, System.nanoTime(), stage, fingerprint, rows, dataPath.toString)
+    Files.createDirectories(snapDir(table))
+    val tmp = snapDir(table).resolve(s".v$next.json.tmp")
+    Files.write(tmp, render(info).getBytes(StandardCharsets.UTF_8))
+    Files.move(
+      tmp,
+      snapDir(table).resolve(s"v$next.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    info
+  }
+
+  def read(spark: SparkSession, snap: SnapshotInfo): DataFrame =
+    spark.read.parquet(snap.dataPath)
+
+  /** Compute-or-resume: return the existing snapshot for (stage,
+   * fingerprint) or compute, commit and return a new one. The boolean is
+   * true when the stage was resumed (skipped). */
+  def getOrCompute(
+      table: String,
+      stage: String,
+      fingerprint: String)(compute: => DataFrame): (SnapshotInfo, Boolean) =
+    find(table, stage, fingerprint) match {
+      case Some(s) => (s, true)
+      case None => (commit(compute, table, stage, fingerprint), false)
+    }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.core.Tier
+import graft.jobs.{RollupJob, SnapshotStore}
+import graft.operators.Rollup
+import graft.sources.TokenTable
+
+/** Resumability, lineage and salt-skew correctness of the production job. */
+class JobSpec extends SparkSpec {
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-job-")
+
+  private def tierRows(dir: String, store: SnapshotStore, table: String) =
+    store
+      .read(spark, store.latest(table).get)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+
+  test("job computes the full ladder and matches the in-memory cascade bit-exactly") {
+    val base = tmpDir().toString
+    val dir = sf("sf0.001")
+    val results = RollupJob.run(spark, dir, base)
+    assert(results.size == 5 && results.values.forall(!_.resumed))
+    val store = new SnapshotStore(base)
+    val ladder = Rollup.ladder(TokenTable.points(spark, dir))
+    for (tier <- Seq(Tier.OneMinute, Tier.FiveMinutes, Tier.OneHour, Tier.OneDay)) {
+      val want = ladder(tier).collect().map(_.toSeq).toSet
+      val got = tierRows(dir, store, s"tier_$tier")
+      assert(got == want, s"tier $tier mismatch")
+    }
+  }
+
+  test("re-run resumes every stage; invalidated suffix recomputes identically") {
+    val base = tmpDir().toString
+    val dir = sf("sf0.001")
+    RollupJob.run(spark, dir, base)
+    val store = new SnapshotStore(base)
+    val before = tierRows(dir, store, "tier_1d")
+
+    // full re-run: everything resumed, no new snapshot versions
+    val r2 = RollupJob.run(spark, dir, base)
+    assert(r2.values.forall(_.resumed))
+    assert(store.latest("tier_1d").get.version == 1)
+
+    // invalidate the 1h snapshot -> 1h and 1d recompute, 1m/5m resume
+    import scala.jdk.CollectionConverters._
+    val snapDir = java.nio.file.Paths.get(base, "tier_1h", "_snapshots")
+    Files.list(snapDir).iterator().asScala.foreach(Files.delete)
+    val r3 = RollupJob.run(spark, dir, base)
+    assert(r3("raw").resumed && r3("rollup_1m").resumed && r3("rollup_5m").resumed)
+    assert(!r3("rollup_1h").resumed && !r3("rollup_1d").resumed)
+    val after = tierRows(dir, store, "tier_1d")
+    assert(after == before, "recomputed suffix must be bit-exact")
+  }
+
+  test("lineage covers all rows; metrics emitted per computed stage") {
+    val base = tmpDir().toString
+    RollupJob.run(spark, sf("sf0.001"), base)
+    val store = new SnapshotStore(base)
+    val lineage = store.read(spark, store.latest("lineage").get)
+    // lineage table holds the LAST committed stage's rows; check any stage's
+    // lineage sums to that stage's rowCount
+    val snaps = store.snapshots("lineage")
+    assert(snaps.size == 5, s"one lineage snapshot per computed stage, got ${snaps.size}")
+    snaps.foreach { s =>
+      val stageName = s.stage.stripPrefix("lineage_")
+      val rows = store
+        .read(spark, s)
+        .agg(org.apache.spark.sql.functions.sum("rows_out"))
+        .collect()(0)
+        .getLong(0)
+      val stageTable = store
+        .snapshots(if (stageName == "raw") "raw" else s"tier_${stageName.stripPrefix("rollup_")}")
+      assert(rows == stageTable.last.rowCount, s"lineage rows != rowCount for $stageName")
+    }
+    assert(store.snapshots("metrics").size == 5)
+    assert(lineage.columns.toSet ==
+      Set("stage", "snapshot_id", "partition_id", "rows_out", "wall_ms"))
+  }
+
+  test("salted two-phase rollup is bit-exact vs unsalted") {
+    val points = TokenTable.points(spark, sf("sf0.001"))
+    val plain = Rollup
+      .rollupFromPoints(points, Tier.OneMinute)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val salted = RollupJob
+      .rollupSalted(
+        points.select(
+          org.apache.spark.sql.functions.col("doc_id").cast("string").as("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("pos"),
+          org.apache.spark.sql.functions.col("tok")),
+        Tier.OneMinute,
+        salt = 8)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(salted == plain)
+  }
+}
