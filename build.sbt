@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // batch-throughput GC: G1 showed pathological pauses on large heaps with
+  // 32 task threads in this environment (5-10x slowdowns); Parallel scales.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -41,8 +41,8 @@ object RollupJob {
       .groupBy(
         pmod(hash(col("doc_id")), lit(salt)).as("_salt"),
         col("source"),
-        (col("pos") / Tier.BucketWidth).cast("int").as("bucket"),
-        ((col("pos") / w).cast("int") * w).as("window_start"))
+        expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
+        expr(s"CAST(pos - pos % $w AS INT)").as("window_start"))
       .agg(
         min(col("tok")).as("p_min"),
         max(col("tok")).as("p_max"),

@@ -35,8 +35,8 @@ object Rollup {
     points
       .groupBy(
         col("source"),
-        (col("pos") / Tier.BucketWidth).cast("int").as("bucket"),
-        ((col("pos") / w).cast("int") * w).as("window_start"))
+        expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
+        expr(s"CAST(pos - pos % $w AS INT)").as("window_start"))
       .agg(
         min(col("tok")).as("min_tok"),
         max(col("tok")).as("max_tok"),
@@ -64,7 +64,7 @@ object Rollup {
       .groupBy(
         col("source"),
         col("bucket"),
-        ((col("window_start") / w).cast("int") * w).as("window_start"))
+        expr(s"CAST(window_start - window_start % $w AS INT)").as("window_start"))
       .agg(
         min(col("min_tok")).as("min_tok"),
         max(col("max_tok")).as("max_tok"),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.Tier
+import graft.operators.Rollup
+import graft.sources.TokenTable
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that keep the engine fast at
+ * 100 TB must be visible in the plan, not just hoped for. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    // keep only the final AQE plan (the Initial Plan section duplicates ops)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("rollup plan: column pruning reaches the scan; partial aggregation before shuffle") {
+    val df = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+    val plan = planOf(df)
+    // text column must be pruned from the parquet scan
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("text"), "scan must not read the text column")
+    // partial (map-side) aggregation before the exchange
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx > 0, "expected one hash exchange on the group keys")
+    val partialIdx = plan.indexOf("partial_min")
+    assert(partialIdx > exchangeIdx,
+      "expected partial (map-side) aggregation below the exchange")
+    // exactly ONE shuffle in the whole rollup
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+  }
+
+  test("filter on n_tok is pushed down to the documents scan") {
+    val df = spark.read
+      .parquet(s"${sf("sf0.001")}/documents.parquet")
+      .filter(col("n_chars") > 100)
+      .select("doc_id", "source")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)"), plan)
+  }
+
+  test("nation-revenue join plans as broadcast joins, no shuffle join") {
+    val df = graft.queries.RelationalQueries.q("q_nation_revenue")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
+  }
+
+  test("tier reaggregation stays whole-stage-codegen'd") {
+    val t1m = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+    val plan = planOf(Rollup.reaggregate(t1m, Tier.FiveMinutes))
+    // codegen'd spans print as "*(n)" in the compact final plan; every
+    // HashAggregate must sit inside one
+    assert(plan.contains("*(1)") && plan.contains("*(2)"), plan)
+    assert(!plan.lines().filter(_.contains("HashAggregate")).anyMatch(!_.contains("*(")), plan)
+  }
+}
