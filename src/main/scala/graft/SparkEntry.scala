@@ -32,7 +32,8 @@ object SparkEntry {
       TimeSeriesQueries.q ++
       RelationalQueries.q ++
       CodecQueries.q ++
-      PipelineQueries.q
+      PipelineQueries.q ++
+      EvalQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
@@ -41,5 +42,6 @@ object SparkEntry {
       TimeSeriesQueries.oracle ++
       RelationalQueries.oracle ++
       CodecQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      EvalQueries.oracle
 }

@@ -15,8 +15,18 @@ object GraftFunctions {
     "gorilla_decode" -> (args => GorillaDecode(args.head)),
     "dod_encode" -> (args => DodEncode(args.head)),
     "dod_decode" -> (args => DodDecode(args.head)),
-    "simhash64" -> (args => SimHash64(args.head))
+    "simhash64" -> (args => SimHash64(args.head)),
+    // precond_forward(arr, degree, 'chebyshev'), precond_reverse(...)
+    "precond_forward" -> (args =>
+      PrecondForward(args.head, foldInt(args(1)), foldStr(args(2)))),
+    "precond_reverse" -> (args =>
+      PrecondReverse(args.head, foldInt(args(1)), foldStr(args(2))))
   )
+
+  private def foldInt(e: Expression): Int =
+    e.eval(null).toString.toInt
+  private def foldStr(e: Expression): String =
+    e.eval(null).toString
 
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry

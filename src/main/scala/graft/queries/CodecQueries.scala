@@ -54,6 +54,42 @@ object CodecQueries {
           expr("aggregate(decoded, 0L, (a, x) -> a + x % 1000000007L)").as("sum_mod"))
     }),
 
+    // Polynomial preconditioning round-trip (the reference's signature
+    // invertible recoding): forward(chebyshev d4) then reverse inside the
+    // plan; decoded values are integers to <1e-10 so rounding restores the
+    // original tokens exactly — checksummed against the raw oracle.
+    "q_precond_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+          "rt",
+          expr("precond_reverse(precond_forward(vals, 4, 'chebyshev'), 4, 'chebyshev')"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("rt")).as("n"),
+          expr("aggregate(rt, 0L, (a, x) -> a + CAST(round(x) AS BIGINT))").as("sum_v"))
+    }),
+
+    // Forward preconditioning checked value-by-value against a LAG-based
+    // SQL oracle (fixed-point quantized per element, then exact sum — the
+    // per-element double arithmetic matches term-for-term in association
+    // order; chebyshev d4 coeffs are exact binary fractions [0,-1,0,0.125]).
+    "q_precond_forward" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          expr("aggregate(f, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+            .as("sum_q"))
+    }),
+
     // Tier payload compression (FIXTURES.md §2 schema): per (source, bucket)
     // the 1m tier's window/avg series packed as dod/gorilla blobs.
     // Rows-only check (blob sizes are engine-specific); the round-trip
@@ -106,7 +142,29 @@ object CodecQueries {
       """SELECT user_id, CAST(count(*) AS INT) AS n_ts,
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
         |       CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS sum_mod
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_precond_roundtrip" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) AS INT) AS n,
+         |       CAST(sum(tok) AS BIGINT) AS sum_v
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q_precond_forward" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |f AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN pos >= 4 THEN
+         |           CAST(tok AS DOUBLE) +
+         |           (0.0 * CAST(lag(tok, 1) OVER w AS DOUBLE)
+         |            + (-1.0) * CAST(lag(tok, 2) OVER w AS DOUBLE)
+         |            + 0.0 * CAST(lag(tok, 3) OVER w AS DOUBLE)
+         |            + 0.125 * CAST(lag(tok, 4) OVER w AS DOUBLE))
+         |         ELSE CAST(tok AS DOUBLE) END AS y
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(sum(CAST(floor(y * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+         |FROM f GROUP BY 1, 2""".stripMargin
     // q_tier_payload: rows-only (engine-specific blob sizes); round-trip
     // exactness is covered by CodecSpec properties + the two queries above.
   )

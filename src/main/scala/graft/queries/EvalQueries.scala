@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.sources.TokenTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rolling-window evaluation over the token series — the descendant of the
+ * reference's EvalCrop/EvalDataset window enumeration
+ * (uni2ts/src/uni2ts/transform/crop.py:111-147, data/dataset.py:185-211)
+ * and of its packed metric reductions (loss/packed/, SURVEY.md §2.4).
+ *
+ * Window grammar (context=64, horizon=16, stride=32): window w of a doc
+ * covers context positions [fs-64, fs) and horizon [fs, fs+16) with
+ * fs = 64 + w*32, for w in [0, (n_tok-80) div 32]. All stats are row-local
+ * array ops over the token array (no shuffle per window — parallelism is
+ * across docs, the abundant axis), with exact-int or fixed-point outputs.
+ */
+object EvalQueries {
+
+  private val Ctx = 64
+  private val Hor = 16
+  private val Stride = 32
+
+  private def rollingWindows(s: SparkSession, dir: String): DataFrame =
+    TokenTable
+      .raw(s, dir)
+      .filter(col("n_tok") >= Ctx + Hor)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("tokens"),
+        explode(sequence(lit(0), expr(s"(n_tok - ${Ctx + Hor}) DIV $Stride"))).as("w"))
+      .withColumn("fs", lit(Ctx) + col("w") * Stride)
+      .withColumn("ctx", expr(s"slice(tokens, fs - $Ctx + 1, $Ctx)"))
+      .withColumn("hor", expr(s"slice(tokens, fs + 1, $Hor)"))
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Window enumeration + per-window context/horizon statistics.
+    "q_rolling_eval" -> ((s, dir) =>
+      rollingWindows(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("w"),
+          expr("array_min(ctx)").as("ctx_min"),
+          expr("array_max(ctx)").as("ctx_max"),
+          expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
+          expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
+
+    // Naive-forecast evaluation metrics: forecast = context mean; per-window
+    // fixed-point MAE over the horizon, aggregated per source (the packed
+    // doubly-normalized reduction shape, loss/packed/_base.py:76-106).
+    "q_eval_metrics" -> ((s, dir) =>
+      rollingWindows(s, dir)
+        .withColumn(
+          "naive",
+          expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn(
+          "mae_q",
+          expr(
+            "aggregate(hor, 0L, (a, x) -> " +
+              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 1000 + 0.5) AS BIGINT))"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(col("mae_q")).as("mae_q_sum"))
+        .withColumn(
+          "mae",
+          col("mae_q_sum").cast("double") / 1000.0 /
+            (col("n_windows") * Hor).cast("double")))
+  )
+
+  private val WinCte =
+    s"""${TokenRollupQueries.PtsCte},
+       |docs_n AS (SELECT doc_id, source, count(*) AS n FROM pts GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT d.doc_id, d.source, CAST(t.w AS INT) AS w,
+       |         CAST($Ctx + t.w * $Stride AS INT) AS fs
+       |  FROM docs_n d,
+       |       LATERAL (SELECT unnest(range(0, (d.n - ${Ctx + Hor}) // $Stride + 1)) AS w) t
+       |  WHERE d.n >= ${Ctx + Hor}),
+       |ctxagg AS (
+       |  SELECT w.doc_id, w.source, w.w,
+       |         min(p.tok) AS ctx_min, max(p.tok) AS ctx_max,
+       |         CAST(sum(p.tok) AS BIGINT) AS ctx_sum
+       |  FROM wins w JOIN pts p
+       |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - $Ctx AND p.pos < w.fs
+       |  GROUP BY 1, 2, 3),
+       |horagg AS (
+       |  SELECT w.doc_id, w.source, w.w, w.fs,
+       |         CAST(sum(p.tok) AS BIGINT) AS hor_sum
+       |  FROM wins w JOIN pts p
+       |    ON p.doc_id = w.doc_id AND p.pos >= w.fs AND p.pos < w.fs + $Hor
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_rolling_eval" ->
+      s"""$WinCte
+         |SELECT CAST(c.doc_id AS VARCHAR) AS doc_id, c.source, c.w,
+         |       c.ctx_min, c.ctx_max, c.ctx_sum, h.hor_sum
+         |FROM ctxagg c JOIN horagg h
+         |  ON c.doc_id = h.doc_id AND c.w = h.w""".stripMargin,
+    "q_eval_metrics" ->
+      s"""$WinCte,
+         |mae_per_win AS (
+         |  SELECT h2.source,
+         |         CAST(sum(CAST(floor(abs(CAST(p.tok AS DOUBLE)
+         |                - CAST(c.ctx_sum AS DOUBLE) / $Ctx.0) * 1000 + 0.5) AS BIGINT))
+         |           AS BIGINT) AS mae_q
+         |  FROM horagg h2
+         |  JOIN ctxagg c ON c.doc_id = h2.doc_id AND c.w = h2.w
+         |  JOIN pts p ON p.doc_id = h2.doc_id
+         |             AND p.pos >= h2.fs AND p.pos < h2.fs + $Hor
+         |  GROUP BY h2.source, h2.doc_id, h2.w)
+         |SELECT source, count(*) AS n_windows,
+         |       CAST(sum(mae_q) AS BIGINT) AS mae_q_sum,
+         |       CAST(sum(mae_q) AS DOUBLE) / 1000.0
+         |         / CAST(count(*) * $Hor AS DOUBLE) AS mae
+         |FROM mae_per_win GROUP BY 1""".stripMargin
+  )
+}

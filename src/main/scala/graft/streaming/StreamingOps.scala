@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming counterparts of the batch operators. The reference
+ * is fully offline (SURVEY.md §2.10) — these are the engine's additions for
+ * continuous ingestion: the same tier semantics expressed as watermarked
+ * windowed aggregates, and gap-based sessionization as explicit keyed state.
+ *
+ * Design for scale: state is keyed (hash-partitioned by Spark's state
+ * store); watermark bounds state size — a window's state is dropped once
+ * the watermark passes its end, so memory is O(active windows × keys), not
+ * O(stream length).
+ */
+object StreamingOps {
+
+  /** Continuous 1h tier over an event stream: per (event_type, hour window)
+   * count + exact decimal sum. Late rows beyond the 2h watermark are
+   * dropped (the streaming face of the batch gap-fill's static
+   * late/missing handling). */
+  def hourlyEventRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(
+        col("event_type"),
+        col("window.start").as("window_start"),
+        col("cnt"),
+        col("sum_v"))
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(sessionId: Long, lastTsUs: Long)
+  final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)
+
+  /** Streaming sessionization: custom keyed state via
+   * flatMapGroupsWithState — the streaming counterpart of
+   * [[graft.operators.Sessionize]] (same gap rule). Assumes per-user
+   * in-order delivery within a batch (sorted inside the group). */
+  def sessionize(
+      events: Dataset[Ev],
+      gapMicros: Long): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            if (st.lastTsUs != Long.MinValue && e.ts_us - st.lastTsUs > gapMicros)
+              st = SessionState(st.sessionId + 1, e.ts_us)
+            else
+              st = SessionState(st.sessionId, e.ts_us)
+            SessionAssignment(user, e.ts_us, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

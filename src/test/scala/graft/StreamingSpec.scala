@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  test("watermarked hourly rollup: on-time rows aggregate, state finalizes after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in
+      .toDF()
+      .toDF("ts", "event_type", "value")
+    val q = StreamingOps
+      .hourlyEventRollup(df)
+      .writeStream
+      .format("memory")
+      .queryName("hourly")
+      .outputMode(OutputMode.Append())
+      .start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // two events in hour 0, one in hour 1
+    in.addData((ts(0, 10), "a", 1.5), (ts(0, 40), "a", 2.25), (ts(1, 5), "a", 4.0))
+    q.processAllAvailable()
+    // advance watermark past hour 0+2h grace -> hour-0 window emits (append)
+    in.addData((ts(4, 0), "a", 0.5))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT event_type, window_start, cnt, sum_v FROM hourly")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(rows.contains(("a", "2024-01-01 00:00:00.0", 2L, 3.75)))
+    assert(rows.contains(("a", "2024-01-01 01:00:00.0", 1L, 4.0)))
+  }
+
+  test("streaming sessionize: state persists across micro-batches, gap splits sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps
+      .sessionize(in.toDS(), gapMicros = 1000L)
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(StreamingOps.Ev(1, 100, 1.0), StreamingOps.Ev(1, 600, 1.0))
+    q.processAllAvailable()
+    // next batch: within gap of 600 -> same session; then a jump -> new one
+    in.addData(StreamingOps.Ev(1, 1400, 1.0), StreamingOps.Ev(1, 9999, 1.0))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT user_id, ts_us, session_id FROM sessions ORDER BY ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    q.stop()
+    assert(
+      rows == Seq((1L, 100L, 0L), (1L, 600L, 0L), (1L, 1400L, 0L), (1L, 9999L, 1L)))
+  }
+}
