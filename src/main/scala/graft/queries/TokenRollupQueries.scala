@@ -56,7 +56,41 @@ object TokenRollupQueries {
     "q_rollup_1h" -> ((s, dir) =>
       Rollup.ladder(TokenTable.points(s, dir))(Tier.OneHour)),
     "q_rollup_1d" -> ((s, dir) =>
-      Rollup.ladder(TokenTable.points(s, dir))(Tier.OneDay))
+      Rollup.ladder(TokenTable.points(s, dir))(Tier.OneDay)),
+
+    // Patchify (uni2ts transform/patch.py:123-159): per-doc reshape of the
+    // token array into width-64 patches (last patch ragged), row-local
+    // slice — no shuffle; stats checksummed per patch.
+    "q_patchify" -> ((s, dir) =>
+      TokenTable
+        .raw(s, dir)
+        .select(
+          col("doc_id"),
+          col("tokens"),
+          explode(sequence(lit(0), expr("(n_tok - 1) DIV 64"))).as("patch_idx"))
+        .withColumn("patch", expr("slice(tokens, patch_idx * 64 + 1, 64)"))
+        .select(
+          col("doc_id"),
+          col("patch_idx"),
+          size(col("patch")).as("patch_len"),
+          expr("array_min(patch)").as("p_min"),
+          expr("array_max(patch)").as("p_max"),
+          expr("aggregate(patch, 0L, (a, x) -> a + x)").as("p_sum"))),
+
+    // Proportional sampling weights (indexer get_proportional_probabilities,
+    // hf_dataset_indexer.py:119-139): per-doc weight = n_tok / Σ n_tok of
+    // its source, in exact parts-per-billion integer arithmetic.
+    "q_sampling_weights" -> ((s, dir) =>
+      TokenTable
+        .raw(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .withColumn(
+          "src_total",
+          sum(col("n_tok").cast("long"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .withColumn(
+          "weight_ppb",
+          expr("(CAST(n_tok AS BIGINT) * 1000000000L) DIV src_total")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -72,6 +106,21 @@ object TokenRollupQueries {
     "q_rollup_1m" -> tierOracle("1m", 60),
     "q_rollup_5m" -> tierOracle("5m", 300),
     "q_rollup_1h" -> tierOracle("1h", 3600),
-    "q_rollup_1d" -> tierOracle("1d", 86400)
+    "q_rollup_1d" -> tierOracle("1d", 86400),
+    "q_patchify" ->
+      s"""$PtsCte
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |       CAST(pos // 64 AS INT) AS patch_idx,
+         |       CAST(count(*) AS INT) AS patch_len,
+         |       min(tok) AS p_min, max(tok) AS p_max,
+         |       CAST(sum(tok) AS BIGINT) AS p_sum
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q_sampling_weights" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |       CAST(n_chars AS INT) AS n_tok,
+        |       CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS src_total,
+        |       CAST(n_chars * 1000000000 //
+        |            sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS weight_ppb
+        |FROM documents""".stripMargin
   )
 }
