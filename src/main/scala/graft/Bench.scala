@@ -83,7 +83,7 @@ object Bench {
       if (!runScaling) None
       else {
         val n = 4
-        val docsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+        val docsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
         val tokens = 256
         val cpuNs = new java.util.concurrent.atomic.AtomicLong
         def level(cores: Int): (Double, Double) = {
