@@ -58,6 +58,13 @@ object Bench {
     val runSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
     val spark = session(cpus)
     graft.functions.GraftFunctions.register(spark)
+    // throwaway warmup: the first query of a fresh session otherwise pays
+    // session init + whole-stage-codegen JIT (~3-5 s) that would be
+    // misattributed to whichever query sorts first alphabetically
+    if (runSuite) {
+      try SparkEntry.entry(spark).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    }
     val results = (if (runSuite) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -127,37 +134,30 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$rollupJson}""")
 
     // -- Scaling evidence into BENCH.md (north-rule reporting) -----------
+    // Rows are inserted directly under the table header at the sentinel
+    // marker, NOT appended at EOF — prose sections below the table would
+    // otherwise swallow later rows (the round-1 BENCH.md corruption).
     scaling.foreach { sc =>
-      val md =
-        f"""
-           || ${java.time.Instant.now()} | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f |""".stripMargin
+      val row =
+        f"| ${java.time.Instant.now()} | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f |"
       val benchMd = Paths.get("BENCH.md")
+      val sentinel = "<!-- bench-rows -->"
       if (!Files.exists(benchMd)) {
         Files.write(
           benchMd,
-          ("""# BENCH — measured throughput + N vs 4N scaling evidence
-             |
-             |Primary metric (BASELINE.json): rolled-up points/sec through the 1m-tier
-             |rollup over a synthesized token table (TokenTable.rangePoints), identical
-             |input at both parallelism levels. N vs 4N executors is evidenced by
-             |local[4] vs local[16] (both within the VM's physical core budget);
-             |efficiency = pps(4N) / (4 x pps(N)).
-             |
-             |Protocol: per level, fresh session, 1 warmup + 3 timed runs, x2
-             |interleaved rounds, min-of-all (the sandbox's host-CPU delivery varies
-             |up to 10x across minutes — min filters that noise).
-             |
-             |Single-box confound: raising active cores 4 -> 16 drops turbo clocks,
-             |which a 4x-machines cluster does not experience. The `cpu s (N/4N)`
-             |column shows total task CPU-time per run at each level: a ratio ~1.0
-             |means zero algorithmic contention (no serial section, no shuffle
-             |bottleneck) — the wall gap beyond that ratio is clock frequency, not
-             |the plan.
+          (s"""# BENCH — measured throughput + N vs 4N scaling evidence
              |
              || run (UTC) | points | N | N wall | N pts/s | 4N | 4N wall | 4N pts/s | wall efficiency | cpu s (N/4N) |
-             ||---|---|---|---|---|---|---|---|---|---|""".stripMargin).getBytes(StandardCharsets.UTF_8))
+             ||---|---|---|---|---|---|---|---|---|---|
+             |$sentinel
+             |""".stripMargin).getBytes(StandardCharsets.UTF_8))
       }
-      Files.write(benchMd, md.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+      val content = Files.readString(benchMd)
+      val updated =
+        if (content.contains(sentinel))
+          content.replace(sentinel, row + "\n" + sentinel)
+        else content + "\n" + row + "\n" // legacy file without marker
+      Files.write(benchMd, updated.getBytes(StandardCharsets.UTF_8))
     }
   }
 

@@ -33,7 +33,8 @@ object SparkEntry {
       RelationalQueries.q ++
       CodecQueries.q ++
       PipelineQueries.q ++
-      EvalQueries.q
+      EvalQueries.q ++
+      MetricQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
@@ -43,5 +44,6 @@ object SparkEntry {
       RelationalQueries.oracle ++
       CodecQueries.oracle ++
       PipelineQueries.oracle ++
-      EvalQueries.oracle
+      EvalQueries.oracle ++
+      MetricQueries.oracle
 }

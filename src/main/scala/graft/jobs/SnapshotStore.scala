@@ -82,20 +82,33 @@ final class SnapshotStore(base: String) {
     snapshots(table).findLast(s => s.stage == stage && s.fingerprint == fingerprint)
 
   /** Write `df` as the next version of `table` and commit its manifest
-   * atomically. Returns the committed snapshot. */
+   * atomically. Returns the committed snapshot.
+   *
+   * Two scale/safety properties:
+   *  - the row count comes from `df.observe` piggy-backed on the write
+   *    action itself (NOT a second full read of the output — at 100x scale
+   *    a re-read would double checkpoint I/O);
+   *  - the data directory name embeds the commit uid, so two racing
+   *    writers targeting the same next-version number write to DISJOINT
+   *    directories; the loser's ATOMIC_MOVE of the manifest fails and its
+   *    data dir is left orphaned — never visible, never overwritten. */
   def commit(
       df: DataFrame,
       table: String,
       stage: String,
       fingerprint: String): SnapshotInfo = {
     val next = latest(table).map(_.version + 1).getOrElse(1)
-    val dataPath = tableDir(table).resolve("data").resolve(s"v$next")
-    df.write.mode("overwrite").parquet(dataPath.toString)
-    val rows = df.sparkSession.read.parquet(dataPath.toString).count()
+    val uid = System.nanoTime()
+    val dataPath = tableDir(table).resolve("data").resolve(s"v$next-$uid")
+    val obs = org.apache.spark.sql.Observation(s"commit-$table-v$next-$uid")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dataPath.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val info =
-      SnapshotInfo(table, next, System.nanoTime(), stage, fingerprint, rows, dataPath.toString)
+      SnapshotInfo(table, next, uid, stage, fingerprint, rows, dataPath.toString)
     Files.createDirectories(snapDir(table))
-    val tmp = snapDir(table).resolve(s".v$next.json.tmp")
+    val tmp = snapDir(table).resolve(s".v$next-$uid.json.tmp")
     Files.write(tmp, render(info).getBytes(StandardCharsets.UTF_8))
     Files.move(
       tmp,

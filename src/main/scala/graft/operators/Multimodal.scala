@@ -96,9 +96,14 @@ object Multimodal {
     media.select(
       col("doc_id"),
       col("modality"),
+      // the CASE guards empty payloads: sequence(0, -1) yields the
+      // DESCENDING array [0,-1], not [], so an empty blob would otherwise
+      // produce one bogus zero-length frame
       expr(
-        s"""filter(
-           |  transform(sequence(0, CAST(ceil(octet_length(media) / $frameBytes.0) AS INT) - 1),
-           |            i -> struct(i AS frame_idx, substring(media, i * $frameBytes + 1, $frameBytes) AS frame)),
-           |  f -> f.frame_idx % $everyN = 0)""".stripMargin).as("frames"))
+        s"""CASE WHEN octet_length(media) < 1
+           |  THEN CAST(array() AS array<struct<frame_idx:int,frame:binary>>)
+           |  ELSE filter(
+           |    transform(sequence(0, CAST(ceil(octet_length(media) / $frameBytes.0) AS INT) - 1),
+           |              i -> struct(i AS frame_idx, substring(media, i * $frameBytes + 1, $frameBytes) AS frame)),
+           |    f -> f.frame_idx % $everyN = 0) END""".stripMargin).as("frames"))
 }

@@ -22,16 +22,22 @@ object Sessionize {
   /** Adds `session_id` (0-based per key) to `df`.
    * @param tsMicrosCol event time in epoch microseconds (long)
    * @param gapMicros   inactivity gap that splits sessions
+   * @param tieBreak    extra ordering columns making the within-key order
+   *                    TOTAL — `lag`/running sums over a non-unique order
+   *                    are nondeterministic when two events of one key share
+   *                    a timestamp, so callers should pass a unique id
    */
   def assignSessions(
       df: DataFrame,
       keys: Seq[String],
       tsMicrosCol: String,
-      gapMicros: Long): DataFrame = {
-    val byTime = Window.partitionBy(keys.map(col): _*).orderBy(col(tsMicrosCol))
+      gapMicros: Long,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val order = (tsMicrosCol +: tieBreak).map(col)
+    val byTime = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val run = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsMicrosCol))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(
         "_new_session",

@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
  */
 object EvalQueries {
 
-  private val Ctx = 64
-  private val Hor = 16
-  private val Stride = 32
+  private[queries] val Ctx = 64
+  private[queries] val Hor = 16
+  private[queries] val Stride = 32
 
-  private def rollingWindows(s: SparkSession, dir: String): DataFrame =
+  private[queries] def rollingWindows(s: SparkSession, dir: String): DataFrame =
     TokenTable
       .raw(s, dir)
       .filter(col("n_tok") >= Ctx + Hor)
@@ -70,7 +70,7 @@ object EvalQueries {
             (col("n_windows") * Hor).cast("double")))
   )
 
-  private val WinCte =
+  private[queries] val WinCte =
     s"""${TokenRollupQueries.PtsCte},
        |docs_n AS (SELECT doc_id, source, count(*) AS n FROM pts GROUP BY 1, 2),
        |wins AS (

@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The packed metric/loss family over the rolling-window evaluation grid —
+ * the engine's descendants of the reference's packed losses:
+ *
+ *  - MAPE / sMAPE        (loss/packed/percentage_error.py:25-52)
+ *  - pinball / quantile  (loss/packed/quantile.py:13-58, 9 levels)
+ *  - NMAE / NMSE / NRMSE (loss/packed/normalized.py:30-260, PointNormType
+ *                         ABS_TARGET and ABS_TARGET_SQ denominators)
+ *  - MASE via seasonal_error (eval_util/evaluation.py:73-88)
+ *  - MaskedPrediction ctx/horizon masks (transform/task.py:27-166)
+ *
+ * Forecast under evaluation: the context-mean naive forecast (as in
+ * q_eval_metrics), horizon = the next 16 tokens. `safe_div` follows the
+ * reference exactly (common/torch_util.py:66-74): a zero denominator is
+ * replaced by 1, NOT by zeroing the loss.
+ *
+ * Exactness discipline: every per-point/per-window term is one fixed
+ * double expression over exact integers (identical bit pattern in Spark
+ * and DuckDB), quantized to fixed point via floor(x*10^k + 0.5), and
+ * cross-row sums run over DECIMAL(38,0) so they are exact and order-free
+ * at ANY group size (a BIGINT sum of quantized terms would overflow around
+ * 10^13 points per source at 100-TB scale).
+ *
+ * Scale shape: everything before the final groupBy(source) is row-local
+ * (array ops / posexplode over bounded 16-or-80-element windows), so the
+ * only shuffle carries one partial-aggregate row per (source x partition) —
+ * the same partial-agg-then-tiny-exchange shape as the rollup ladder.
+ */
+object MetricQueries {
+
+  private val Ctx = EvalQueries.Ctx // 64
+  private val Hor = EvalQueries.Hor // 16
+  private val Season = 7 // seasonality m for the MASE seasonal-naive error
+
+  /** Quantize a deterministic double term to fixed point (10^-4) and make
+   * it an exact, overflow-free summand. */
+  private def tq(term: String): String =
+    s"CAST(CAST(floor(($term) * 10000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"
+
+  /** Per-horizon-point view: (doc_id, source, w, naive, i, y). */
+  private def horPoints(s: SparkSession, dir: String): DataFrame =
+    EvalQueries
+      .rollingWindows(s, dir)
+      .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("w"),
+        col("naive"),
+        posexplode(col("hor")).as(Seq("i", "y")))
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MAPE: 100 * |e| / |y| with safe_div (percentage_error.py:25-38).
+    "q_eval_mape" -> ((s, dir) =>
+      horPoints(s, dir)
+        .withColumn(
+          "term",
+          expr(
+            "100.0 * abs(CAST(y AS DOUBLE) - naive) / " +
+              "CASE WHEN abs(y) = 0 THEN 1.0 ELSE CAST(abs(y) AS DOUBLE) END"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(expr(tq("term"))).as("mape_q_sum"))
+        .withColumn(
+          "mape",
+          expr("CAST(mape_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
+
+    // sMAPE: 200 * |e| / (|y| + |yhat|) with safe_div
+    // (percentage_error.py:41-52).
+    "q_eval_smape" -> ((s, dir) =>
+      horPoints(s, dir)
+        .withColumn(
+          "term",
+          expr(
+            "200.0 * abs(CAST(y AS DOUBLE) - naive) / " +
+              "CASE WHEN CAST(abs(y) AS DOUBLE) + abs(naive) = 0.0 THEN 1.0 " +
+              "ELSE CAST(abs(y) AS DOUBLE) + abs(naive) END"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(expr(tq("term"))).as("smape_q_sum"))
+        .withColumn(
+          "smape",
+          expr("CAST(smape_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
+
+    // Pinball (quantile) loss at the reference's 9 levels
+    // (quantile.py:13-58): per level q, pred = the ceil(64q)-th smallest
+    // context value (an exact order statistic), loss = q*(y-p) if y>p else
+    // (1-q)*(p-y). Reported per (source, decile) — finer than the
+    // reference's mean-over-levels, which is recoverable by averaging.
+    "q_eval_pinball" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .withColumn("sctx", array_sort(col("ctx")))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("w"),
+          col("sctx"),
+          posexplode(col("hor")).as(Seq("i", "y")))
+        .withColumn("q_decile", explode(array((1 to 9).map(lit): _*)))
+        .withColumn("p", expr(s"element_at(sctx, CAST(($Ctx * q_decile + 9) DIV 10 AS INT))"))
+        .withColumn(
+          "term",
+          expr(
+            "CASE WHEN y > p THEN (CAST(q_decile AS DOUBLE) / 10.0) * CAST(y - p AS DOUBLE) " +
+              "ELSE (1.0 - CAST(q_decile AS DOUBLE) / 10.0) * CAST(p - y AS DOUBLE) END"))
+        .groupBy(col("source"), col("q_decile"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(expr(tq("term"))).as("pinball_q_sum"))
+        .withColumn(
+          "pinball",
+          expr("CAST(pinball_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
+
+    // Normalized point losses (normalized.py:30-260): per-window horizon
+    // errors with the PointNormType denominators —
+    //   NMAE  = mean|e| / D        (ABS_TARGET:    D = mean|y|)
+    //   NMSE  = mean(e^2) / D^2    (ABS_TARGET_SQ: D^2)
+    //   NRMSE = sqrt(mean(e^2))/D
+    // then averaged per source over windows.
+    "q_eval_normalized" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn(
+          "sum_eq",
+          expr(
+            "aggregate(hor, 0L, (a, x) -> " +
+              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn(
+          "sum_e2q",
+          expr(
+            "aggregate(hor, 0L, (a, x) -> " +
+              "a + CAST(floor((CAST(x AS DOUBLE) - naive) * (CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn("habs", expr("aggregate(hor, 0L, (a, x) -> a + abs(x))"))
+        .withColumn(
+          "d",
+          expr(s"CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END"))
+        .withColumn("nmae_w", expr(s"(CAST(sum_eq AS DOUBLE) / 10000.0 / $Hor.0) / d"))
+        .withColumn("nmse_w", expr(s"(CAST(sum_e2q AS DOUBLE) / 10000.0 / $Hor.0) / (d * d)"))
+        .withColumn("nrmse_w", expr(s"sqrt(CAST(sum_e2q AS DOUBLE) / 10000.0 / $Hor.0) / d"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(expr("CAST(CAST(floor(nmae_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("nmae_q_sum"),
+          sum(expr("CAST(CAST(floor(nmse_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("nmse_q_sum"),
+          sum(expr("CAST(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("nrmse_q_sum"))
+        .withColumn("nmae", expr("CAST(nmae_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
+        .withColumn("nmse", expr("CAST(nmse_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
+        .withColumn("nrmse", expr("CAST(nrmse_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
+
+    // MASE: mean|e| over the horizon divided by the per-window
+    // seasonal-naive error of the context at seasonality m=7
+    // (eval_util/evaluation.py:73-88; gluonts seasonal_error semantics:
+    // mean |y_t - y_{t-m}| over the input window).
+    "q_eval_mase" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn(
+          "sum_eq",
+          expr(
+            "aggregate(hor, 0L, (a, x) -> " +
+              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn(
+          "se_num",
+          expr(
+            s"aggregate(sequence($Season, ${Ctx - 1}), 0L, (a, t) -> " +
+              s"a + abs(CAST(element_at(ctx, t + 1) AS BIGINT) - element_at(ctx, t - ${Season - 1})))"))
+        .withColumn(
+          "mase_w",
+          expr(
+            s"(CAST(sum_eq AS DOUBLE) / 10000.0 / $Hor.0) / " +
+              s"CASE WHEN se_num = 0 THEN 1.0 ELSE CAST(se_num AS DOUBLE) / ${Ctx - Season}.0 END"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(expr("CAST(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("mase_q_sum"))
+        .withColumn(
+          "mase",
+          expr("CAST(mase_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
+
+    // MaskedPrediction / EvalMaskedPrediction (task.py:27-166): the full
+    // 80-token frame of each window with explicit prediction/observed mask
+    // columns — context positions carry prediction_mask=false, horizon
+    // positions true; observed_mask is all-true on this gapless corpus.
+    "q_masked_prediction" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("w"),
+          col("fs"),
+          posexplode(concat(col("ctx"), col("hor"))).as(Seq("j", "tok")))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("w"),
+          (col("fs") - Ctx + col("j")).cast("int").as("pos"),
+          col("tok"),
+          (col("j") >= Ctx).as("prediction_mask"),
+          lit(true).as("observed_mask")))
+  )
+
+  // ---- DuckDB oracles --------------------------------------------------
+
+  /** Horizon-point CTE shared by the per-point metric oracles: one row per
+   * (window, horizon position) with the window's naive forecast. */
+  private val HorPtsCte =
+    s"""${EvalQueries.WinCte},
+       |hp AS (
+       |  SELECT w.doc_id, w.source, w.w, p.tok AS y,
+       |         CAST(c.ctx_sum AS DOUBLE) / $Ctx.0 AS naive
+       |  FROM wins w
+       |  JOIN ctxagg c ON c.doc_id = w.doc_id AND c.w = w.w
+       |  JOIN pts p ON p.doc_id = w.doc_id
+       |             AND p.pos >= w.fs AND p.pos < w.fs + $Hor)""".stripMargin
+
+  private def tqSql(term: String): String =
+    s"CAST(floor(($term) * 10000 + 0.5) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_eval_mape" ->
+      s"""$HorPtsCte
+         |SELECT source, count(*) AS n_points,
+         |       CAST(sum(${tqSql(
+          "100.0 * abs(CAST(y AS DOUBLE) - naive) / " +
+            "CASE WHEN abs(y) = 0 THEN 1.0 ELSE CAST(abs(y) AS DOUBLE) END")}) AS DECIMAL(38,0))
+         |         AS mape_q_sum,
+         |       CAST(sum(${tqSql(
+          "100.0 * abs(CAST(y AS DOUBLE) - naive) / " +
+            "CASE WHEN abs(y) = 0 THEN 1.0 ELSE CAST(abs(y) AS DOUBLE) END")}) AS DOUBLE)
+         |         / 10000.0 / CAST(count(*) AS DOUBLE) AS mape
+         |FROM hp GROUP BY 1""".stripMargin,
+    "q_eval_smape" ->
+      s"""$HorPtsCte
+         |SELECT source, count(*) AS n_points,
+         |       CAST(sum(${tqSql(
+          "200.0 * abs(CAST(y AS DOUBLE) - naive) / " +
+            "CASE WHEN CAST(abs(y) AS DOUBLE) + abs(naive) = 0.0 THEN 1.0 " +
+            "ELSE CAST(abs(y) AS DOUBLE) + abs(naive) END")}) AS DECIMAL(38,0))
+         |         AS smape_q_sum,
+         |       CAST(sum(${tqSql(
+          "200.0 * abs(CAST(y AS DOUBLE) - naive) / " +
+            "CASE WHEN CAST(abs(y) AS DOUBLE) + abs(naive) = 0.0 THEN 1.0 " +
+            "ELSE CAST(abs(y) AS DOUBLE) + abs(naive) END")}) AS DOUBLE)
+         |         / 10000.0 / CAST(count(*) AS DOUBLE) AS smape
+         |FROM hp GROUP BY 1""".stripMargin,
+    "q_eval_pinball" ->
+      s"""${EvalQueries.WinCte},
+         |cr AS (
+         |  SELECT w.doc_id, w.w, p.tok,
+         |         row_number() OVER (PARTITION BY w.doc_id, w.w ORDER BY p.tok) AS rn
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - $Ctx AND p.pos < w.fs),
+         |lv AS (SELECT unnest(range(1, 10)) AS q_decile),
+         |preds AS (
+         |  SELECT c.doc_id, c.w, CAST(l.q_decile AS INT) AS q_decile, c.tok AS p
+         |  FROM cr c JOIN lv l ON c.rn = ($Ctx * l.q_decile + 9) // 10),
+         |terms AS (
+         |  SELECT w.source, pr.q_decile,
+         |         CASE WHEN p.tok > pr.p
+         |              THEN (CAST(pr.q_decile AS DOUBLE) / 10.0) * CAST(p.tok - pr.p AS DOUBLE)
+         |              ELSE (1.0 - CAST(pr.q_decile AS DOUBLE) / 10.0) * CAST(pr.p - p.tok AS DOUBLE)
+         |         END AS term
+         |  FROM wins w
+         |  JOIN preds pr ON pr.doc_id = w.doc_id AND pr.w = w.w
+         |  JOIN pts p ON p.doc_id = w.doc_id
+         |             AND p.pos >= w.fs AND p.pos < w.fs + $Hor)
+         |SELECT source, q_decile, count(*) AS n_points,
+         |       CAST(sum(${tqSql("term")}) AS DECIMAL(38,0)) AS pinball_q_sum,
+         |       CAST(sum(${tqSql("term")}) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)
+         |         AS pinball
+         |FROM terms GROUP BY 1, 2""".stripMargin,
+    "q_eval_normalized" ->
+      s"""$HorPtsCte,
+         |perwin AS (
+         |  SELECT doc_id, source, w,
+         |         CAST(sum(${tqSql("abs(CAST(y AS DOUBLE) - naive)")}) AS BIGINT) AS sum_eq,
+         |         CAST(sum(${tqSql(
+          "(CAST(y AS DOUBLE) - naive) * (CAST(y AS DOUBLE) - naive)")}) AS BIGINT) AS sum_e2q,
+         |         CAST(sum(abs(y)) AS BIGINT) AS habs
+         |  FROM hp GROUP BY 1, 2, 3),
+         |wvals AS (
+         |  SELECT source,
+         |         (CAST(sum_eq AS DOUBLE) / 10000.0 / $Hor.0)
+         |           / (CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END) AS nmae_w,
+         |         (CAST(sum_e2q AS DOUBLE) / 10000.0 / $Hor.0)
+         |           / ((CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END)
+         |              * (CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END)) AS nmse_w,
+         |         sqrt(CAST(sum_e2q AS DOUBLE) / 10000.0 / $Hor.0)
+         |           / (CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END) AS nrmse_w
+         |  FROM perwin)
+         |SELECT source, count(*) AS n_windows,
+         |       CAST(sum(CAST(floor(nmae_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS nmae_q_sum,
+         |       CAST(sum(CAST(floor(nmse_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS nmse_q_sum,
+         |       CAST(sum(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS nrmse_q_sum,
+         |       CAST(sum(CAST(floor(nmae_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS nmae,
+         |       CAST(sum(CAST(floor(nmse_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS nmse,
+         |       CAST(sum(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS nrmse
+         |FROM wvals GROUP BY 1""".stripMargin,
+    "q_eval_mase" ->
+      s"""$HorPtsCte,
+         |sen AS (
+         |  SELECT w.doc_id, w.w, CAST(sum(abs(p1.tok - p2.tok)) AS BIGINT) AS se_num
+         |  FROM wins w
+         |  JOIN pts p1 ON p1.doc_id = w.doc_id
+         |              AND p1.pos >= w.fs - ${Ctx - Season} AND p1.pos < w.fs
+         |  JOIN pts p2 ON p2.doc_id = w.doc_id AND p2.pos = p1.pos - $Season
+         |  GROUP BY 1, 2),
+         |perwin AS (
+         |  SELECT hp.doc_id, hp.source, hp.w,
+         |         CAST(sum(${tqSql("abs(CAST(hp.y AS DOUBLE) - hp.naive)")}) AS BIGINT) AS sum_eq
+         |  FROM hp GROUP BY 1, 2, 3),
+         |wvals AS (
+         |  SELECT pw.source,
+         |         (CAST(pw.sum_eq AS DOUBLE) / 10000.0 / $Hor.0)
+         |           / (CASE WHEN s.se_num = 0 THEN 1.0
+         |                   ELSE CAST(s.se_num AS DOUBLE) / ${Ctx - Season}.0 END) AS mase_w
+         |  FROM perwin pw JOIN sen s ON s.doc_id = pw.doc_id AND s.w = pw.w)
+         |SELECT source, count(*) AS n_windows,
+         |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS mase_q_sum,
+         |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS mase
+         |FROM wvals GROUP BY 1""".stripMargin,
+    "q_masked_prediction" ->
+      s"""${EvalQueries.WinCte}
+         |SELECT CAST(w.doc_id AS VARCHAR) AS doc_id, w.source, w.w,
+         |       p.pos, p.tok,
+         |       p.pos >= w.fs AS prediction_mask,
+         |       TRUE AS observed_mask
+         |FROM wins w
+         |JOIN pts p ON p.doc_id = w.doc_id
+         |           AND p.pos >= w.fs - $Ctx AND p.pos < w.fs + $Hor""".stripMargin
+  )
+}

@@ -209,18 +209,23 @@ object PipelineQueries {
         |         AS fingerprint,
         |       count(*) AS n_words
         |FROM w GROUP BY 1""".stripMargin,
+    // byte-exact oracle: strlen() is BYTE length (len() is chars) and the
+    // bin-2 count is the full 0x20..0x2f class, so the oracle stays green
+    // for any punctuation and for multi-byte text (UTF-8 continuation bytes
+    // never fall in 0x20..0x2f).
     "q_multimodal_features" ->
       s"""SELECT doc_id, $ModalityCase AS modality,
-         |       CAST(len(text) AS INT) AS n_bytes,
-         |       CAST(len(text) AS BIGINT) AS hist_sum,
-         |       CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS spaces_bin
+         |       CAST(strlen(text) AS INT) AS n_bytes,
+         |       CAST(strlen(text) AS BIGINT) AS hist_sum,
+         |       CAST(strlen(text) - strlen(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT)
+         |         AS spaces_bin
          |FROM documents""".stripMargin,
     "q_multimodal_frames" ->
       s"""SELECT doc_id, $ModalityCase AS modality,
          |       CAST(t.i AS INT) AS frame_idx,
-         |       CAST(LEAST(256, len(text) - t.i * 256) AS INT) AS frame_bytes
+         |       CAST(LEAST(256, strlen(text) - t.i * 256) AS INT) AS frame_bytes
          |FROM documents,
-         |     LATERAL (SELECT unnest(range(0, CAST(ceil(len(text) / 256.0) AS INT))) AS i) t
+         |     LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS INT))) AS i) t
          |WHERE t.i % 2 = 0""".stripMargin
   )
 }

@@ -96,7 +96,7 @@ object TimeSeriesQueries {
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("value"))
       Sessionize
-        .assignSessions(ev, Seq("user_id"), "ts_us", 1800000000L)
+        .assignSessions(ev, Seq("user_id"), "ts_us", 1800000000L, tieBreak = Seq("event_id"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -109,11 +109,13 @@ object TimeSeriesQueries {
     // (ancestor: the reference's cumulative time-id / causal-mean windows,
     // transform/imputation.py:89-107).
     "q_window_running" -> ((s, dir) => {
+      // event_id tie-break: lag/row_number over ts alone would be
+      // nondeterministic if two events of one user share a timestamp
       val w = Window
         .partitionBy(col("user_id"))
-        .orderBy(col("ts_us"))
+        .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       events(s, dir)
         .select(
           col("user_id"),
@@ -204,11 +206,11 @@ object TimeSeriesQueries {
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |                PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |                PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM e)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -218,10 +220,10 @@ object TimeSeriesQueries {
     "q_window_running" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
-        |       lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_value,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS INT) AS rn
+        |       lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS INT) AS rn
         |FROM events""".stripMargin,
     "q_topk_events" ->
       """SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk

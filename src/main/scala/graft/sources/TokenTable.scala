@@ -58,6 +58,10 @@ object TokenTable {
         col("source"),
         col("n_chars").cast("int").as("n_tok"))
     docs
+      // n_tok >= 1 guard: sequence(0, -1) yields a DESCENDING [0,-1] array,
+      // not an empty one — an empty doc would otherwise emit bogus pos=-1
+      // rows that no SQL oracle produces.
+      .filter(col("n_tok") >= 1)
       .select(col("d"), col("source"), explode(sequence(lit(0), col("n_tok") - 1)).as("pos"))
       .select(
         col("d").as("doc_id"),
@@ -74,12 +78,17 @@ object TokenTable {
         col("doc_id").cast("bigint").as("d"),
         col("source"),
         col("n_chars").cast("int").as("n_tok"))
-    docs.select(
-      col("d").cast("string").as("doc_id"),
-      expr(s"transform(sequence(0, n_tok - 1), p -> CAST(((d + 1) * ${MulA}L + p * ${MulB}L) % ${Vocab}L AS INT))")
-        .as("tokens"),
-      col("n_tok"),
-      col("source"))
+    docs
+      // empty-doc guard (sequence(0,-1) is [0,-1], not []); the engine's
+      // token table carries non-empty sequences only, matching every
+      // point-derived oracle, which cannot produce rows for empty docs.
+      .filter(col("n_tok") >= 1)
+      .select(
+        col("d").cast("string").as("doc_id"),
+        expr(s"transform(sequence(0, n_tok - 1), p -> CAST(((d + 1) * ${MulA}L + p * ${MulB}L) % ${Vocab}L AS INT))")
+          .as("tokens"),
+        col("n_tok"),
+        col("source"))
   }
 
   /** Arbitrary-scale generator for throughput benchmarks: `nDocs` docs,
@@ -97,8 +106,12 @@ object TokenTable {
     base.select(
       col("id").as("d"),
       concat(lit("src"), (col("id") % nSources).cast("string")).as("source"),
-      // length varies deterministically in [tokensPerDoc/2, 3*tokensPerDoc/2)
-      (lit(tokensPerDoc / 2) + (col("id") * 2654435761L % tokensPerDoc).cast("int")).as("n_tok"))
+      // length varies deterministically in [tokensPerDoc/2, 3*tokensPerDoc/2).
+      // id is reduced modulo tokensPerDoc BEFORE the multiply so the product
+      // cannot overflow Long for any id (mathematically identical result:
+      // ((id mod m) * c) mod m == (id * c) mod m).
+      (lit(tokensPerDoc / 2) +
+        (col("id") % tokensPerDoc * 2654435761L % tokensPerDoc).cast("int")).as("n_tok"))
   }
 
   /** Allocation-free giant point view for throughput benchmarks: one range
@@ -132,6 +145,7 @@ object TokenTable {
   /** Point view of [[synthesizeScaled]] output. */
   def scaledPoints(docs: DataFrame): DataFrame =
     docs
+      .filter(col("n_tok") >= 1) // empty-doc guard, see points()
       .select(col("d"), col("source"), explode(sequence(lit(0), col("n_tok") - 1)).as("pos"))
       .select(
         col("d").as("doc_id"),
