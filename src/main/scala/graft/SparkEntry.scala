@@ -34,7 +34,8 @@ object SparkEntry {
       CodecQueries.q ++
       PipelineQueries.q ++
       EvalQueries.q ++
-      MetricQueries.q
+      MetricQueries.q ++
+      StatQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
@@ -45,5 +46,6 @@ object SparkEntry {
       CodecQueries.oracle ++
       PipelineQueries.oracle ++
       EvalQueries.oracle ++
-      MetricQueries.oracle
+      MetricQueries.oracle ++
+      StatQueries.oracle
 }

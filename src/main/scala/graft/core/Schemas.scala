@@ -35,7 +35,9 @@ final case class TierRow(
     max_tok: Int,
     sum_tok: Long,
     cnt_tok: Long,
-    avg_tok: Double)
+    avg_tok: Double,
+    sumsq_tok: Long, // exact to ~3.6e9 points/group; TierStats UDAF beyond
+    var_tok: Option[Double]) // sample variance (correction=1), null if cnt=1
 
 /** Retention tiers: window width on the token-position (seconds) axis. */
 object Tier {

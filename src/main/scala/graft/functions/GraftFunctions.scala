@@ -16,6 +16,11 @@ object GraftFunctions {
     "dod_encode" -> (args => DodEncode(args.head)),
     "dod_decode" -> (args => DodDecode(args.head)),
     "simhash64" -> (args => SimHash64(args.head)),
+    // fused single-buffer tier aggregate (TypedImperativeAggregate); the
+    // analyzer wraps the bare AggregateFunction into an AggregateExpression
+    "tier_stats" -> (args => TierStats(args.head)),
+    "dot_q" -> (args => DotQ(args.head, args(1))),
+    "lsh_sig" -> (args => LshSig(args.head, foldInt(args(1)))),
     // precond_forward(arr, degree, 'chebyshev'), precond_reverse(...)
     "precond_forward" -> (args =>
       PrecondForward(args.head, foldInt(args(1)), foldStr(args(2)))),

@@ -47,14 +47,16 @@ object RollupJob {
         min(col("tok")).as("p_min"),
         max(col("tok")).as("p_max"),
         sum(col("tok").cast("long")).as("p_sum"),
-        count(lit(1)).as("p_cnt"))
+        count(lit(1)).as("p_cnt"),
+        sum((col("tok").cast("long")) * col("tok")).as("p_sumsq"))
     partial
       .groupBy(col("source"), col("bucket"), col("window_start"))
       .agg(
         min(col("p_min")).as("min_tok"),
         max(col("p_max")).as("max_tok"),
         sum(col("p_sum")).as("sum_tok"),
-        sum(col("p_cnt")).as("cnt_tok"))
+        sum(col("p_cnt")).as("cnt_tok"),
+        sum(col("p_sumsq")).as("sumsq_tok"))
       .select(
         col("source"),
         col("bucket"),
@@ -64,7 +66,9 @@ object RollupJob {
         col("max_tok"),
         col("sum_tok"),
         col("cnt_tok"),
-        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"))
+        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"),
+        col("sumsq_tok"),
+        expr(Rollup.varExpr).as("var_tok"))
   }
 
   /** Run the full ladder; returns per-stage results. */

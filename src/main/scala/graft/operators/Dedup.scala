@@ -177,4 +177,61 @@ object Dedup {
    * expression applied to the word array. */
   def simHashSignature(words: Array[String]): Long =
     SimHash.simhash64(words.iterator)
+
+  /** Scale-safe SimHash near-dup pairing: banded Hamming multi-index
+   * (Manku, Jarvelin & Sarma, WWW 2007 — the web-crawl simhash dedup
+   * paper). The 64-bit signature is split into `maxHamming + 1` bands;
+   * by pigeonhole, any pair within Hamming distance `maxHamming` agrees
+   * EXACTLY on at least one band, so an equi-join per band on
+   * (block, band, band-bits) generates a guaranteed candidate superset —
+   * linear in docs x bands, never an all-pairs product — and only
+   * candidates pay the `bit_count` verification. Identical pair set to the
+   * all-pairs formulation (PipelineSpec asserts this).
+   *
+   * Trade-off: candidate density per band scales with docs^2 / 2^(64/bands)
+   * within a block; for very large corpora prefer a smaller `maxHamming`
+   * (the WWW'07 setting is k=3 -> 4 bands of 16 bits).
+   *
+   * @param sigs (idCol, blockCol, sigCol) — one 64-bit signature per doc */
+  def simHashBandedPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      blockCol: String,
+      maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val bandStructs = (0 until bands).map { i =>
+      val lo = 64 * i / bands
+      val hi = 64 * (i + 1) / bands
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1L
+      struct(
+        lit(i).as("band"),
+        shiftrightunsigned(col(sigCol), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = sigs
+      .select(
+        col(idCol).as("_id"),
+        col(blockCol).as("_blk"),
+        col(sigCol).as("_sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("_id"), col("_blk"), col("_sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val other = banded.select(
+      col("_id").as("_idb"),
+      col("_blk").as("_blkb"),
+      col("_sig").as("_sigb"),
+      col("band").as("bandb"),
+      col("bits").as("bitsb"))
+    banded
+      .join(
+        other,
+        col("_blk") === col("_blkb") && col("band") === col("bandb") &&
+          col("bits") === col("bitsb") && col("_id") < col("_idb"))
+      .select(col("_id").as("doc_a"), col("_idb").as("doc_b"), col("_sig").as("sa"), col("_sigb").as("sb"))
+      .distinct() // a pair may collide on several bands
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

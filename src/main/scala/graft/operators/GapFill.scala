@@ -56,6 +56,46 @@ object GapFill {
     }
   }
 
+  /** Causal-mean gap-fill — the third imputation strategy of the reference
+   * (CausalMeanImputation, transform/imputation.py:65-108): a missing
+   * window takes the mean of everything observed up to that point.
+   *
+   * Exact-integer formulation: the running mean is computed from the
+   * cumulative OBSERVED (sum, count) longs — `sum().over()/count().over()`
+   * — so the imputed value is one deterministic double division of two
+   * exact integers (no cross-row double accumulation), keeping the result
+   * bit-exact vs any SQL oracle at any parallelism. (The reference's numpy
+   * variant re-weights LOCF-filled values into the mean; we deliberately
+   * use the observed-only mean to preserve the exactness discipline.)
+   *
+   * Output adds `avg_filled` (observed windows keep their own mean) and
+   * zero-fills `cntCol`. */
+  def gapFillCausalMean(
+      obs: DataFrame,
+      keys: Seq[String],
+      windowCol: String,
+      width: Long,
+      sumCol: String,
+      cntCol: String): DataFrame = {
+    val spine = denseSpine(obs, keys, windowCol, width)
+    val joined = spine.join(obs, keys :+ windowCol, "left")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(windowCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("_cum_sum", sum(col(sumCol)).over(w)) // nulls skipped: observed only
+      .withColumn("_cum_cnt", sum(col(cntCol)).over(w))
+      .withColumn(
+        "avg_filled",
+        when(
+          col(cntCol).isNotNull,
+          col(sumCol).cast("double") / col(cntCol).cast("double"))
+          .otherwise(col("_cum_sum").cast("double") / col("_cum_cnt").cast("double")))
+      .withColumn(cntCol, coalesce(col(cntCol), lit(0L)))
+      .drop("_cum_sum", "_cum_cnt")
+  }
+
   /** Full gap-fill: spine ⟕ observations, then LOCF on `fillCols` and
    * constant defaults on `zeroCols` (the reference's DummyValueImputation
    * default for leading gaps, transform/imputation.py:32-40). */

@@ -29,7 +29,23 @@ import org.apache.spark.sql.functions._
  */
 object Rollup {
 
-  /** Tier windows on the position axis: `window_start = (pos div W) * W`. */
+  /** Sample variance derived at read time from the exact integer state
+   * (sum, count, sum-of-squares) — the dispersion statistic of the
+   * reference's PackedStdScaler (packed_scaler.py:78-122, correction=1).
+   * One fixed double expression over exact longs, so Spark and the SQL
+   * oracle agree bitwise; null when the group has a single point. */
+  private[graft] val varExpr =
+    "CASE WHEN cnt_tok > 1 THEN " +
+      "(CAST(sumsq_tok AS DOUBLE) - CAST(sum_tok AS DOUBLE) * CAST(sum_tok AS DOUBLE) " +
+      "/ CAST(cnt_tok AS DOUBLE)) / CAST(cnt_tok - 1 AS DOUBLE) " +
+      "ELSE NULL END"
+
+  /** Tier windows on the position axis: `window_start = (pos div W) * W`.
+   *
+   * sumsq_tok is an exact Long: tok^2 < 2.53e9, so the column is exact up
+   * to ~3.6e9 points per (source, bucket, window) group. Beyond that (the
+   * extreme 10^12-doc tail) use [[graft.functions.expressions.TierStats]],
+   * the fused single-buffer aggregate whose sum-of-squares is 128-bit. */
   def rollupFromPoints(points: DataFrame, tier: String): DataFrame = {
     val w = Tier.widths(tier)
     points
@@ -41,7 +57,8 @@ object Rollup {
         min(col("tok")).as("min_tok"),
         max(col("tok")).as("max_tok"),
         sum(col("tok").cast("long")).as("sum_tok"),
-        count(lit(1)).as("cnt_tok"))
+        count(lit(1)).as("cnt_tok"),
+        sum((col("tok").cast("long")) * col("tok")).as("sumsq_tok"))
       .select(
         col("source"),
         col("bucket"),
@@ -51,7 +68,9 @@ object Rollup {
         col("max_tok"),
         col("sum_tok"),
         col("cnt_tok"),
-        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"))
+        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"),
+        col("sumsq_tok"),
+        expr(varExpr).as("var_tok"))
   }
 
   /** Reaggregate a finer tier into a coarser one (sum/count/min/max compose;
@@ -69,7 +88,8 @@ object Rollup {
         min(col("min_tok")).as("min_tok"),
         max(col("max_tok")).as("max_tok"),
         sum(col("sum_tok")).as("sum_tok"),
-        sum(col("cnt_tok")).as("cnt_tok"))
+        sum(col("cnt_tok")).as("cnt_tok"),
+        sum(col("sumsq_tok")).as("sumsq_tok"))
       .select(
         col("source"),
         col("bucket"),
@@ -79,7 +99,9 @@ object Rollup {
         col("max_tok"),
         col("sum_tok"),
         col("cnt_tok"),
-        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"))
+        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"),
+        col("sumsq_tok"),
+        expr(varExpr).as("var_tok"))
   }
 
   /** Full ladder from the point view: returns tier name -> tier DataFrame.

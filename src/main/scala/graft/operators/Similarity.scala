@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,35 +15,41 @@ import org.apache.spark.sql.functions._
  * norms are exact integer sums — order-free — and the final cosine is one
  * deterministic double expression. Quantization is also the realistic
  * at-scale choice (int8/int16 quantized ANN).
+ *
+ * Kernel discipline (round-2 fix): dot products, norms and LSH signatures
+ * run inside single Catalyst expressions with tight JVM loops
+ * ([[graft.functions.expressions.DotQ]]/[[graft.functions.expressions.LshSig]])
+ * — NOT SQL higher-order functions, whose lambdas evaluate interpreted per
+ * element (~100 µs/element measured; BENCH.md round-1 lesson). Every
+ * candidate pair costs one O(dim) primitive loop.
  */
 object Similarity {
 
-  /** Adds `qvec: array<bigint>` (fixed-point) and `norm2: bigint`. */
-  def quantized(emb: DataFrame, vecCol: String): DataFrame =
-    emb
-      .withColumn(
-        "qvec",
-        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
-      .withColumn("norm2", expr("aggregate(qvec, 0L, (a, v) -> a + v * v)"))
-
+  /** cosine from precomputed (va, vb, na, nb) columns via the dot_q kernel. */
   private val cosExpr =
-    expr(
-      "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v) AS DOUBLE)" +
-        " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))")
+    expr("CAST(dot_q(va, vb) AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))")
+
+  /** Adds `norm2: bigint` — the exact quantized squared norm. */
+  def withNorm(emb: DataFrame, vecCol: String): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("norm2", call_function("dot_q", col(vecCol), col(vecCol)))
+  }
 
   /** All pairs (a < b) within the same blocking column with cosine >=
-   * threshold. Row-local exact-integer dot product via zip_with/aggregate. */
+   * threshold. The block join bounds the quadratic term by the largest
+   * block; the per-pair kernel is one JVM loop. */
   def cosinePairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val q = quantized(emb, vecCol)
-      .select(col(idCol).as("_ida"), col(blockCol).as("_blk"), col("qvec").as("qa"), col("norm2").as("na"))
-    val r = quantized(emb, vecCol)
-      .select(col(idCol).as("_idb"), col(blockCol).as("_blkb"), col("qvec").as("qb"), col("norm2").as("nb"))
-    q.join(r, col("_blk") === col("_blkb") && col("_ida") < col("_idb"))
+    val base = withNorm(emb, vecCol)
+    val a = base
+      .select(col(idCol).as("_ida"), col(blockCol).as("_blk"), col(vecCol).as("va"), col("norm2").as("na"))
+    val b = base
+      .select(col(idCol).as("_idb"), col(blockCol).as("_blkb"), col(vecCol).as("vb"), col("norm2").as("nb"))
+    a.join(b, col("_blk") === col("_blkb") && col("_ida") < col("_idb"))
       .select(
         col("_ida").as("id_a"),
         col("_idb").as("id_b"),
@@ -51,7 +58,7 @@ object Similarity {
   }
 
   /** Brute-force top-k cosine neighbors for each query vector against the
-   * full corpus (self excluded). The corpus side is broadcast when small;
+   * full corpus (self excluded). The query side is broadcast (small);
    * at scale this is the exact-rerank stage after LSH/IVF pruning. */
   def cosineTopK(
       emb: DataFrame,
@@ -59,12 +66,12 @@ object Similarity {
       vecCol: String,
       queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
-    val base = quantized(emb, vecCol)
+    val base = withNorm(emb, vecCol)
     val queries = base
       .filter(queryPred)
-      .select(col(idCol).as("query_id"), col("qvec").as("qa"), col("norm2").as("na"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("va"), col("norm2").as("na"))
     val corpus = base
-      .select(col(idCol).as("neighbor_id"), col("qvec").as("qb"), col("norm2").as("nb"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"), col("norm2").as("nb"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -75,29 +82,20 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id (`nPlanes`-bit signature). Plane
-   * components are deterministic pseudo-random ±1/±2/±3 values derived from
-   * (plane, dim) by integer hashing — identical at any parallelism. The
-   * bucket is the sign pattern of the quantized dot products. */
+  /** Random-hyperplane LSH bucket id (`nPlanes`-bit signature) via the
+   * [[graft.functions.expressions.LshSig]] kernel. Plane components are
+   * deterministic pseudo-random small signed weights derived from
+   * xxhash64(plane, dim) — identical at any parallelism. */
   def lshBucketed(emb: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
-    // plane(p, d) = ((hash64(p * D + d) mod 7) - 3), a small signed weight
-    val q = quantized(emb, vecCol)
-    q.withColumn(
-      "lsh_bucket",
-      expr(
-        s"""aggregate(
-           |  sequence(0, ${nPlanes - 1}),
-           |  0L,
-           |  (acc, p) -> acc * 2 + CASE WHEN
-           |    aggregate(
-           |      zip_with(qvec, sequence(0, size(qvec) - 1),
-           |        (v, d) -> v * (pmod(xxhash64(p * 1024 + d), 7) - 3)),
-           |      0L, (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+    GraftFunctions.register(emb.sparkSession)
+    emb
+      .withColumn("norm2", call_function("dot_q", col(vecCol), col(vecCol)))
+      .withColumn("lsh_bucket", call_function("lsh_sig", col(vecCol), lit(nPlanes)))
   }
 
   /** ANN via LSH: exact cosine ranking restricted to same-bucket candidates.
    * Returns (query_id, neighbor_id, cos, rank<=k). Recall vs the exact
-   * baseline is asserted in SimilaritySpec. */
+   * baseline is asserted in PipelineSpec. */
   def annTopK(
       emb: DataFrame,
       idCol: String,
@@ -108,9 +106,9 @@ object Similarity {
     val b = lshBucketed(emb, idCol, vecCol, nPlanes)
     val queries = b
       .filter(queryPred)
-      .select(col(idCol).as("query_id"), col("qvec").as("qa"), col("norm2").as("na"), col("lsh_bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("va"), col("norm2").as("na"), col("lsh_bucket"))
     val corpus = b
-      .select(col(idCol).as("neighbor_id"), col("qvec").as("qb"), col("norm2").as("nb"), col("lsh_bucket").as("_cb"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"), col("norm2").as("nb"), col("lsh_bucket").as("_cb"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

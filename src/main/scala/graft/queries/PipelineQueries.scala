@@ -28,8 +28,11 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", 3, 64, 16, 0.5)),
 
-    // SimHash near-dup pairs (hamming <= 10) blocked by source. Rows-only;
-    // DedupSpec asserts planted near-dups are found.
+    // SimHash near-dup pairs (hamming <= 10) blocked by source, generated
+    // via the banded Hamming multi-index (11 bands; pigeonhole guarantees
+    // the same pair set as all-pairs with NO within-source cartesian in
+    // the plan). Rows-only; PipelineSpec asserts banded == all-pairs and
+    // that planted near-dups are found.
     "q_dedup_simhash" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sigs = docs(s, dir)
@@ -37,14 +40,7 @@ object PipelineQueries {
           col("doc_id"),
           col("source"),
           call_function("simhash64", split(col("text"), " ")).as("sig"))
-      val a = sigs.select(col("doc_id").as("doc_a"), col("source"), col("sig").as("sig_a"))
-      val b = sigs.select(col("doc_id").as("doc_b"), col("source").as("_srcb"), col("sig").as("sig_b"))
-      a.join(b, col("source") === col("_srcb") && col("doc_a") < col("doc_b"))
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .filter(col("hamming") <= 10)
+      Dedup.simHashBandedPairs(sigs, "doc_id", "sig", "source", 10)
     }),
 
     // Embedding near-dup pairs: fixed-point cosine >= 0.4 blocked by label.

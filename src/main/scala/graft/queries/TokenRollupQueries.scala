@@ -21,13 +21,22 @@ object TokenRollupQueries {
       |)""".stripMargin
 
   private def tierOracle(tier: String, w: Int): String =
-    s"""$PtsCte
-       |SELECT source, CAST(pos // 64 AS INT) AS bucket, '$tier' AS tier,
-       |       CAST((pos // $w) * $w AS INT) AS window_start,
-       |       min(tok) AS min_tok, max(tok) AS max_tok,
-       |       CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
-       |       CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok
-       |FROM pts GROUP BY 1, 2, 3, 4""".stripMargin
+    s"""$PtsCte,
+       |agg AS (
+       |  SELECT source, CAST(pos // 64 AS INT) AS bucket, '$tier' AS tier,
+       |         CAST((pos // $w) * $w AS INT) AS window_start,
+       |         min(tok) AS min_tok, max(tok) AS max_tok,
+       |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+       |         CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
+       |  FROM pts GROUP BY 1, 2, 3, 4)
+       |SELECT source, bucket, tier, window_start, min_tok, max_tok, sum_tok, cnt_tok,
+       |       CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE) AS avg_tok,
+       |       sumsq_tok,
+       |       CASE WHEN cnt_tok > 1 THEN
+       |         (CAST(sumsq_tok AS DOUBLE) - CAST(sum_tok AS DOUBLE) * CAST(sum_tok AS DOUBLE)
+       |          / CAST(cnt_tok AS DOUBLE)) / CAST(cnt_tok - 1 AS DOUBLE)
+       |       ELSE NULL END AS var_tok
+       |FROM agg""".stripMargin
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Raw tier + per-row token-array-equality invariant (as an exact
@@ -57,6 +66,28 @@ object TokenRollupQueries {
       Rollup.ladder(TokenTable.points(s, dir))(Tier.OneHour)),
     "q_rollup_1d" -> ((s, dir) =>
       Rollup.ladder(TokenTable.points(s, dir))(Tier.OneDay)),
+
+    // Fused single-buffer tier aggregate (TierStats TypedImperativeAggregate,
+    // SURVEY.md §4 custom item 2): one buffer computes min/max/sum/count and
+    // a 128-bit-exact sum of squares per (source, bucket) — the unbounded-
+    // group-size path for the variance statistic.
+    "q_rollup_stats" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      TokenTable
+        .points(s, dir)
+        .groupBy(
+          col("source"),
+          expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"))
+        .agg(call_function("tier_stats", col("tok")).as("st"))
+        .select(
+          col("source"),
+          col("bucket"),
+          col("st.min_tok").as("min_tok"),
+          col("st.max_tok").as("max_tok"),
+          col("st.sum_tok").as("sum_tok"),
+          col("st.cnt_tok").as("cnt_tok"),
+          col("st.sumsq_tok").as("sumsq_tok"))
+    }),
 
     // Patchify (uni2ts transform/patch.py:123-159): per-doc reshape of the
     // token array into width-64 patches (last patch ragged), row-local
@@ -103,6 +134,13 @@ object TokenRollupQueries {
          |       CAST(max(CASE WHEN pos = n - 1 THEN tok END) AS INT) AS tok_last
          |FROM (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS n FROM pts p)
          |GROUP BY 1, 2""".stripMargin,
+    "q_rollup_stats" ->
+      s"""$PtsCte
+         |SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |       min(tok) AS min_tok, max(tok) AS max_tok,
+         |       CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+         |       CAST(sum(CAST(tok AS BIGINT) * tok) AS DECIMAL(38,0)) AS sumsq_tok
+         |FROM pts GROUP BY 1, 2""".stripMargin,
     "q_rollup_1m" -> tierOracle("1m", 60),
     "q_rollup_5m" -> tierOracle("5m", 300),
     "q_rollup_1h" -> tierOracle("1h", 3600),

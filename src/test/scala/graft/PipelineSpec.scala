@@ -59,6 +59,16 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(exact.subsetOf(sim), s"simhash missed planted pairs: ${exact -- sim}")
+    // the banded Hamming multi-index (the scale path, no within-block
+    // cartesian) must produce the IDENTICAL pair set — pigeonhole makes the
+    // band join a guaranteed candidate superset, verification exact
+    val banded = Dedup
+      .simHashBandedPairs(sigs, "doc_id", "sig", "source", 10)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(banded == sim, s"banded=${banded.size} allpairs=${sim.size}")
   }
 
   test("ANN recall@5 vs brute force >= 0.6 on clustered embeddings") {
