@@ -45,4 +45,18 @@ object GraftFunctions {
       }
     }
   }
+
+  /** Public extension-point registration (SparkSessionExtensions
+   * .injectFunction): every new session built with
+   * `spark.sql.extensions=graft.GraftExtensions` gets the functions
+   * without any imperative register() call — the supported deployment
+   * path; [[register]] remains as the programmatic fallback. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.expressions", name),
+          builder))
+    }
 }

@@ -83,13 +83,15 @@ object RollupJob {
     def stage(
         table: String,
         stageName: String,
-        fingerprint: String)(compute: => DataFrame): StageResult = {
+        fingerprint: String,
+        extraMetrics: () => Seq[(String, Double)] = () => Seq.empty)(
+        compute: => DataFrame): StageResult = {
       val t0 = System.nanoTime()
       val (snap, resumed) = store.getOrCompute(table, stageName, fingerprint)(compute)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val res = StageResult(snap, resumed, wallMs)
       results += (stageName -> res)
-      if (!resumed) emitObservability(spark, store, res)
+      if (!resumed) emitObservability(spark, store, res, extraMetrics())
       res
     }
 
@@ -98,10 +100,28 @@ object RollupJob {
       TokenTable.raw(spark, sfDir)
     }
 
-    // Stage 1: 1m tier from the raw snapshot's point view.
-    val t1m = stage("tier_1m", "rollup_1m", s"raw=${raw.snap.uid};salt=$salt") {
+    // Stage 1: 1m tier from the raw snapshot's point view, with the
+    // validity-invariant counter (skip-and-count, the reference's
+    // eval_precond_space.py:100-136 semantics) riding the stage's own
+    // write action via observe — no extra scan.
+    var validityObs: Option[org.apache.spark.sql.Observation] = None
+    val t1m = stage(
+      "tier_1m",
+      "rollup_1m",
+      s"raw=${raw.snap.uid};salt=$salt",
+      extraMetrics = () =>
+        validityObs.toSeq.flatMap { o =>
+          Seq(
+            "skipped_rows" -> o.get("skipped").asInstanceOf[Long].toDouble,
+            "input_rows" -> o.get("total").asInstanceOf[Long].toDouble)
+        }) {
       val rawDf = store.read(spark, raw.snap)
-      val points = rawDf
+      val (valid, obs) = graft.operators.Validity.filterWithCounter(
+        rawDf,
+        size(col("tokens")) >= 1,
+        s"validity-1m-${raw.snap.uid}")
+      validityObs = Some(obs)
+      val points = valid
         .select(
           col("doc_id"),
           col("source"),
@@ -129,7 +149,8 @@ object RollupJob {
   private def emitObservability(
       spark: SparkSession,
       store: SnapshotStore,
-      res: StageResult): Unit = {
+      res: StageResult,
+      extra: Seq[(String, Double)] = Seq.empty): Unit = {
     val out = store.read(spark, res.snap)
     val lineage = out
       .groupBy(spark_partition_id().as("partition_id"))
@@ -148,7 +169,8 @@ object RollupJob {
         Seq(
           (res.snap.stage, res.snap.version.toLong, "rows_out", res.snap.rowCount.toDouble),
           (res.snap.stage, res.snap.version.toLong, "wall_ms", res.wallMs.toDouble),
-          (res.snap.stage, res.snap.version.toLong, "rows_per_sec", pointsPerSec)))
+          (res.snap.stage, res.snap.version.toLong, "rows_per_sec", pointsPerSec)) ++
+          extra.map { case (k, v) => (res.snap.stage, res.snap.version.toLong, k, v) })
       .toDF("stage", "snapshot_id", "metric", "value")
     store.commit(metrics, "metrics", s"metrics_${res.snap.stage}", s"v${res.snap.version}")
   }

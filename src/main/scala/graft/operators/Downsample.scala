@@ -96,4 +96,43 @@ object Downsample {
       }
       .toDF(keyCol, xCol, yCol)
   }
+
+  /** Two-level LTTB for series whose per-key length is NOT bounded by
+   * construction (e.g. raw events with a hot key): level 1 splits each
+   * series into rank-ordered chunks of at most `chunkSize` points and
+   * LTTB-reduces each chunk to at most `threshold` points (group buffer
+   * <= chunkSize by construction); level 2 runs plain LTTB over the
+   * level-1 output (<= threshold * ceil(n/chunkSize) points, a
+   * chunkSize/threshold-fold reduction per level — apply again for
+   * adversarially long keys). For n <= chunkSize the result is IDENTICAL
+   * to single-pass [[lttb]] (level 1 is one whole-series chunk and level 2
+   * is an identity pass; DownsampleSpec asserts it). */
+  def lttbChunked(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      chunkSize: Int,
+      threshold: Int): DataFrame = {
+    import spark.implicits._
+    require(chunkSize > threshold, "chunkSize must exceed threshold for a reduction")
+    val level1 = df
+      .select(
+        col(keyCol).cast("string").as("_k"),
+        col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .withColumn(
+        "_chunk",
+        expr(s"CAST((row_number() OVER (PARTITION BY _k ORDER BY _x) - 1) DIV $chunkSize AS INT)"))
+      .as[(String, Double, Double, Int)]
+      .groupByKey(t => (t._1, t._4))
+      .flatMapGroups { (key, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(arr, Ordering.by[(Double, Double), Double](_._1))
+        lttbCore(arr, threshold).iterator.map { case (x, y) => (key._1, x, y) }
+      }
+      .toDF(keyCol, xCol, yCol)
+    lttb(spark, level1, keyCol, xCol, yCol, threshold)
+  }
 }

@@ -32,15 +32,20 @@ object CodecQueries {
           expr("element_at(decoded, -1)").as("last_v"))
     }),
 
-    // Delta-of-delta: per-user sorted event timestamps (epoch micros),
-    // encode→decode in-plan, exact checksums.
+    // Delta-of-delta: per-user sorted DISTINCT HOURLY timestamps (epoch
+    // micros), encode→decode in-plan, exact checksums. The hourly grain
+    // bounds the collected group by retention-span/3600 — a raw-event
+    // collect_list would buffer an unbounded hot-user group (round-1
+    // scale-killer); at-scale payloads are per-tier-series by design
+    // (q_tier_payload is the production shape).
     "q_codec_dod_roundtrip" -> ((s, dir) => {
       GraftFunctions.register(s)
       s.read
         .parquet(s"$dir/events.parquet")
         .select(
           col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          unix_micros(date_trunc("hour", col("ts").cast("timestamp"))).as("ts_us"))
+        .distinct()
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(col("ts_us"))).as("ts_arr"))
         .withColumn(
@@ -139,10 +144,12 @@ object CodecQueries {
          |FROM (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS nn FROM pts p)
          |GROUP BY 1, 2""".stripMargin,
     "q_codec_dod_roundtrip" ->
-      """SELECT user_id, CAST(count(*) AS INT) AS n_ts,
-        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
-        |       CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS sum_mod
-        |FROM events GROUP BY 1""".stripMargin,
+      """WITH h AS (
+        |  SELECT DISTINCT user_id, epoch_us(date_trunc('hour', ts)) AS h_us FROM events)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_ts,
+        |       min(h_us) AS first_us, max(h_us) AS last_us,
+        |       CAST(sum(h_us % 1000000007) AS BIGINT) AS sum_mod
+        |FROM h GROUP BY 1""".stripMargin,
     "q_precond_roundtrip" ->
       s"""${TokenRollupQueries.PtsCte}
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,

@@ -129,16 +129,21 @@ object TimeSeriesQueries {
         .withColumn("rn", row_number().over(byTime))
     }),
 
-    // LTTB downsample of each user's (ts, value) series to 20 points.
-    // No SQL oracle (sequential selection is not SQL-expressible) —
-    // rows-only check here; golden + invariant coverage in DownsampleSpec.
+    // LTTB downsample to 20 points per user — fed from the HOURLY tier
+    // aggregate, whose per-key series length is bounded by
+    // retention-span/3600 by construction (running flatMapGroups LTTB on
+    // raw events would buffer an unbounded hot-user group; for genuinely
+    // unbounded inputs use Downsample.lttbChunked). No SQL oracle
+    // (sequential selection is not SQL-expressible) — rows-only check;
+    // golden + invariant + chunked==plain coverage in DownsampleSpec.
     "q_lttb_events" -> ((s, dir) =>
       graft.operators.Downsample.lttb(
         s,
-        events(s, dir).select(
-          col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("x"),
-          col("value").as("y")),
+        events(s, dir)
+          .groupBy(
+            col("user_id"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("x"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y")),
         keyCol = "user_id",
         xCol = "x",
         yCol = "y",

@@ -79,6 +79,17 @@ class JobSpec extends SparkSpec {
     assert(store.snapshots("metrics").size == 5)
     assert(lineage.columns.toSet ==
       Set("stage", "snapshot_id", "partition_id", "rows_out", "wall_ms"))
+    // the 1m stage's metrics carry the validity-invariant counters
+    // (skip-and-count via observe — no extra scan)
+    val m1m = store.snapshots("metrics").find(_.stage == "metrics_rollup_1m").get
+    val validity = store
+      .read(spark, m1m)
+      .filter("metric IN ('skipped_rows', 'input_rows')")
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(validity("skipped_rows") == 0.0) // corpus has no empty docs
+    assert(validity("input_rows") > 0.0)
   }
 
   test("salted two-phase rollup is bit-exact vs unsalted") {

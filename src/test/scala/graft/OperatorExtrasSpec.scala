@@ -1,0 +1,84 @@
+package graft
+
+import graft.core.{PatchSizing, Tier}
+import graft.operators.{Downsample, Validity}
+import org.apache.spark.sql.functions._
+
+/** Round-2 operator extras: public extension registration, patch-size
+ * constraint resolution, validity counters, chunked LTTB equivalence. */
+class OperatorExtrasSpec extends SparkSpec {
+
+  test("spark.sql.extensions=graft.GraftExtensions injects functions into new sessions") {
+    // A brand-new session derived from the shared context; NO
+    // GraftFunctions.register call — resolution must come from the
+    // SparkSessionExtensions.injectFunction path.
+    val fresh = spark.newSession()
+    val row = fresh
+      .sql(
+        "SELECT aggregate(gorilla_decode(gorilla_encode(array(1.5D, -2.25D, 3.0D))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x) AS s, " +
+          "dot_q(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0)
+    assert(row.getDouble(0) == 2.25)
+    assert(row.getLong(1) == 1000L * 3000L + 2000L * 4000L)
+  }
+
+  test("patch-size resolution: reference DEFAULT_RANGES semantics") {
+    // table mirrors transform/patch.py:59-70
+    assert(PatchSizing.legalRange("S") == (64, 128))
+    assert(PatchSizing.legalRange("T") == (32, 128))
+    assert(PatchSizing.legalRange("H") == (32, 64))
+    assert(PatchSizing.legalRange("Q") == (1, 8))
+    // constraints ∩ candidates ∩ length-cap (patch.py:90-117)
+    assert(PatchSizing.candidates("T", 577, 4) == Seq(32, 64, 128))
+    assert(PatchSizing.candidates("T", 577, 8) == Seq(32, 64)) // cap 72
+    assert(PatchSizing.candidates("H", 256, 2) == Seq(32, 64))
+    assert(PatchSizing.resolve("H", 256, 2) == 64)
+    // the engine's global bucket width is a legal hourly patch size
+    assert(PatchSizing.candidates("H", 512, 2).contains(Tier.BucketWidth))
+    // empty survivor set -> error with diagnostics (patch.py:106-115)
+    val e = intercept[IllegalArgumentException](PatchSizing.resolve("T", 44, 2))
+    assert(e.getMessage.contains("no valid patch size"))
+    // unknown freq alias rejected
+    intercept[IllegalArgumentException](PatchSizing.legalRange("X"))
+  }
+
+  test("validity filter counts skipped rows via observe (no extra pass)") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val expectedShort = docs.filter(col("n_chars") < 200).count()
+    val total = docs.count()
+    val (valid, obs) =
+      Validity.filterWithCounter(docs, col("n_chars") >= 200, "validity-test")
+    val kept = valid.count() // the action that materializes the counters
+    assert(obs.get("skipped").asInstanceOf[Long] == expectedShort)
+    assert(obs.get("total").asInstanceOf[Long] == total)
+    assert(kept == total - expectedShort)
+  }
+
+  test("chunked two-level LTTB == single-pass LTTB when series fit one chunk") {
+    val ev = spark.read
+      .parquet(s"${sf("sf0.001")}/events.parquet")
+      .groupBy(
+        col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("x"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+    val plain = Downsample
+      .lttb(spark, ev, "user_id", "x", "y", 20)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val chunked = Downsample
+      .lttbChunked(spark, ev, "user_id", "x", "y", chunkSize = 1 << 20, threshold = 20)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(plain.nonEmpty)
+    assert(chunked == plain)
+    // and a genuinely chunked run still returns <= threshold points per key
+    // with first/last preserved
+    val small = Downsample
+      .lttbChunked(spark, ev, "user_id", "x", "y", chunkSize = 40, threshold = 10)
+    val perKey = small.groupBy("user_id").count().collect()
+    assert(perKey.forall(_.getLong(1) <= 10))
+  }
+}
