@@ -38,13 +38,29 @@ object Bench {
   }
 
   /** Primary-metric job: 1m rollup over `nDocs` synthesized docs
-   * (`tokensPerDoc` tokens each). Returns (points, seconds). */
+   * (`tokensPerDoc` tokens each). Returns (points, seconds).
+   * SPARK_GRAFT_UDAF=1 swaps the five built-in aggregates for the fused
+   * tier_stats TypedImperativeAggregate (ObjectHashAggregate path) so the
+   * two physical strategies can be compared on identical input. */
   private def rollupRun(spark: SparkSession, nDocs: Long, tokensPerDoc: Int): (Long, Double) = {
     val points = TokenTable.rangePoints(spark, nDocs, tokensPerDoc, partitions = 256)
+    val useUdaf = sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") == "1"
     val t0 = System.nanoTime()
     // count() forces the complete aggregation; row count of the tier is
     // cardinality-bounded so the work is the scan+partial agg+shuffle
-    Rollup.rollupFromPoints(points, Tier.OneMinute).count()
+    if (useUdaf) {
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      points
+        .groupBy(
+          col("source"),
+          org.apache.spark.sql.functions.expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
+          org.apache.spark.sql.functions.expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
+        .agg(call_function("tier_stats", col("tok")).as("st"))
+        .count()
+    } else {
+      Rollup.rollupFromPoints(points, Tier.OneMinute).count()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     (nDocs * tokensPerDoc, sec)
   }
@@ -138,8 +154,10 @@ object Bench {
     // marker, NOT appended at EOF — prose sections below the table would
     // otherwise swallow later rows (the round-1 BENCH.md corruption).
     scaling.foreach { sc =>
+      val variant =
+        if (sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") == "1") " (tier_stats UDAF)" else ""
       val row =
-        f"| ${java.time.Instant.now()} | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f |"
+        f"| ${java.time.Instant.now()}$variant | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f |"
       val benchMd = Paths.get("BENCH.md")
       val sentinel = "<!-- bench-rows -->"
       if (!Files.exists(benchMd)) {

@@ -93,6 +93,39 @@ object Similarity {
       .withColumn("lsh_bucket", call_function("lsh_sig", col(vecCol), lit(nPlanes)))
   }
 
+  /** Multiprobe ANN: like [[annTopK]] but each query additionally probes
+   * every bucket at Hamming distance 1 from its own signature (nPlanes+1
+   * probes total — the standard multiprobe-LSH recall upgrade over
+   * single-probe, which has a recall ceiling from boundary vectors).
+   * Cost scales only with the QUERY side (queries x (nPlanes+1) probe
+   * rows); the corpus is bucketed once. Probe buckets are distinct, so a
+   * (query, neighbor) pair matches at most one probe — no dedup shuffle. */
+  def annTopKMultiprobe(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      nPlanes: Int,
+      k: Int): DataFrame = {
+    val b = lshBucketed(emb, idCol, vecCol, nPlanes)
+    val probes = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val queries = b
+      .filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("va"), col("norm2").as("na"), col("lsh_bucket"))
+      .withColumn("_probe", explode(probes))
+      .withColumn("probe_bucket", col("lsh_bucket").bitwiseXOR(col("_probe")))
+    val corpus = b
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"), col("norm2").as("nb"), col("lsh_bucket").as("_cb"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .join(corpus, col("probe_bucket") === col("_cb") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN via LSH: exact cosine ranking restricted to same-bucket candidates.
    * Returns (query_id, neighbor_id, cos, rank<=k). Recall vs the exact
    * baseline is asserted in PipelineSpec. */

@@ -51,10 +51,16 @@ object PipelineQueries {
     "q_knn_bruteforce" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 5)),
 
-    // LSH-bucketed ANN top-5 (8 hyperplanes). Rows-only; SimilaritySpec
+    // LSH-bucketed ANN top-5 (8 hyperplanes). Rows-only; PipelineSpec
     // asserts recall vs the exact baseline.
     "q_knn_ann" -> ((s, dir) =>
       Similarity.annTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 8, 5)),
+
+    // Multiprobe ANN (9 probes/query: own bucket + every Hamming-1
+    // neighbor) — the recall upgrade over single-probe. Rows-only;
+    // PipelineSpec asserts recall beats single-probe.
+    "q_knn_multiprobe" -> ((s, dir) =>
+      Similarity.annTopKMultiprobe(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 8, 5)),
 
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),

@@ -136,6 +136,28 @@ object StatQueries {
             .as("sum_q"))
     }),
 
+    // PackFields / FlatPackCollection / SequencifyField
+    // (transform/reshape.py:26-123): patches flattened back to the token
+    // axis, packed with the position field along the variate axis, and a
+    // scalar broadcast to a sequence — all row-local, checksummed exactly.
+    "q_pack_fields" -> ((s, dir) =>
+      TokenTable
+        .raw(s, dir)
+        .withColumn(
+          "patches",
+          expr("transform(sequence(0, (n_tok - 1) DIV 64), i -> slice(tokens, i * 64 + 1, 64))"))
+        .transform(d => graft.operators.Reshape.flatPack(d, "patches", "flat"))
+        .withColumn("positions", expr("transform(sequence(0, n_tok - 1), p -> p)"))
+        .transform(d => graft.operators.Reshape.packFields(d, Seq("flat", "positions"), "packed"))
+        .transform(d => graft.operators.Reshape.sequencify(d, "n_tok", 3, "rep"))
+        .select(
+          col("doc_id"),
+          size(col("packed")).as("packed_len"),
+          expr("aggregate(packed, 0L, (a, x) -> a + x)").as("packed_sum"),
+          expr("element_at(packed, 1)").as("first_v"),
+          expr("element_at(packed, -1)").as("last_v"),
+          expr("aggregate(rep, 0L, (a, x) -> a + x)").as("rep_sum"))),
+
     // CSV ingestion (LSF loaders, _lsf_dataset.py:9-196): documents
     // metadata exported to CSV, read back with a DECLARED schema in mode
     // "M", then the loader's train-stat normalization as exact ppm weights.
@@ -257,6 +279,15 @@ object StatQueries {
          |       CAST(count(*) AS INT) AS patch_len,
          |       CAST(sum(CAST(floor(y * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
          |FROM f GROUP BY 1, 2""".stripMargin,
+    "q_pack_fields" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |       CAST(2 * count(*) AS INT) AS packed_len,
+         |       CAST(sum(tok) + sum(pos) AS BIGINT) AS packed_sum,
+         |       CAST(min(CASE WHEN pos = 0 THEN tok END) AS INT) AS first_v,
+         |       CAST(count(*) - 1 AS INT) AS last_v,
+         |       CAST(3 * count(*) AS BIGINT) AS rep_sum
+         |FROM pts GROUP BY 1""".stripMargin,
     "q_csv_lsf" ->
       """WITH d AS (
         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,

@@ -101,6 +101,17 @@ class PipelineSpec extends SparkSpec {
     // and the ANN candidate set actually prunes: every returned neighbor
     // shares the query's bucket, so result sets are subsets of exact search
     assert(ann.nonEmpty)
+    // multiprobe (own bucket + all Hamming-1 buckets) must not lose recall
+    // vs single-probe, and should clear a higher floor
+    val multi = Similarity
+      .annTopKMultiprobe(clustered, "vec_id", "embedding", col("vec_id") % 100 === 0, 8, 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recallMulti = (exact & multi).size.toDouble / exact.size
+    assert(recallMulti >= recall, s"multiprobe $recallMulti < single $recall")
+    assert(recallMulti >= 0.8, s"multiprobe recall $recallMulti")
   }
 
   test("exact dedup keeps one representative per group and covers all docs") {
