@@ -190,6 +190,98 @@ object MetricQueries {
           "mase",
           expr("CAST(mase_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
 
+    // MSIS — mean scaled interval score at alpha=0.05 (the reference's
+    // evaluator list, eval_util/evaluation.py metrics; gluonts MSIS
+    // semantics): interval [L,U] = context order statistics at 0.025 /
+    // 0.975, per-point penalty (U-L) + 40*(L-y)[y<L] + 40*(y-U)[y>U] —
+    // ALL exact integers — scaled by the m=7 seasonal error.
+    "q_eval_msis" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .withColumn("sctx", array_sort(col("ctx")))
+        .withColumn("lo", expr("element_at(sctx, 2)")) // ceil(64*0.025)
+        .withColumn("hi", expr("element_at(sctx, 63)")) // ceil(64*0.975)
+        .withColumn(
+          "terms",
+          expr(
+            "aggregate(hor, 0L, (a, y) -> a + (hi - lo) " +
+              "+ CASE WHEN y < lo THEN 40L * (lo - y) ELSE 0L END " +
+              "+ CASE WHEN y > hi THEN 40L * (y - hi) ELSE 0L END)"))
+        .withColumn(
+          "se_num",
+          expr(
+            s"aggregate(sequence($Season, ${Ctx - 1}), 0L, (a, t) -> " +
+              s"a + abs(CAST(element_at(ctx, t + 1) AS BIGINT) - element_at(ctx, t - ${Season - 1})))"))
+        .withColumn(
+          "msis_w",
+          expr(
+            s"(CAST(terms AS DOUBLE) / $Hor.0) / " +
+              s"CASE WHEN se_num = 0 THEN 1.0 ELSE CAST(se_num AS DOUBLE) / ${Ctx - Season}.0 END"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(expr("CAST(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("msis_q_sum"))
+        .withColumn(
+          "msis",
+          expr("CAST(msis_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
+
+    // ND, mean weighted quantile loss, and MedianMSE — completing the
+    // reference's evaluator list (evaluation.py:131-167, metrics.py:10-21):
+    //   ND        = sum|e| / sum|y|  (normalized deviation, global)
+    //   mean WQL  = mean over 9 levels of 2*sum(pinball_l)/sum|y|
+    //             = 2 * sum(all pinball) / (9 * sum|y|)   [linearity]
+    //   MedianMSE = MSE of the 0.5-quantile (median) forecast — (y-med)^2
+    //               is an EXACT integer, no quantization needed.
+    "q_eval_extra" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .withColumn("sctx", array_sort(col("ctx")))
+        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn("med", expr(s"element_at(sctx, ${Ctx / 2})"))
+        .select(
+          col("source"),
+          col("sctx"),
+          col("naive"),
+          col("med"),
+          posexplode(col("hor")).as(Seq("i", "y")))
+        .withColumn("q_decile", explode(array((1 to 9).map(lit): _*)))
+        .withColumn("p", expr(s"element_at(sctx, CAST(($Ctx * q_decile + 9) DIV 10 AS INT))"))
+        .withColumn(
+          "pin",
+          expr(
+            "CASE WHEN y > p THEN (CAST(q_decile AS DOUBLE) / 10.0) * CAST(y - p AS DOUBLE) " +
+              "ELSE (1.0 - CAST(q_decile AS DOUBLE) / 10.0) * CAST(p - y AS DOUBLE) END"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("q_decile") === 1, 1L).otherwise(0L)).as("n_points"),
+          sum(when(col("q_decile") === 1, expr("CAST(abs(y) AS BIGINT)")).otherwise(0L))
+            .as("sum_abs_y"),
+          sum(
+            when(
+              col("q_decile") === 1,
+              expr("CAST(floor(abs(CAST(y AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT)"))
+              .otherwise(0L)).as("nd_q_sum"),
+          sum(
+            when(
+              col("q_decile") === 1,
+              expr("CAST(CAST(y - med AS BIGINT) * (y - med) AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("med_se_sum"),
+          sum(expr(tq("pin"))).as("pinball_all_q"))
+        .withColumn(
+          "nd",
+          expr(
+            "(CAST(nd_q_sum AS DOUBLE) / 10000.0) / " +
+              "CASE WHEN sum_abs_y = 0 THEN 1.0 ELSE CAST(sum_abs_y AS DOUBLE) END"))
+        .withColumn(
+          "mean_wql",
+          expr(
+            "2.0 * (CAST(pinball_all_q AS DOUBLE) / 10000.0) / " +
+              "(9.0 * CASE WHEN sum_abs_y = 0 THEN 1.0 ELSE CAST(sum_abs_y AS DOUBLE) END)"))
+        .withColumn(
+          "median_mse",
+          expr("CAST(med_se_sum AS DOUBLE) / CAST(n_points AS DOUBLE)"))),
+
     // MaskedPrediction / EvalMaskedPrediction (task.py:27-166): the full
     // 80-token frame of each window with explicit prediction/observed mask
     // columns — context positions carry prediction_mask=false, horizon
@@ -337,6 +429,86 @@ object MetricQueries {
          |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS mase
          |FROM wvals GROUP BY 1""".stripMargin,
+    "q_eval_msis" ->
+      s"""${EvalQueries.WinCte},
+         |cr AS (
+         |  SELECT w.doc_id, w.w, p.tok,
+         |         row_number() OVER (PARTITION BY w.doc_id, w.w ORDER BY p.tok) AS rn
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - $Ctx AND p.pos < w.fs),
+         |iv AS (
+         |  SELECT doc_id, w,
+         |         max(CASE WHEN rn = 2 THEN tok END) AS lo,
+         |         max(CASE WHEN rn = 63 THEN tok END) AS hi
+         |  FROM cr GROUP BY 1, 2),
+         |sen AS (
+         |  SELECT w.doc_id, w.w, CAST(sum(abs(p1.tok - p2.tok)) AS BIGINT) AS se_num
+         |  FROM wins w
+         |  JOIN pts p1 ON p1.doc_id = w.doc_id
+         |              AND p1.pos >= w.fs - ${Ctx - Season} AND p1.pos < w.fs
+         |  JOIN pts p2 ON p2.doc_id = w.doc_id AND p2.pos = p1.pos - $Season
+         |  GROUP BY 1, 2),
+         |pw AS (
+         |  SELECT w.source, w.doc_id, w.w,
+         |         CAST(sum((i.hi - i.lo)
+         |           + CASE WHEN p.tok < i.lo THEN 40 * (i.lo - p.tok) ELSE 0 END
+         |           + CASE WHEN p.tok > i.hi THEN 40 * (p.tok - i.hi) ELSE 0 END) AS BIGINT)
+         |           AS terms
+         |  FROM wins w
+         |  JOIN iv i ON i.doc_id = w.doc_id AND i.w = w.w
+         |  JOIN pts p ON p.doc_id = w.doc_id
+         |             AND p.pos >= w.fs AND p.pos < w.fs + $Hor
+         |  GROUP BY 1, 2, 3),
+         |wv AS (
+         |  SELECT pw.source,
+         |         (CAST(pw.terms AS DOUBLE) / $Hor.0)
+         |           / (CASE WHEN s.se_num = 0 THEN 1.0
+         |                   ELSE CAST(s.se_num AS DOUBLE) / ${Ctx - Season}.0 END) AS msis_w
+         |  FROM pw JOIN sen s ON s.doc_id = pw.doc_id AND s.w = pw.w)
+         |SELECT source, count(*) AS n_windows,
+         |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS msis_q_sum,
+         |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS msis
+         |FROM wv GROUP BY 1""".stripMargin,
+    "q_eval_extra" ->
+      s"""$HorPtsCte,
+         |cr AS (
+         |  SELECT w.doc_id, w.w, p.tok,
+         |         row_number() OVER (PARTITION BY w.doc_id, w.w ORDER BY p.tok) AS rn
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - $Ctx AND p.pos < w.fs),
+         |md AS (
+         |  SELECT doc_id, w, max(CASE WHEN rn = ${Ctx / 2} THEN tok END) AS med
+         |  FROM cr GROUP BY 1, 2),
+         |hp2 AS (
+         |  SELECT hp.source, hp.doc_id, hp.w, hp.y, hp.naive, m.med
+         |  FROM hp JOIN md m ON m.doc_id = hp.doc_id AND m.w = hp.w),
+         |base AS (
+         |  SELECT source, count(*) AS n_points,
+         |         CAST(sum(abs(y)) AS BIGINT) AS sum_abs_y,
+         |         CAST(sum(${tqSql("abs(CAST(y AS DOUBLE) - naive)")}) AS BIGINT) AS nd_q_sum,
+         |         CAST(sum(CAST(y - med AS BIGINT) * (y - med)) AS DECIMAL(38,0)) AS med_se_sum
+         |  FROM hp2 GROUP BY 1),
+         |lv AS (SELECT unnest(range(1, 10)) AS q_decile),
+         |pins AS (
+         |  SELECT h.source,
+         |         CAST(sum(${tqSql(
+          "CASE WHEN h.y > c.tok THEN (CAST(l.q_decile AS DOUBLE) / 10.0) * CAST(h.y - c.tok AS DOUBLE) " +
+            "ELSE (1.0 - CAST(l.q_decile AS DOUBLE) / 10.0) * CAST(c.tok - h.y AS DOUBLE) END")})
+         |           AS DECIMAL(38,0)) AS pinball_all_q
+         |  FROM hp2 h
+         |  JOIN lv l ON TRUE
+         |  JOIN cr c ON c.doc_id = h.doc_id AND c.w = h.w
+         |           AND c.rn = ($Ctx * l.q_decile + 9) // 10
+         |  GROUP BY 1)
+         |SELECT b.source, b.n_points, b.sum_abs_y, b.nd_q_sum, b.med_se_sum, p.pinball_all_q,
+         |       (CAST(b.nd_q_sum AS DOUBLE) / 10000.0)
+         |         / (CASE WHEN b.sum_abs_y = 0 THEN 1.0 ELSE CAST(b.sum_abs_y AS DOUBLE) END) AS nd,
+         |       2.0 * (CAST(p.pinball_all_q AS DOUBLE) / 10000.0)
+         |         / (9.0 * CASE WHEN b.sum_abs_y = 0 THEN 1.0 ELSE CAST(b.sum_abs_y AS DOUBLE) END)
+         |         AS mean_wql,
+         |       CAST(b.med_se_sum AS DOUBLE) / CAST(b.n_points AS DOUBLE) AS median_mse
+         |FROM base b JOIN pins p ON p.source = b.source""".stripMargin,
     "q_masked_prediction" ->
       s"""${EvalQueries.WinCte}
          |SELECT CAST(w.doc_id AS VARCHAR) AS doc_id, w.source, w.w,

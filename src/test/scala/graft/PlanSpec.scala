@@ -47,6 +47,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
   }
 
+  test("bucketed tier table reaggregates with ZERO exchanges (co-partitioned cascade)") {
+    import graft.jobs.BucketedTiers
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed-").toString
+    val t1m = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+    spark.sql("DROP TABLE IF EXISTS tier_1m_bucketed")
+    BucketedTiers.writeBucketed(t1m, "tier_1m_bucketed", s"$tmp/tier_1m", numBuckets = 4)
+    val reagg = BucketedTiers.reaggregateFromTable(spark, "tier_1m_bucketed", Tier.FiveMinutes)
+    val plan = planOf(reagg)
+    // bucketing keys (source, bucket) ⊆ grouping keys ⇒ the aggregation's
+    // ClusteredDistribution is already satisfied: no shuffle anywhere
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
+    // and the result is bit-exact vs the unbucketed cascade
+    val want = Rollup.reaggregate(t1m, Tier.FiveMinutes).collect().map(_.toSeq).toSet
+    val got = reagg.collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("tier reaggregation stays whole-stage-codegen'd") {
     val t1m = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
     val plan = planOf(Rollup.reaggregate(t1m, Tier.FiveMinutes))
