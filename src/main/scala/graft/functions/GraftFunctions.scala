@@ -15,6 +15,8 @@ object GraftFunctions {
     "gorilla_decode" -> (args => GorillaDecode(args.head)),
     "dod_encode" -> (args => DodEncode(args.head)),
     "dod_decode" -> (args => DodDecode(args.head)),
+    "chimp_encode" -> (args => ChimpEncode(args.head)),
+    "chimp_decode" -> (args => ChimpDecode(args.head)),
     "simhash64" -> (args => SimHash64(args.head)),
     // fused single-buffer tier aggregate (TypedImperativeAggregate); the
     // analyzer wraps the bare AggregateFunction into an AggregateExpression

@@ -51,6 +51,38 @@ case class GorillaDecode(child: Expression)
     copy(child = newChild)
 }
 
+case class ChimpEncode(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "chimp_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.ChimpCodec.encode(input.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildInternal(newChild: Expression): ChimpEncode =
+    copy(child = newChild)
+}
+
+case class ChimpDecode(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BinaryType, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "chimp_decode"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(graft.functions.ChimpCodec.decode(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): ChimpDecode =
+    copy(child = newChild)
+}
+
 case class DodEncode(child: Expression)
     extends UnaryExpression
     with CodegenFallback {

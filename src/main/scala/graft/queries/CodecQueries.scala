@@ -32,6 +32,25 @@ object CodecQueries {
           expr("element_at(decoded, -1)").as("last_v"))
     }),
 
+    // Chimp (VLDB 2022): the alternative XOR float codec — same in-plan
+    // encode→decode round-trip gate as Gorilla, same exact checksums.
+    "q_codec_chimp_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+          "decoded",
+          call_function("chimp_decode", call_function("chimp_encode", col("vals"))))
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("decoded")).as("n"),
+          expr("aggregate(decoded, 0L, (a, x) -> a + CAST(x AS BIGINT))").as("sum_v"),
+          expr("element_at(decoded, 1)").as("first_v"),
+          expr("element_at(decoded, -1)").as("last_v"))
+    }),
+
     // Delta-of-delta: per-user sorted DISTINCT HOURLY timestamps (epoch
     // micros), encode→decode in-plan, exact checksums. The hourly grain
     // bounds the collected group by retention-span/3600 — a raw-event
@@ -135,6 +154,15 @@ object CodecQueries {
 
   val oracle: Map[String, String] = Map(
     "q_codec_gorilla_roundtrip" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) AS INT) AS n,
+         |       CAST(sum(tok) AS BIGINT) AS sum_v,
+         |       CAST(min(CASE WHEN pos = 0 THEN tok END) AS DOUBLE) AS first_v,
+         |       CAST(max(CASE WHEN pos = nn - 1 THEN tok END) AS DOUBLE) AS last_v
+         |FROM (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS nn FROM pts p)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_codec_chimp_roundtrip" ->
       s"""${TokenRollupQueries.PtsCte}
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
          |       CAST(count(*) AS INT) AS n,

@@ -51,6 +51,63 @@ object RelationalQueries {
         .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 400000.0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    // revenue per open order, deterministic top-10 (full tie-break on the
+    // order key). customer broadcasts; lineitem⋈orders is the one shuffle.
+    "q3_shipping" -> ((s, dir) => {
+      val customer = broadcast(
+        s.read
+          .parquet(s"$dir/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey"))
+      val orders = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < lit("1998-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val lineitem = s.read
+        .parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > lit("1998-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: region-restricted 6-table join, revenue per nation.
+    // All dimensions broadcast; the single shuffle join is
+    // lineitem ⋈ orders (the two fact tables) — the right 100-TB plan.
+    "q5_region_supplier" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val supplier = s.read.parquet(s"$dir/supplier.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read
+        .parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(supplier),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
     // Set op: UNION ALL of two disjoint slices + distinct count per side
     // (ancestor: ConcatDataset union, data/builder/_base.py:71-83).
     "q_union_sources" -> ((s, dir) => {
@@ -93,6 +150,36 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 400000.0""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "q_union_sources" ->
       """SELECT side, count(DISTINCT user_id) AS n_users, count(*) AS n_rows
         |FROM (

@@ -158,6 +158,20 @@ object StatQueries {
           expr("element_at(packed, -1)").as("last_v"),
           expr("aggregate(rep, 0L, (a, x) -> a + x)").as("rep_sum"))),
 
+    // SampleDimension (transform/resample.py:29-66): subsample each
+    // vector's variates to a budget — deterministically (hash of
+    // (dim, vec_id)) instead of np.random, so the sample reproduces at any
+    // parallelism; ~1/4 of the 64 dims survive.
+    "q_sample_dimension" -> ((s, dir) =>
+      s.read
+        .parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .filter(expr("pmod(d * 2654435761L + vec_id, 4) = 0"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)")).as("sum_q"))),
+
     // CSV ingestion (LSF loaders, _lsf_dataset.py:9-196): documents
     // metadata exported to CSV, read back with a DECLARED schema in mode
     // "M", then the loader's train-stat normalization as exact ppm weights.
@@ -279,6 +293,17 @@ object StatQueries {
          |       CAST(count(*) AS INT) AS patch_len,
          |       CAST(sum(CAST(floor(y * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
          |FROM f GROUP BY 1, 2""".stripMargin,
+    "q_sample_dimension" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(t.i AS INT) - 1 AS d,
+        |         CAST(emb[t.i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS i) t)
+        |SELECT vec_id, label, count(*) AS n_kept,
+        |       CAST(sum(CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM e
+        |WHERE (d * 2654435761 + vec_id) % 4 = 0
+        |GROUP BY 1, 2""".stripMargin,
     "q_pack_fields" ->
       s"""${TokenRollupQueries.PtsCte}
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id,

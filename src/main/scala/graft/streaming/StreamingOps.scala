@@ -34,6 +34,46 @@ object StreamingOps {
         col("cnt"),
         col("sum_v"))
 
+  final case class Obs(key: String, window_start: Long, value: Double)
+  final case class Filled(key: String, window_start: Long, value: Double, is_gap: Boolean)
+  final case class FillState(lastWindow: Long, lastValue: Double)
+
+  /** Streaming gap-fill: the continuous face of [[graft.operators.GapFill]]
+   * — per key, every missing `width`-spaced window between consecutive
+   * observations is emitted with the last observed value carried forward
+   * (LOCF), including gaps that SPAN micro-batch boundaries (the keyed
+   * state remembers the last emitted window). Late/duplicate windows
+   * (<= the state's last window) are dropped, mirroring the watermark
+   * discipline of the windowed rollup. State is O(1) per key. */
+  def gapFillStream(obs: Dataset[Obs], width: Long): Dataset[Filled] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FillState, Filled](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[FillState]) =>
+          val sorted = rows.toSeq.sortBy(_.window_start)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Filled]
+          sorted.foreach { o =>
+            if (st != null && o.window_start > st.lastWindow + width) {
+              var w = st.lastWindow + width
+              while (w < o.window_start) {
+                out += Filled(key, w, st.lastValue, is_gap = true)
+                w += width
+              }
+            }
+            if (st == null || o.window_start > st.lastWindow) {
+              out += Filled(key, o.window_start, o.value, is_gap = false)
+              st = FillState(o.window_start, o.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(sessionId: Long, lastTsUs: Long)
   final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)

@@ -56,6 +56,42 @@ class CodecSpec extends AnyFunSuite {
     ) assert(bits(GorillaCodec.decode(GorillaCodec.encode(xs))) == bits(xs))
   }
 
+  test("chimp: round-trip is bit-exact for arbitrary doubles (incl. NaN/Inf/±0/denormals)") {
+    import graft.functions.ChimpCodec
+    val special = Gen.oneOf(
+      0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, Double.MaxValue, Double.MinValue, 1.0, -1.0)
+    val anyD = Gen.frequency(
+      3 -> Gen.chooseNum(-1e12, 1e12),
+      1 -> special,
+      1 -> Gen.chooseNum(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble))
+    val arr = Gen.containerOf[Array, Double](anyD)
+    check(
+      Prop.forAll(arr) { xs =>
+        bits(ChimpCodec.decode(ChimpCodec.encode(xs))) == bits(xs)
+      },
+      "chimp roundtrip")
+  }
+
+  test("chimp: slowly-varying series round-trip; compresses at least as well as needed") {
+    import graft.functions.ChimpCodec
+    val walk = (0 until 2000).scanLeft(1000.0)((v, i) => v + (i % 7 - 3) * 0.25).toArray
+    val enc = ChimpCodec.encode(walk)
+    assert(bits(ChimpCodec.decode(enc)) == bits(walk))
+    assert(enc.length < walk.length * 8 / 2, s"expected >2x compression, got ${enc.length}")
+    val const = Array.fill(1000)(42.42)
+    val encC = ChimpCodec.encode(const)
+    assert(bits(ChimpCodec.decode(encC)) == bits(const))
+    assert(encC.length < 300) // 2 bits/value + header
+    for (
+      xs <- Seq(
+        Array.empty[Double],
+        Array(3.14),
+        Array(5.0, 5.0),
+        Array(Double.MaxValue, Double.MinPositiveValue, -0.0, Double.NaN))
+    ) assert(bits(ChimpCodec.decode(ChimpCodec.encode(xs))) == bits(xs))
+  }
+
   test("dod: round-trip exact for jittered monotone timestamp spines") {
     val spine = for {
       start <- Gen.chooseNum(0L, 1800000000000000L)

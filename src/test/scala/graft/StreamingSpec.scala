@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("a", "2024-01-01 01:00:00.0", 1L, 4.0)))
   }
 
+  test("streaming gap-fill: LOCF windows emitted across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Obs]
+    val q = StreamingOps
+      .gapFillStream(in.toDS(), width = 60L)
+      .writeStream
+      .format("memory")
+      .queryName("gapfilled")
+      .outputMode(OutputMode.Append())
+      .start()
+    // batch 1: windows 0 and 180 -> gaps at 60, 120 filled with 1.5
+    in.addData(StreamingOps.Obs("k", 0L, 1.5), StreamingOps.Obs("k", 180L, 4.0))
+    q.processAllAvailable()
+    // batch 2: window 360 -> the CROSS-BATCH gap (240, 300) fills with 4.0;
+    // a late duplicate (180) is dropped
+    in.addData(StreamingOps.Obs("k", 360L, 9.0), StreamingOps.Obs("k", 180L, 777.0))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT window_start, value, is_gap FROM gapfilled ORDER BY window_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .toSeq
+    q.stop()
+    assert(
+      rows == Seq(
+        (0L, 1.5, false),
+        (60L, 1.5, true),
+        (120L, 1.5, true),
+        (180L, 4.0, false),
+        (240L, 4.0, true),
+        (300L, 4.0, true),
+        (360L, 9.0, false)))
+  }
+
   test("streaming sessionize: state persists across micro-batches, gap splits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
