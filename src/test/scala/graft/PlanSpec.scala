@@ -47,6 +47,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
   }
 
+  test("q5 six-table join: all dimensions broadcast; only the fact-fact join shuffles") {
+    val df = graft.queries.RelationalQueries.q("q5_region_supplier")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    // the 4 hinted dimensions always broadcast; at tiny SF, AQE may also
+    // broadcast the lineitem⋈orders fact join (correct at that size)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
+    val shuffleJoins =
+      "SortMergeJoin".r.findAllIn(plan).size + "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffleJoins <= 1, s"at most lineitem⋈orders may shuffle:\n$plan")
+  }
+
   test("bucketed tier table reaggregates with ZERO exchanges (co-partitioned cascade)") {
     import graft.jobs.BucketedTiers
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed-").toString
