@@ -57,6 +57,22 @@ object VectorKernels {
     acc
   }
 
+  /** Allocation-free dot product straight off ArrayData — the entry point
+   * both the interpreted eval and the generated Java call (so DotQ stays
+   * inside whole-stage codegen instead of forcing a fallback). */
+  def dotQData(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += quantize(x) * quantize(y)
+      i += 1
+    }
+    s
+  }
+
   def toDoubles(arr: ArrayData, elem: DataType): Array[Double] = elem match {
     case DoubleType => arr.toDoubleArray()
     case FloatType =>
@@ -70,10 +86,13 @@ object VectorKernels {
 }
 
 /** `dot_q(a, b) -> bigint`: exact fixed-point dot product (see
- * [[VectorKernels]]). `dot_q(v, v)` is the squared norm. */
-case class DotQ(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+ * [[VectorKernels]]). `dot_q(v, v)` is the squared norm.
+ *
+ * Has a real `doGenCode` (a one-line call into the static kernel), so the
+ * surrounding projection/filter stays inside WHOLE-STAGE CODEGEN — a
+ * `CodegenFallback` here would break the span around every candidate pair
+ * in the similarity joins. */
+case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemOf(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -91,10 +110,26 @@ case class DotQ(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_q"
 
+  private def aFloat = elemOf(left.dataType).contains(FloatType)
+  private def bFloat = elemOf(right.dataType).contains(FloatType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dotQ(
-      VectorKernels.toDoubles(a.asInstanceOf[ArrayData], elemOf(left.dataType).get),
-      VectorKernels.toDoubles(b.asInstanceOf[ArrayData], elemOf(right.dataType).get))
+    VectorKernels.dotQData(
+      a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData],
+      aFloat,
+      bFloat)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) =>
+        s"${ev.value} = graft.functions.expressions.VectorKernels$$.MODULE$$" +
+          s".dotQData($a, $b, $aFloat, $bFloat);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -47,6 +47,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
   }
 
+  test("dot_q kernel stays inside whole-stage codegen (no fallback span break)") {
+    val df = graft.queries.PipelineQueries.q("q_embed_neardup")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(plan.contains("dot_q"), plan)
+    // every operator line evaluating dot_q must sit inside a codegen span
+    val offending = plan
+      .linesIterator
+      .filter(l => l.contains("dot_q") && (l.contains("Project") || l.contains("Filter")))
+      .filterNot(_.contains("FileScan")) // scan lines echo filters as metadata
+      .filterNot(_.replaceAll("^[\\s:+\\-]*", "").startsWith("*("))
+      .toList
+    assert(offending.isEmpty, s"dot_q outside codegen:\n${offending.mkString("\n")}\n$plan")
+  }
+
   test("q5 six-table join: all dimensions broadcast; only the fact-fact join shuffles") {
     val df = graft.queries.RelationalQueries.q("q5_region_supplier")(spark, sf("sf0.001"))
     val plan = planOf(df)
