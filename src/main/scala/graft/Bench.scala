@@ -137,6 +137,40 @@ object Bench {
         Some(Scaling(docsN * tokens, n, wN, w4N, cN, c4N))
       }
 
+    // -- Part 3: per-retention-tier ladder throughput ---------------------
+    // BASELINE.json's metric is "rolled-up points/sec PER RETENTION TIER":
+    // the 1m tier consumes the raw points; each coarser tier reaggregates
+    // the (much smaller) previous tier. Reported per tier: wall seconds,
+    // rows produced, and raw-points-equivalent/sec (the raw volume the
+    // tier's output covers per second of its own compute).
+    val ladderJson: String =
+      if (!runScaling) ""
+      else {
+        val docsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+        val tokens = 256
+        val rawPts = docsN * tokens
+        val s = session(16)
+        val points = TokenTable.rangePoints(s, docsN, tokens, partitions = 256)
+        var prev = Rollup.rollupFromPoints(points, Tier.ladder.head._1)
+        val entries = Tier.ladder.map { case (tierName, _) =>
+          val df =
+            if (tierName == Tier.ladder.head._1) prev
+            else Rollup.reaggregate(prev.cache(), tierName)
+          if (tierName != Tier.ladder.head._1) prev.count() // materialize cache
+          var best = Double.MaxValue
+          var rows = 0L
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            rows = df.count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          prev = df
+          f""""$tierName":{"sec":$best%.3f,"rows_out":$rows,"raw_pts_per_sec":${rawPts / best}%.0f}"""
+        }
+        s.stop()
+        s""","tiers":{${entries.mkString(",")}}"""
+      }
+
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -147,7 +181,7 @@ object Bench {
       }
       .getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$rollupJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$rollupJson$ladderJson}""")
 
     // -- Scaling evidence into BENCH.md (north-rule reporting) -----------
     // Rows are inserted directly under the table header at the sentinel

@@ -137,18 +137,26 @@ object CodecQueries {
             expr("transform(series, s -> CAST(s.window_start AS BIGINT))")).as("payload_ts"),
           call_function(
             "gorilla_encode",
-            expr("transform(series, s -> s.avg_tok)")).as("payload_values"))
+            expr("transform(series, s -> s.avg_tok)")).as("payload_values"),
+          call_function(
+            "chimp_encode",
+            expr("transform(series, s -> s.avg_tok)")).as("payload_values_chimp"))
         .select(
           col("source"),
           col("bucket"),
           col("n_windows"),
           octet_length(col("payload_ts")).as("ts_bytes"),
           octet_length(col("payload_values")).as("values_bytes"),
+          // codec bake-off column: chimp vs gorilla on the same series
+          octet_length(col("payload_values_chimp")).as("values_bytes_chimp"),
           (col("n_windows") * 8).as("raw_bytes_each"),
           expr("aggregate(dod_decode(payload_ts), 0L, (a, x) -> a + x)").as("ts_sum_check"),
           expr(
             "aggregate(gorilla_decode(payload_values), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-            .as("values_sum_check"))
+            .as("values_sum_check"),
+          expr(
+            "aggregate(chimp_decode(payload_values_chimp), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+            .as("values_sum_check_chimp"))
     })
   )
 
