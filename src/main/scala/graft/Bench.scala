@@ -78,7 +78,9 @@ object Bench {
     // session init + whole-stage-codegen JIT (~3-5 s) that would be
     // misattributed to whichever query sorts first alphabetically
     if (runSuite) {
-      try SparkEntry.entry(spark).count()
+      // warm up against the SAME sfDir as the suite (SparkEntry.entry is
+      // pinned to sf0.001, which need not exist on the bench host)
+      try SparkEntry.queries("q_rollup_1m")(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     }
     val results = (if (runSuite) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
@@ -149,14 +151,19 @@ object Bench {
         val docsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
         val tokens = 256
         val rawPts = docsN * tokens
-        val s = session(16)
+        val s = session(4 * 4) // the 4N level of the scaling measurement
         val points = TokenTable.rangePoints(s, docsN, tokens, partitions = 256)
         var prev = Rollup.rollupFromPoints(points, Tier.ladder.head._1)
+        var cached: org.apache.spark.sql.DataFrame = null
         val entries = Tier.ladder.map { case (tierName, _) =>
           val df =
             if (tierName == Tier.ladder.head._1) prev
-            else Rollup.reaggregate(prev.cache(), tierName)
-          if (tierName != Tier.ladder.head._1) prev.count() // materialize cache
+            else {
+              if (cached != null) cached.unpersist() // only the direct input stays pinned
+              cached = prev.cache()
+              cached.count() // materialize before timing the reaggregation
+              Rollup.reaggregate(cached, tierName)
+            }
           var best = Double.MaxValue
           var rows = 0L
           for (_ <- 1 to 2) {

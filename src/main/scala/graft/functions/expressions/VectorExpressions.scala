@@ -23,22 +23,14 @@ object VectorKernels {
 
   def quantize(x: Double): Long = math.floor(x * 1000.0 + 0.5).toLong
 
-  /** Exact quantized dot product of two numeric arrays (min-length). */
-  def dotQ(a: Array[Double], b: Array[Double]): Long = {
-    val n = math.min(a.length, b.length)
-    var s = 0L
-    var i = 0
-    while (i < n) {
-      s += quantize(a(i)) * quantize(b(i))
-      i += 1
-    }
-    s
-  }
-
   /** Random-hyperplane LSH signature over the quantized vector; plane
-   * weights are small signed ints derived from xxhash64(plane*1024+dim)
-   * with Spark's default seed 42 — identical to the SQL formulation it
-   * replaces, deterministic at any parallelism. */
+   * weights are small signed ints derived from XXH64(plane*1024+dim, 42) —
+   * a pure function of (plane, dim), deterministic at any parallelism.
+   * (The weights are a deterministic VARIANT of the round-1 SQL
+   * formulation, not bit-identical to it: the SQL's xxhash64 hashed its
+   * INT argument via hashInt; this kernel hashes the long via hashLong.
+   * Bucket ids are engine-internal — only recall, asserted in
+   * PipelineSpec, is the contract.) */
   def lshSig(v: Array[Double], nPlanes: Int): Long = {
     var acc = 0L
     var p = 0
@@ -57,9 +49,24 @@ object VectorKernels {
     acc
   }
 
+  /** True iff either array has a null element in the min-length prefix —
+   * dot_q propagates element nulls to a NULL result (matching the
+   * zip_with/aggregate SQL semantics it replaced, which returned NULL
+   * rather than silently treating null slots as 0.0). */
+  def hasNullPrefix(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Allocation-free dot product straight off ArrayData — the entry point
-   * both the interpreted eval and the generated Java call (so DotQ stays
-   * inside whole-stage codegen instead of forcing a fallback). */
+   * for both the interpreted eval and the generated Java call (so DotQ
+   * stays inside whole-stage codegen instead of forcing a fallback).
+   * Callers must check [[hasNullPrefix]] first. */
   def dotQData(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
@@ -109,16 +116,18 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_q"
+  // null element anywhere in the compared prefix => NULL result
+  override def nullable: Boolean = true
 
   private def aFloat = elemOf(left.dataType).contains(FloatType)
   private def bFloat = elemOf(right.dataType).contains(FloatType)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dotQData(
-      a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData],
-      aFloat,
-      bFloat)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (VectorKernels.hasNullPrefix(aa, bb)) null
+    else VectorKernels.dotQData(aa, bb, aFloat, bFloat)
+  }
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -128,8 +137,12 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
       ctx,
       ev,
       (a, b) =>
-        s"${ev.value} = graft.functions.expressions.VectorKernels$$.MODULE$$" +
-          s".dotQData($a, $b, $aFloat, $bFloat);")
+        s"""if (graft.functions.expressions.VectorKernels$$.MODULE$$.hasNullPrefix($a, $b)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.expressions.VectorKernels$$.MODULE$$
+           |    .dotQData($a, $b, $aFloat, $bFloat);
+           |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

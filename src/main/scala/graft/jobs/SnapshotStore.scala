@@ -1,7 +1,7 @@
 package graft.jobs
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -110,10 +110,13 @@ final class SnapshotStore(base: String) {
     Files.createDirectories(snapDir(table))
     val tmp = snapDir(table).resolve(s".v$next-$uid.json.tmp")
     Files.write(tmp, render(info).getBytes(StandardCharsets.UTF_8))
-    Files.move(
-      tmp,
-      snapDir(table).resolve(s"v$next.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // Atomic CREATE-if-absent: a hard link fails with
+    // FileAlreadyExistsException when the manifest exists (POSIX link(2)
+    // never replaces), unlike rename(2)/ATOMIC_MOVE which silently
+    // replaces an existing target — so of two racing writers exactly one
+    // commits vN and the loser's exception surfaces instead of clobbering.
+    try Files.createLink(snapDir(table).resolve(s"v$next.json"), tmp)
+    finally Files.deleteIfExists(tmp)
     info
   }
 

@@ -24,9 +24,12 @@ object Validity {
       valid: Column,
       name: String): (DataFrame, Observation) = {
     val obs = Observation(name)
+    // count(when(...)), not sum(when(...)): sum over ZERO rows observes
+    // NULL and a caller's .asInstanceOf[Long] would NPE on an empty stage;
+    // count is 0 on empty input.
     val observed = df.observe(
       obs,
-      sum(when(valid, 0L).otherwise(1L)).as("skipped"),
+      count(when(!valid, lit(1))).as("skipped"),
       count(lit(1)).as("total"))
     (observed.filter(valid), obs)
   }
