@@ -97,6 +97,26 @@ object CodecQueries {
           expr("aggregate(rt, 0L, (a, x) -> a + CAST(round(x) AS BIGINT))").as("sum_v"))
     }),
 
+    // Legendre-family round-trip (the second polynomial family,
+    // transform/precondition.py:135-174): Legendre monic coefficients are
+    // NOT exact binary fractions (thirds/fifths), so the oracle checks the
+    // round-trip identity (reverse∘forward == id to <1e-10, rounded back
+    // to the exact integer tokens) rather than forward values.
+    "q_precond_legendre_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+          "rt",
+          expr("precond_reverse(precond_forward(vals, 3, 'legendre'), 3, 'legendre')"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("rt")).as("n"),
+          expr("aggregate(rt, 0L, (a, x) -> a + CAST(round(x) AS BIGINT))").as("sum_v"))
+    }),
+
     // Forward preconditioning checked value-by-value against a LAG-based
     // SQL oracle (fixed-point quantized per element, then exact sum — the
     // per-element double arithmetic matches term-for-term in association
@@ -187,6 +207,12 @@ object CodecQueries {
         |       CAST(sum(h_us % 1000000007) AS BIGINT) AS sum_mod
         |FROM h GROUP BY 1""".stripMargin,
     "q_precond_roundtrip" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) AS INT) AS n,
+         |       CAST(sum(tok) AS BIGINT) AS sum_v
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q_precond_legendre_roundtrip" ->
       s"""${TokenRollupQueries.PtsCte}
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
          |       CAST(count(*) AS INT) AS n,
