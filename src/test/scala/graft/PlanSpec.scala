@@ -73,6 +73,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffleJoins <= 1, s"at most lineitem⋈orders may shuffle:\n$plan")
   }
 
+  test("source-partitioned tier table: filters become partition pruning at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    Rollup
+      .rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+      .write
+      .partitionBy("source")
+      .parquet(s"$tmp/tier_1m")
+    val df = spark.read
+      .parquet(s"$tmp/tier_1m")
+      .filter(col("source") === "src1" && col("window_start") >= 60)
+      .select("source", "bucket", "window_start", "sum_tok")
+    val plan = planOf(df)
+    // the source predicate must prune partitions (never scanned), not
+    // filter rows; the window predicate pushes into the scan
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+    assert(plan.contains("(source = src1)") || plan.contains("source#"), plan)
+    assert(plan.contains("GreaterThanOrEqual(window_start,60)"), plan)
+  }
+
   test("bucketed tier table reaggregates with ZERO exchanges (co-partitioned cascade)") {
     import graft.jobs.BucketedTiers
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed-").toString
