@@ -93,6 +93,62 @@ object Similarity {
       .withColumn("lsh_bucket", call_function("lsh_sig", col(vecCol), lit(nPlanes)))
   }
 
+  /** IVF (inverted-file) ANN — the FAISS-style coarse-quantizer shape:
+   *
+   *  1. coarse centroids: a deterministic 1/`centroidRate` sample of the
+   *     corpus (hash of the id — no training pass, reproducible at any
+   *     parallelism; a k-means refinement would slot in here unchanged);
+   *  2. assignment: every corpus vector joins the BROADCAST centroid set
+   *     and keeps its best-cosine centroid — one linear pass, the
+   *     inverted lists are `(centroid, vectors)` groups;
+   *  3. search: each query probes its `nProbe` nearest centroids and
+   *     ranks exactly within those lists only.
+   *
+   * Scale: corpus work is linear (broadcast centroids, one shuffle on the
+   * centroid key); query work touches ~nProbe/|centroids| of the corpus.
+   * Recall vs exact is asserted in PipelineSpec on clustered vectors. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      centroidRate: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val centroids = base
+      .filter(expr(s"pmod($idCol * 2654435761L, $centroidRate) = 0"))
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm2").as("cn"))
+    val cCos =
+      expr("CAST(dot_q(v, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))")
+    val byBest = Window.partitionBy(col("_vid")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = base
+      .select(col(idCol).as("_vid"), col(vecCol).as("v"), col("norm2").as("n2"))
+      .join(broadcast(centroids))
+      .select(col("_vid"), col("v"), col("n2"), col("c_id"), cCos.as("c_cos"))
+      .withColumn("_r", row_number().over(byBest))
+      .filter(col("_r") === 1)
+      .select(col("_vid").as("neighbor_id"), col("v").as("vb"), col("n2").as("nb"), col("c_id"))
+    val probes = base
+      .filter(queryPred)
+      .select(col(idCol).as("_vid"), col(vecCol).as("v"), col("norm2").as("n2"))
+      .join(broadcast(centroids))
+      .select(col("_vid").as("query_id"), col("v").as("va"), col("n2").as("na"), col("c_id"), cCos.as("c_cos"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_id"))))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("va"), col("na"), col("c_id"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, Seq("c_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Multiprobe ANN: like [[annTopK]] but each query additionally probes
    * every bucket at Hamming distance 1 from its own signature (nPlanes+1
    * probes total — the standard multiprobe-LSH recall upgrade over

@@ -62,6 +62,12 @@ object PipelineQueries {
     "q_knn_multiprobe" -> ((s, dir) =>
       Similarity.annTopKMultiprobe(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 8, 5)),
 
+    // IVF ANN (coarse quantizer + inverted lists, the FAISS shape):
+    // ~1/50 of vectors become centroids, queries probe the 4 nearest
+    // lists. Rows-only; PipelineSpec asserts recall on clustered vectors.
+    "q_knn_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 50, 4, 5)),
+
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
 

@@ -112,6 +112,16 @@ class PipelineSpec extends SparkSpec {
     val recallMulti = (exact & multi).size.toDouble / exact.size
     assert(recallMulti >= recall, s"multiprobe $recallMulti < single $recall")
     assert(recallMulti >= 0.8, s"multiprobe recall $recallMulti")
+    // IVF with ~20 coarse centroids over the 20 planted clusters and 4
+    // probes must reach high recall too (the inverted-list scale path)
+    val ivf = Similarity
+      .ivfTopK(clustered, "vec_id", "embedding", col("vec_id") % 100 === 0, 50, 4, 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recallIvf = (exact & ivf).size.toDouble / exact.size
+    assert(recallIvf >= 0.8, s"ivf recall $recallIvf")
   }
 
   test("exact dedup keeps one representative per group and covers all docs") {
