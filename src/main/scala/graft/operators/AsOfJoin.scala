@@ -31,6 +31,10 @@ object AsOfJoin {
    * @param rightTime event-time column in `right`
    * @param payload   columns of `right` to carry onto each left row
    *                  (renamed `asof_<name>` in the output)
+   * @param tolerance optional maximum allowed (leftTime - rightTime) in the
+   *                  time columns' own units (the pandas merge_asof
+   *                  `tolerance` semantics): a match older than this is
+   *                  dropped (payload NULL) instead of carried forward
    */
   def asOf(
       left: DataFrame,
@@ -38,7 +42,8 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val tagged =
       left
@@ -62,8 +67,17 @@ object AsOfJoin {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(tagged) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    val withRt = tagged
+      .withColumn("_rt", when(col("_tag") === 0, col("_t")))
+      .withColumn("_asof_t", last(col("_rt"), ignoreNulls = true).over(w))
+    val filled = payload.foldLeft(withRt) { (d, c) =>
+      val v = last(col(s"_p_$c"), ignoreNulls = true).over(w)
+      d.withColumn(
+        s"asof_$c",
+        tolerance match {
+          case Some(tol) => when(col("_t") - col("_asof_t") <= tol, v)
+          case None => v
+        })
     }
     filled
       .filter(col("_tag") === 1)

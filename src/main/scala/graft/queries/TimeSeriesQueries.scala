@@ -87,6 +87,33 @@ object TimeSeriesQueries {
         payload = Seq("signup_value"))
     }),
 
+    // As-of join with a match tolerance (pandas merge_asof semantics):
+    // same join but matches older than 7 days are dropped to NULL.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"))
+      val signups = ev
+        .filter(col("event_type") === "signup")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s_ts_us"),
+          col("value").as("signup_value"))
+      AsOfJoin.asOf(
+        purchases,
+        signups,
+        keys = Seq("user_id"),
+        leftTime = "ts_us",
+        rightTime = "s_ts_us",
+        payload = Seq("signup_value"),
+        tolerance = Some(7L * 86400L * 1000000L))
+    }),
+
     // Gap-based sessionization (30 min), then per-session aggregates.
     "q_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -203,6 +230,14 @@ object TimeSeriesQueries {
     "q_asof_purchase_signup" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
         |       s.value AS asof_signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 604800000000
+        |            THEN s.value END AS asof_signup_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
