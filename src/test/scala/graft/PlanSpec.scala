@@ -61,6 +61,18 @@ class PlanSpec extends SparkSpec {
     assert(offending.isEmpty, s"dot_q outside codegen:\n${offending.mkString("\n")}\n$plan")
   }
 
+  test("metric queries: row-local window math, exactly one exchange (on source)") {
+    // the whole rolling-window fan-out + per-point loss arithmetic is
+    // row-local; only the final per-source reduction may shuffle — at
+    // 100 TB the exchange carries one partial-agg row per (source x task)
+    for (q <- Seq("q_eval_mape", "q_eval_normalized", "q_eval_mase")) {
+      val df = graft.queries.MetricQueries.q(q)(spark, sf("sf0.001"))
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"$q: expected 1 exchange, got $exchanges:\n$plan")
+    }
+  }
+
   test("q5 six-table join: all dimensions broadcast; only the fact-fact join shuffles") {
     val df = graft.queries.RelationalQueries.q("q5_region_supplier")(spark, sf("sf0.001"))
     val plan = planOf(df)
@@ -107,6 +119,46 @@ class PlanSpec extends SparkSpec {
     val want = Rollup.reaggregate(t1m, Tier.FiveMinutes).collect().map(_.toSeq).toSet
     val got = reagg.collect().map(_.toSeq).toSet
     assert(got == want)
+  }
+
+  test("AQE splits a skewed shuffle join (skew=true reaches the final plan)") {
+    // The engine's runtime skew story: beyond the explicit salted rollup
+    // (JobSpec), shuffle JOINS on Zipf keys rely on AQE's skew-join split.
+    // Prove the machinery engages: one hot key carrying ~100x the bytes of
+    // the median partition must be split (the join prints skew=true).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      // payload is xxhash64(id): incompressible, so the hot partition's
+      // SHUFFLE BYTES (what skew detection measures) actually exceed the
+      // threshold — constant/sequential columns LZ4 away to almost nothing
+      val hot = spark.range(300000).select(lit(0L).as("k"), xxhash64(col("id")).as("lv"))
+      val cold = spark
+        .range(3000)
+        .select((col("id") % 64 + 1).as("k"), xxhash64(col("id")).as("lv"))
+      val left = hot.unionByName(cold)
+      val right = spark.range(2000).select((col("id") % 65).as("k"), xxhash64(col("id")).as("rv"))
+      // global (keyless) aggregate downstream: a keyed aggregate would pin
+      // the join's output partitioning and make AQE decline the split
+      val joined = left
+        .join(right, "k")
+        .agg(
+          count(lit(1)).as("n"),
+          // mask to 28 bits: full xxhash64 sums overflow Long under ANSI
+          sum(col("lv").bitwiseAND(lit(0xfffffffL))).as("sl"),
+          sum(col("rv").bitwiseAND(lit(0xfffffffL))).as("sr"))
+      val plan = planOf(joined)
+      assert(plan.contains("skew=true"), s"expected AQE skew split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("tier reaggregation stays whole-stage-codegen'd") {
