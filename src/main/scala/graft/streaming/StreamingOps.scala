@@ -34,6 +34,28 @@ object StreamingOps {
         col("cnt"),
         col("sum_v"))
 
+  /** Continuous ingestion into the engine's snapshot layer: each
+   * micro-batch commits one immutable snapshot version, fingerprinted by
+   * its batch id — so a crashed-and-restarted stream (Structured
+   * Streaming replays the last uncommitted batch) finds the fingerprint
+   * already committed and SKIPS the duplicate write: end-to-end
+   * exactly-once into the table, the streaming face of the batch job's
+   * resume contract (RollupJob stage fingerprints). */
+  def sinkToSnapshots(
+      df: DataFrame,
+      store: graft.jobs.SnapshotStore,
+      table: String,
+      queryName: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {
+          batch
+        }
+        ()
+      }
+
   final case class Obs(key: String, window_start: Long, value: Double)
   final case class Filled(key: String, window_start: Long, value: Double, is_gap: Boolean)
   final case class FillState(lastWindow: Long, lastValue: Double)

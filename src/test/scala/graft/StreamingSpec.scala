@@ -75,6 +75,34 @@ class StreamingSpec extends SparkSpec {
         (360L, 9.0, false)))
   }
 
+  test("streaming snapshot sink: one snapshot per micro-batch, replayed batch skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.jobs.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-snap-").toString
+    val store = new SnapshotStore(base)
+    val in = MemoryStream[StreamingOps.Obs]
+    val q = StreamingOps
+      .sinkToSnapshots(in.toDF(), store, "stream_tier", "snaptest")
+      .start()
+    in.addData(StreamingOps.Obs("a", 0L, 1.0), StreamingOps.Obs("a", 60L, 2.0))
+    q.processAllAvailable()
+    in.addData(StreamingOps.Obs("b", 0L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val snaps = store.snapshots("stream_tier")
+    assert(snaps.map(_.rowCount).sum == 3)
+    assert(snaps.map(_.fingerprint).distinct.size == snaps.size)
+    // a replayed batch (same fingerprint) resumes instead of re-writing
+    val before = snaps.size
+    val (snap, resumed) =
+      store.getOrCompute("stream_tier", "stream_snaptest", snaps.head.fingerprint) {
+        fail("replayed batch must not recompute"); null
+      }
+    assert(resumed && snap.version == snaps.head.version)
+    assert(store.snapshots("stream_tier").size == before)
+  }
+
   test("streaming sessionize: state persists across micro-batches, gap splits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
