@@ -108,6 +108,34 @@ object RelationalQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q18 shape (large-volume orders): the aggregate-then-semijoin
+    // pattern — lineitem is aggregated per order (one shuffle with map-side
+    // combine), the HAVING survivors join back to orders, customers
+    // broadcast; deterministic top-20.
+    "q18_large_orders" -> ((s, dir) => {
+      val bigOrders = s.read
+        .parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_tq"))
+        .filter(col("_tq") > 200)
+      val orders = s.read
+        .parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val customer = broadcast(
+        s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_name"))
+      orders
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_name"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          col("_tq").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Set op: UNION ALL of two disjoint slices + distinct count per side
     // (ancestor: ConcatDataset union, data/builder/_base.py:71-83).
     "q_union_sources" -> ((s, dir) => {
@@ -180,6 +208,17 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c_name, o_orderkey, o_totalprice, CAST(b.tq AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big b ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q_union_sources" ->
       """SELECT side, count(DISTINCT user_id) AS n_users, count(*) AS n_rows
         |FROM (
