@@ -67,17 +67,28 @@ object AsOfJoin {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRt = tagged
-      .withColumn("_rt", when(col("_tag") === 0, col("_t")))
-      .withColumn("_asof_t", last(col("_rt"), ignoreNulls = true).over(w))
-    val filled = payload.foldLeft(withRt) { (d, c) =>
-      val v = last(col(s"_p_$c"), ignoreNulls = true).over(w)
-      d.withColumn(
-        s"asof_$c",
-        tolerance match {
-          case Some(tol) => when(col("_t") - col("_asof_t") <= tol, v)
-          case None => v
-        })
+    val filled = tolerance match {
+      case None =>
+        // LOCF semantics: each payload column independently carries its
+        // last non-null value forward (the reference's imputation rule)
+        payload.foldLeft(tagged) { (d, c) =>
+          d.withColumn(s"asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
+        }
+      case Some(tol) =>
+        // merge_asof semantics: the match is the last right ROW; its own
+        // payload (even a null one) is taken, and the WHOLE row is gated
+        // by the tolerance — filling payload columns independently could
+        // pair an old value with a fresh row's timestamp
+        val rowStruct = struct(
+          (col("_t").as("_rt") +: payload.map(c => col(s"_p_$c").as(c))): _*)
+        val withRow = tagged
+          .withColumn("_rrow", when(col("_tag") === 0, rowStruct))
+          .withColumn("_last_r", last(col("_rrow"), ignoreNulls = true).over(w))
+        payload.foldLeft(withRow) { (d, c) =>
+          d.withColumn(
+            s"asof_$c",
+            when(col("_t") - col("_last_r._rt") <= tol, col(s"_last_r.$c")))
+        }
     }
     filled
       .filter(col("_tag") === 1)

@@ -29,6 +29,19 @@ object Similarity {
   private val cosExpr =
     expr("CAST(dot_q(va, vb) AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))")
 
+  /** Shared top-k tail of every search variant: candidate pairs carrying
+   * (query_id, va, na, neighbor_id, vb, nb) -> exact cosine, deterministic
+   * rank (ties broken on neighbor_id), keep rank <= k. */
+  private def rankTopKByCos(candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Adds `norm2: bigint` — the exact quantized squared norm. */
   def withNorm(emb: DataFrame, vecCol: String): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
@@ -72,14 +85,9 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("va"), col("norm2").as("na"))
     val corpus = base
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"), col("norm2").as("nb"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(queries)
-      .join(corpus, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopKByCos(
+      broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id")),
+      k)
   }
 
   /** Random-hyperplane LSH bucket id (`nPlanes`-bit signature) via the
@@ -116,19 +124,31 @@ object Similarity {
       nProbe: Int,
       k: Int): DataFrame = {
     val base = withNorm(emb, vecCol)
+    // hash-sampled centroids: xxhash64 is uniform over ARBITRARY id sets
+    // (a multiplicative `id*prime % rate` degenerates to `id % rate` and
+    // yields zero centroids on non-dense ids; the product also overflows
+    // Long under ANSI for billion-scale ids)
     val centroids = base
-      .filter(expr(s"pmod($idCol * 2654435761L, $centroidRate) = 0"))
+      .filter(expr(s"pmod(xxhash64($idCol), $centroidRate) = 0"))
       .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm2").as("cn"))
     val cCos =
       expr("CAST(dot_q(v, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))")
-    val byBest = Window.partitionBy(col("_vid")).orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = base
+    val corpus = base
       .select(col(idCol).as("_vid"), col(vecCol).as("v"), col("norm2").as("n2"))
+    // argmax-per-vector WITHOUT shuffling the (corpus x centroids) pair
+    // rows: max over struct(c_cos, -c_id) is a partial-aggregable groupBy —
+    // map-side combine collapses to one row per vector before the exchange
+    // (a row_number window here would shuffle N x C rows: quadratic).
+    val bestCentroid = corpus
       .join(broadcast(centroids))
-      .select(col("_vid"), col("v"), col("n2"), col("c_id"), cCos.as("c_cos"))
-      .withColumn("_r", row_number().over(byBest))
-      .filter(col("_r") === 1)
+      .select(col("_vid"), cCos.as("c_cos"), (-col("c_id")).as("_nc"))
+      .groupBy(col("_vid"))
+      .agg(max(struct(col("c_cos"), col("_nc"))).as("_b"))
+      .select(col("_vid"), (-col("_b._nc")).as("c_id"))
+    val assigned = corpus
+      .join(bestCentroid, "_vid")
       .select(col("_vid").as("neighbor_id"), col("v").as("vb"), col("n2").as("nb"), col("c_id"))
+    // the probe fan-out is query-side only (small): a window is fine here
     val probes = base
       .filter(queryPred)
       .select(col(idCol).as("_vid"), col(vecCol).as("v"), col("norm2").as("n2"))
@@ -138,15 +158,11 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_id"))))
       .filter(col("_r") <= nProbe)
       .select(col("query_id"), col("va"), col("na"), col("c_id"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(probes)
-      .join(assigned, Seq("c_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopKByCos(
+      broadcast(probes)
+        .join(assigned, Seq("c_id"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      k)
   }
 
   /** Multiprobe ANN: like [[annTopK]] but each query additionally probes
@@ -172,14 +188,11 @@ object Similarity {
       .withColumn("probe_bucket", col("lsh_bucket").bitwiseXOR(col("_probe")))
     val corpus = b
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"), col("norm2").as("nb"), col("lsh_bucket").as("_cb"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    queries
-      .join(corpus, col("probe_bucket") === col("_cb") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopKByCos(
+      queries.join(
+        corpus,
+        col("probe_bucket") === col("_cb") && col("query_id") =!= col("neighbor_id")),
+      k)
   }
 
   /** ANN via LSH: exact cosine ranking restricted to same-bucket candidates.
@@ -198,13 +211,10 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("va"), col("norm2").as("na"), col("lsh_bucket"))
     val corpus = b
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"), col("norm2").as("nb"), col("lsh_bucket").as("_cb"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    queries
-      .join(corpus, col("lsh_bucket") === col("_cb") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopKByCos(
+      queries.join(
+        corpus,
+        col("lsh_bucket") === col("_cb") && col("query_id") =!= col("neighbor_id")),
+      k)
   }
 }

@@ -40,14 +40,23 @@ object StreamingOps {
    * Streaming replays the last uncommitted batch) finds the fingerprint
    * already committed and SKIPS the duplicate write: end-to-end
    * exactly-once into the table, the streaming face of the batch job's
-   * resume contract (RollupJob stage fingerprints). */
+   * resume contract (RollupJob stage fingerprints).
+   *
+   * `checkpointDir` is REQUIRED and set here: batch ids are only unique
+   * within one checkpoint lineage. Restarting with a temporary/fresh
+   * checkpoint would renumber batches from 0 and collide with the
+   * already-committed fingerprints — silently dropping the new data as a
+   * "resume". With a durable checkpoint, ids continue monotonically
+   * across restarts and the skip only ever hits genuine replays. */
   def sinkToSnapshots(
       df: DataFrame,
       store: graft.jobs.SnapshotStore,
       table: String,
-      queryName: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      queryName: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {

@@ -98,9 +98,15 @@ class PlanSpec extends SparkSpec {
       .select("source", "bucket", "window_start", "sum_tok")
     val plan = planOf(df)
     // the source predicate must prune partitions (never scanned), not
-    // filter rows; the window predicate pushes into the scan
-    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
-    assert(plan.contains("(source = src1)") || plan.contains("source#"), plan)
+    // filter rows; the window predicate pushes into the scan. Attributes
+    // print with expr-ids (source#NN), so assert the equality predicate
+    // INSIDE the PartitionFilters segment itself.
+    val partFilters = plan
+      .linesIterator
+      .flatMap(l => "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(l))
+      .mkString(";")
+    assert(partFilters.contains("isnotnull(source"), plan)
+    assert("\\(source#\\d+ = src1\\)".r.findFirstIn(partFilters).isDefined, plan)
     assert(plan.contains("GreaterThanOrEqual(window_start,60)"), plan)
   }
 

@@ -83,7 +83,7 @@ class StreamingSpec extends SparkSpec {
     val store = new SnapshotStore(base)
     val in = MemoryStream[StreamingOps.Obs]
     val q = StreamingOps
-      .sinkToSnapshots(in.toDF(), store, "stream_tier", "snaptest")
+      .sinkToSnapshots(in.toDF(), store, "stream_tier", "snaptest", s"$base/_checkpoint")
       .start()
     in.addData(StreamingOps.Obs("a", 0L, 1.0), StreamingOps.Obs("a", 60L, 2.0))
     q.processAllAvailable()
