@@ -43,6 +43,27 @@ class OperatorExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException](PatchSizing.legalRange("X"))
   }
 
+  test("LSF CSV modes select the loader's S/M/MS column sets") {
+    import graft.sources.LsfCsv
+    val out = s"/tmp/graft_csv_modes_test"
+    LsfCsv.writeCsv(spark, sf("sf0.001"), out)
+    assert(LsfCsv.read(spark, out, "S").columns.toSeq == Seq("doc_id", "n_chars"))
+    assert(LsfCsv.read(spark, out, "M").columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    assert(LsfCsv.read(spark, out, "MS").columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    assert(LsfCsv.read(spark, out, "S").count() == 500)
+    intercept[IllegalArgumentException](LsfCsv.read(spark, out, "X"))
+    // declared schema (not inference) reaches the scan: one pass, typed
+    // (the CSV relation forces nullable=true, so compare names + types)
+    assert(
+      LsfCsv.read(spark, out, "M").schema.map(f => (f.name, f.dataType)) ==
+        LsfCsv.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("fixed patch-size constraints behave like the reference's FixedPatchSizeConstraints") {
+    assert(PatchSizing.fixedRange(16, 32) == (16, 32))
+    intercept[IllegalArgumentException](PatchSizing.fixedRange(32, 16))
+  }
+
   test("validity filter counts skipped rows via observe (no extra pass)") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val expectedShort = docs.filter(col("n_chars") < 200).count()
