@@ -108,6 +108,41 @@ object RelationalQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q7 shape (volume shipping): the two-sided dimension filter
+    // with an OR of nation pairs — supplier/customer nations resolved via
+    // two broadcast copies of the nation dim, revenue per (supp_nation,
+    // cust_nation, year).
+    "q7_volume_shipping" -> ((s, dir) => {
+      val lineitem = s.read
+        .parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      val orders = s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+      val supplier = s.read.parquet(s"$dir/supplier.parquet").select("s_suppkey", "s_nationkey")
+      val customer = s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_nationkey")
+      val n1 = s.read
+        .parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = s.read
+        .parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
     // TPC-H Q18 shape (large-volume orders): the aggregate-then-semijoin
     // pattern — lineitem is aggregated per order (one shuffle with map-side
     // combine), the HAVING survivors join back to orders, customers
@@ -208,6 +243,24 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
