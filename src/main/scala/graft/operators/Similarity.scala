@@ -101,11 +101,51 @@ object Similarity {
       .withColumn("lsh_bucket", call_function("lsh_sig", col(vecCol), lit(nPlanes)))
   }
 
+  /** cosine of a corpus vector (v, n2) against a centroid (cv, cn). */
+  private val cCos =
+    expr("CAST(dot_q(v, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))")
+
+  /** Best centroid per corpus vector WITHOUT shuffling the
+   * (corpus x centroids) pair rows: max over struct(c_cos, -c_id) is a
+   * partial-aggregable groupBy — map-side combine collapses to one row per
+   * vector before the exchange (a row_number window here would shuffle
+   * N x C rows: quadratic). Input columns: (_vid, v, n2). */
+  private def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .join(broadcast(centroids))
+      .select(col("_vid"), cCos.as("c_cos"), (-col("c_id")).as("_nc"))
+      .groupBy(col("_vid"))
+      .agg(max(struct(col("c_cos"), col("_nc"))).as("_b"))
+      .select(col("_vid"), (-col("_b._nc")).as("c_id"))
+
+  /** One Lloyd (k-means) iteration over cosine assignments: each centroid
+   * moves to the exact fixed-point mean of its assigned vectors — sums run
+   * over 1e-3-quantized longs, so the refined centroids are deterministic
+   * at any parallelism (a float avg would be shuffle-order-dependent).
+   * Work per iteration: one assignment pass + one (c_id, dim)-keyed
+   * aggregation over corpus x dim rows — linear in corpus size. */
+  private def lloydIteration(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+    val moved = corpus
+      .join(assigned, "_vid")
+      .select(col("c_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("c_id"), col("d"))
+      .agg(
+        sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("m", expr("CAST(sq AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)"))
+      .groupBy(col("c_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("c_id"), expr("transform(dm, e -> e.m)").as("cv"))
+    GraftFunctions.register(moved.sparkSession)
+    moved.withColumn("cn", call_function("dot_q", col("cv"), col("cv")))
+  }
+
   /** IVF (inverted-file) ANN — the FAISS-style coarse-quantizer shape:
    *
-   *  1. coarse centroids: a deterministic 1/`centroidRate` sample of the
-   *     corpus (hash of the id — no training pass, reproducible at any
-   *     parallelism; a k-means refinement would slot in here unchanged);
+   *  1. coarse centroids: a deterministic 1/`centroidRate` hash sample of
+   *     the corpus (xxhash64 of the id — uniform over arbitrary id sets),
+   *     optionally refined with `kmeansIters` exact Lloyd iterations;
    *  2. assignment: every corpus vector joins the BROADCAST centroid set
    *     and keeps its best-cosine centroid — one linear pass, the
    *     inverted lists are `(centroid, vectors)` groups;
@@ -113,8 +153,9 @@ object Similarity {
    *     ranks exactly within those lists only.
    *
    * Scale: corpus work is linear (broadcast centroids, one shuffle on the
-   * centroid key); query work touches ~nProbe/|centroids| of the corpus.
-   * Recall vs exact is asserted in PipelineSpec on clustered vectors. */
+   * centroid key, plus one linear pass per k-means iteration); query work
+   * touches ~nProbe/|centroids| of the corpus. Recall vs exact (and the
+   * refinement's recall gain) is asserted in PipelineSpec. */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -122,31 +163,18 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column,
       centroidRate: Int,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      kmeansIters: Int = 0): DataFrame = {
     val base = withNorm(emb, vecCol)
-    // hash-sampled centroids: xxhash64 is uniform over ARBITRARY id sets
-    // (a multiplicative `id*prime % rate` degenerates to `id % rate` and
-    // yields zero centroids on non-dense ids; the product also overflows
-    // Long under ANSI for billion-scale ids)
-    val centroids = base
+    val seedCentroids = base
       .filter(expr(s"pmod(xxhash64($idCol), $centroidRate) = 0"))
       .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm2").as("cn"))
-    val cCos =
-      expr("CAST(dot_q(v, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))")
     val corpus = base
       .select(col(idCol).as("_vid"), col(vecCol).as("v"), col("norm2").as("n2"))
-    // argmax-per-vector WITHOUT shuffling the (corpus x centroids) pair
-    // rows: max over struct(c_cos, -c_id) is a partial-aggregable groupBy —
-    // map-side combine collapses to one row per vector before the exchange
-    // (a row_number window here would shuffle N x C rows: quadratic).
-    val bestCentroid = corpus
-      .join(broadcast(centroids))
-      .select(col("_vid"), cCos.as("c_cos"), (-col("c_id")).as("_nc"))
-      .groupBy(col("_vid"))
-      .agg(max(struct(col("c_cos"), col("_nc"))).as("_b"))
-      .select(col("_vid"), (-col("_b._nc")).as("c_id"))
+    val centroids = (1 to kmeansIters)
+      .foldLeft(seedCentroids)((c, _) => lloydIteration(corpus, c))
     val assigned = corpus
-      .join(bestCentroid, "_vid")
+      .join(assignToCentroids(corpus, centroids), "_vid")
       .select(col("_vid").as("neighbor_id"), col("v").as("vb"), col("n2").as("nb"), col("c_id"))
     // the probe fan-out is query-side only (small): a window is fine here
     val probes = base

@@ -122,6 +122,16 @@ class PipelineSpec extends SparkSpec {
       .toSet
     val recallIvf = (exact & ivf).size.toDouble / exact.size
     assert(recallIvf >= 0.8, s"ivf recall $recallIvf")
+    // one exact Lloyd iteration re-centers the hash-seeded centroids on
+    // the planted clusters — recall must stay high
+    val ivfRefined = Similarity
+      .ivfTopK(clustered, "vec_id", "embedding", col("vec_id") % 100 === 0, 50, 4, 5, kmeansIters = 1)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recallRefined = (exact & ivfRefined).size.toDouble / exact.size
+    assert(recallRefined >= 0.8, s"refined ivf recall $recallRefined (seed $recallIvf)")
   }
 
   test("exact dedup keeps one representative per group and covers all docs") {
