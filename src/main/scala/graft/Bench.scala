@@ -184,7 +184,14 @@ object Bench {
     val total = results.map(_._2).sum
     val rollupJson = scaling
       .map { sc =>
-        f""","rollup":{"points":${sc.pts},"n_cores":${sc.n},"n_sec":${sc.wN}%.3f,"4n_sec":${sc.w4N}%.3f,"n_pps":${sc.ppsN}%.0f,"4n_pps":${sc.pps4N}%.0f,"scaling_efficiency":${sc.eff}%.3f,"n_cpu_sec":${sc.cN}%.1f,"4n_cpu_sec":${sc.c4N}%.1f,"cpu_per_point_ratio":${sc.cpuRatio}%.3f}"""
+        // short (<1B-point) runs inflate the CPU ratio with fixed per-run
+        // costs (BENCH.md "size dependence" section); label them so the
+        // JSON is self-describing when read against the >=1B gate evidence
+        val note =
+          if (sc.pts < 1000000000L)
+            ""","note":"short run: fixed per-run CPU inflates the ratio; gate evidence at >=1B points in BENCH.md""""
+          else ""
+        f""","rollup":{"points":${sc.pts},"n_cores":${sc.n},"n_sec":${sc.wN}%.3f,"4n_sec":${sc.w4N}%.3f,"n_pps":${sc.ppsN}%.0f,"4n_pps":${sc.pps4N}%.0f,"scaling_efficiency":${sc.eff}%.3f,"n_cpu_sec":${sc.cN}%.1f,"4n_cpu_sec":${sc.c4N}%.1f,"cpu_per_point_ratio":${sc.cpuRatio}%.3f$note}"""
       }
       .getOrElse("")
     println(
