@@ -114,6 +114,36 @@ object TimeSeriesQueries {
         tolerance = Some(7L * 86400L * 1000000L))
     }),
 
+    // Bucketed range join (the scale-safe interval join — no pairwise
+    // range comparison): every event inside [first purchase, +1h] per
+    // user, aggregated per interval. 15-minute buckets.
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"))
+      val intervals = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts").cast("timestamp"))).as("start_us"))
+        .withColumn("end_us", col("start_us") + 3600000000L)
+      graft.operators.RangeJoin
+        .pointsInIntervals(
+          ev,
+          keys = Seq("user_id"),
+          tCol = "ts_us",
+          intervals = intervals,
+          startCol = "start_us",
+          endCol = "end_us",
+          bucketWidth = 900000000L)
+        .groupBy(col("user_id"), col("start_us"), col("end_us"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
     // Gap-based sessionization (30 min), then per-session aggregates.
     "q_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -242,6 +272,18 @@ object TimeSeriesQueries {
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |         min(epoch_us(ts)) + 3600000000 AS end_us
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT e.user_id, iv.start_us, iv.end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN iv ON e.user_id = iv.user_id
+        |       AND epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) <= iv.end_us
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
