@@ -76,6 +76,43 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(kept == total - expectedShort)
   }
 
+  test("bucketed range join == naive range predicate join, across bucket widths") {
+    import graft.operators.RangeJoin
+    // deterministic synthetic: 500 points over 10 keys, 40 intervals of
+    // assorted spans (sub-bucket, exact-bucket, multi-bucket, zero-length)
+    val points = spark
+      .range(500)
+      .select(
+        (col("id") % 10).as("k"),
+        (col("id") * 37 % 1000).as("t"),
+        col("id").as("pid"))
+    val intervals = spark
+      .range(40)
+      .select(
+        (col("id") % 10).as("k"),
+        (col("id") * 53 % 900).as("lo"),
+        ((col("id") * 53 % 900) + col("id") % 4 * 87).as("hi"),
+        col("id").as("iid"))
+    val naive = points
+      .join(intervals, Seq("k"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(naive.nonEmpty)
+    for (width <- Seq(1L, 13L, 100L, 5000L)) {
+      val bucketed = RangeJoin
+        .pointsInIntervals(points, Seq("k"), "t", intervals, "lo", "hi", width)
+        .select("pid", "iid")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // exactly one match per pair (no dedup needed) and the exact set
+      assert(bucketed.length == bucketed.toSet.size, s"width=$width produced duplicates")
+      assert(bucketed.toSet == naive, s"width=$width mismatch")
+    }
+  }
+
   test("chunked two-level LTTB == single-pass LTTB when series fit one chunk") {
     val ev = spark.read
       .parquet(s"${sf("sf0.001")}/events.parquet")
