@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
  * and DuckDB), quantized to fixed point via floor(x*10^k + 0.5), and
  * cross-row sums run over DECIMAL(38,0) so they are exact and order-free
  * at ANY group size (a BIGINT sum of quantized terms would overflow around
- * 10^13 points per source at 100-TB scale).
+ * 10^13 points per source at 100-TB scale). The DECIMAL stays INTERNAL:
+ * every emitted *_q_sum column is cast to BIGINT on both engines (the
+ * verified sums fit a long by orders of magnitude at oracle scale, and
+ * BIGINT is the one wide-integer type both hashers canonicalize alike).
  *
  * Scale shape: everything before the final groupBy(source) is row-local
  * (array ops / posexplode over bounded 16-or-80-element windows), so the
@@ -66,6 +69,7 @@ object MetricQueries {
         .agg(
           count(lit(1)).as("n_points"),
           sum(expr(tq("term"))).as("mape_q_sum"))
+        .withColumn("mape_q_sum", col("mape_q_sum").cast("long"))
         .withColumn(
           "mape",
           expr("CAST(mape_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
@@ -84,6 +88,7 @@ object MetricQueries {
         .agg(
           count(lit(1)).as("n_points"),
           sum(expr(tq("term"))).as("smape_q_sum"))
+        .withColumn("smape_q_sum", col("smape_q_sum").cast("long"))
         .withColumn(
           "smape",
           expr("CAST(smape_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
@@ -114,6 +119,7 @@ object MetricQueries {
         .agg(
           count(lit(1)).as("n_points"),
           sum(expr(tq("term"))).as("pinball_q_sum"))
+        .withColumn("pinball_q_sum", col("pinball_q_sum").cast("long"))
         .withColumn(
           "pinball",
           expr("CAST(pinball_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
@@ -154,7 +160,10 @@ object MetricQueries {
             .as("nmse_q_sum"),
           sum(expr("CAST(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
             .as("nrmse_q_sum"))
-        .withColumn("nmae", expr("CAST(nmae_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
+        .withColumn("nmae_q_sum", col("nmae_q_sum").cast("long"))
+        .withColumn("nmse_q_sum", col("nmse_q_sum").cast("long"))
+        .withColumn("nrmse_q_sum", col("nrmse_q_sum").cast("long"))
+        .withColumn("nmae",expr("CAST(nmae_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
         .withColumn("nmse", expr("CAST(nmse_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
         .withColumn("nrmse", expr("CAST(nrmse_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
 
@@ -186,6 +195,7 @@ object MetricQueries {
           count(lit(1)).as("n_windows"),
           sum(expr("CAST(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
             .as("mase_q_sum"))
+        .withColumn("mase_q_sum", col("mase_q_sum").cast("long"))
         .withColumn(
           "mase",
           expr("CAST(mase_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
@@ -222,6 +232,7 @@ object MetricQueries {
           count(lit(1)).as("n_windows"),
           sum(expr("CAST(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
             .as("msis_q_sum"))
+        .withColumn("msis_q_sum", col("msis_q_sum").cast("long"))
         .withColumn(
           "msis",
           expr("CAST(msis_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
@@ -255,19 +266,26 @@ object MetricQueries {
         .groupBy(col("source"))
         .agg(
           sum(when(col("q_decile") === 1, 1L).otherwise(0L)).as("n_points"),
-          sum(when(col("q_decile") === 1, expr("CAST(abs(y) AS BIGINT)")).otherwise(0L))
-            .as("sum_abs_y"),
+          sum(
+            when(col("q_decile") === 1, expr("CAST(CAST(abs(y) AS BIGINT) AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sum_abs_y"),
           sum(
             when(
               col("q_decile") === 1,
-              expr("CAST(floor(abs(CAST(y AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT)"))
-              .otherwise(0L)).as("nd_q_sum"),
+              expr(
+                "CAST(CAST(floor(abs(CAST(y AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT) " +
+                  "AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("nd_q_sum"),
           sum(
             when(
               col("q_decile") === 1,
               expr("CAST(CAST(y - med AS BIGINT) * (y - med) AS DECIMAL(38,0))"))
               .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("med_se_sum"),
           sum(expr(tq("pin"))).as("pinball_all_q"))
+        .withColumn("sum_abs_y", col("sum_abs_y").cast("long"))
+        .withColumn("nd_q_sum", col("nd_q_sum").cast("long"))
+        .withColumn("med_se_sum", col("med_se_sum").cast("long"))
+        .withColumn("pinball_all_q", col("pinball_all_q").cast("long"))
         .withColumn(
           "nd",
           expr(
@@ -328,7 +346,7 @@ object MetricQueries {
          |SELECT source, count(*) AS n_points,
          |       CAST(sum(${tqSql(
           "100.0 * abs(CAST(y AS DOUBLE) - naive) / " +
-            "CASE WHEN abs(y) = 0 THEN 1.0 ELSE CAST(abs(y) AS DOUBLE) END")}) AS DECIMAL(38,0))
+            "CASE WHEN abs(y) = 0 THEN 1.0 ELSE CAST(abs(y) AS DOUBLE) END")}) AS BIGINT)
          |         AS mape_q_sum,
          |       CAST(sum(${tqSql(
           "100.0 * abs(CAST(y AS DOUBLE) - naive) / " +
@@ -341,7 +359,7 @@ object MetricQueries {
          |       CAST(sum(${tqSql(
           "200.0 * abs(CAST(y AS DOUBLE) - naive) / " +
             "CASE WHEN CAST(abs(y) AS DOUBLE) + abs(naive) = 0.0 THEN 1.0 " +
-            "ELSE CAST(abs(y) AS DOUBLE) + abs(naive) END")}) AS DECIMAL(38,0))
+            "ELSE CAST(abs(y) AS DOUBLE) + abs(naive) END")}) AS BIGINT)
          |         AS smape_q_sum,
          |       CAST(sum(${tqSql(
           "200.0 * abs(CAST(y AS DOUBLE) - naive) / " +
@@ -371,7 +389,7 @@ object MetricQueries {
          |  JOIN pts p ON p.doc_id = w.doc_id
          |             AND p.pos >= w.fs AND p.pos < w.fs + $Hor)
          |SELECT source, q_decile, count(*) AS n_points,
-         |       CAST(sum(${tqSql("term")}) AS DECIMAL(38,0)) AS pinball_q_sum,
+         |       CAST(sum(${tqSql("term")}) AS BIGINT) AS pinball_q_sum,
          |       CAST(sum(${tqSql("term")}) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)
          |         AS pinball
          |FROM terms GROUP BY 1, 2""".stripMargin,
@@ -395,9 +413,9 @@ object MetricQueries {
          |           / (CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END) AS nrmse_w
          |  FROM perwin)
          |SELECT source, count(*) AS n_windows,
-         |       CAST(sum(CAST(floor(nmae_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS nmae_q_sum,
-         |       CAST(sum(CAST(floor(nmse_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS nmse_q_sum,
-         |       CAST(sum(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS nrmse_q_sum,
+         |       CAST(sum(CAST(floor(nmae_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nmae_q_sum,
+         |       CAST(sum(CAST(floor(nmse_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nmse_q_sum,
+         |       CAST(sum(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nrmse_q_sum,
          |       CAST(sum(CAST(floor(nmae_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS nmae,
          |       CAST(sum(CAST(floor(nmse_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
@@ -425,7 +443,7 @@ object MetricQueries {
          |                   ELSE CAST(s.se_num AS DOUBLE) / ${Ctx - Season}.0 END) AS mase_w
          |  FROM perwin pw JOIN sen s ON s.doc_id = pw.doc_id AND s.w = pw.w)
          |SELECT source, count(*) AS n_windows,
-         |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS mase_q_sum,
+         |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mase_q_sum,
          |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS mase
          |FROM wvals GROUP BY 1""".stripMargin,
@@ -466,7 +484,7 @@ object MetricQueries {
          |                   ELSE CAST(s.se_num AS DOUBLE) / ${Ctx - Season}.0 END) AS msis_w
          |  FROM pw JOIN sen s ON s.doc_id = pw.doc_id AND s.w = pw.w)
          |SELECT source, count(*) AS n_windows,
-         |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS msis_q_sum,
+         |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS msis_q_sum,
          |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS msis
          |FROM wv GROUP BY 1""".stripMargin,
@@ -487,7 +505,7 @@ object MetricQueries {
          |  SELECT source, count(*) AS n_points,
          |         CAST(sum(abs(y)) AS BIGINT) AS sum_abs_y,
          |         CAST(sum(${tqSql("abs(CAST(y AS DOUBLE) - naive)")}) AS BIGINT) AS nd_q_sum,
-         |         CAST(sum(CAST(y - med AS BIGINT) * (y - med)) AS DECIMAL(38,0)) AS med_se_sum
+         |         CAST(sum(CAST(y - med AS BIGINT) * (y - med)) AS BIGINT) AS med_se_sum
          |  FROM hp2 GROUP BY 1),
          |lv AS (SELECT unnest(range(1, 10)) AS q_decile),
          |pins AS (
@@ -495,7 +513,7 @@ object MetricQueries {
          |         CAST(sum(${tqSql(
           "CASE WHEN h.y > c.tok THEN (CAST(l.q_decile AS DOUBLE) / 10.0) * CAST(h.y - c.tok AS DOUBLE) " +
             "ELSE (1.0 - CAST(l.q_decile AS DOUBLE) / 10.0) * CAST(c.tok - h.y AS DOUBLE) END")})
-         |           AS DECIMAL(38,0)) AS pinball_all_q
+         |           AS BIGINT) AS pinball_all_q
          |  FROM hp2 h
          |  JOIN lv l ON TRUE
          |  JOIN cr c ON c.doc_id = h.doc_id AND c.w = h.w

@@ -249,7 +249,7 @@ object StatQueries {
          |  FROM pts GROUP BY 1, 2, 3)
          |SELECT bucket, window_start,
          |${(0 until 20)
-          .map(i => s"       sum(CASE WHEN source = 'src$i' THEN sum_tok END) AS src$i")
+          .map(i => s"       CAST(sum(CASE WHEN source = 'src$i' THEN sum_tok END) AS BIGINT) AS src$i")
           .mkString(",\n")}
          |FROM t GROUP BY 1, 2""".stripMargin,
     "q_scaler_absmean" ->

@@ -86,7 +86,11 @@ object TokenRollupQueries {
           col("st.max_tok").as("max_tok"),
           col("st.sum_tok").as("sum_tok"),
           col("st.cnt_tok").as("cnt_tok"),
-          col("st.sumsq_tok").as("sumsq_tok"))
+          // The UDAF's 128-bit-exact DECIMAL(38,0) accumulator stays
+          // internal; the emitted column is BIGINT (fits by orders of
+          // magnitude at oracle scale, and hashes identically on both
+          // engines — DECIMAL output was the round-2 hash-gate failure).
+          col("st.sumsq_tok").cast("long").as("sumsq_tok"))
     }),
 
     // Patchify (uni2ts transform/patch.py:123-159): per-doc reshape of the
@@ -139,7 +143,7 @@ object TokenRollupQueries {
          |SELECT source, CAST(pos // 64 AS INT) AS bucket,
          |       min(tok) AS min_tok, max(tok) AS max_tok,
          |       CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
-         |       CAST(sum(CAST(tok AS BIGINT) * tok) AS DECIMAL(38,0)) AS sumsq_tok
+         |       CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
          |FROM pts GROUP BY 1, 2""".stripMargin,
     "q_rollup_1m" -> tierOracle("1m", 60),
     "q_rollup_5m" -> tierOracle("5m", 300),
