@@ -194,8 +194,15 @@ object Bench {
         f""","rollup":{"points":${sc.pts},"n_cores":${sc.n},"n_sec":${sc.wN}%.3f,"4n_sec":${sc.w4N}%.3f,"n_pps":${sc.ppsN}%.0f,"4n_pps":${sc.pps4N}%.0f,"scaling_efficiency":${sc.eff}%.3f,"n_cpu_sec":${sc.cN}%.1f,"4n_cpu_sec":${sc.c4N}%.1f,"cpu_per_point_ratio":${sc.cpuRatio}%.3f$note}"""
       }
       .getOrElse("")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$rollupJson$ladderJson}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$rollupJson$ladderJson}"""
+    // The driver's stdout tail-capture truncates long lines (it lost the
+    // first ~10 queries of the round-1/2 JSON), so persist the full line to
+    // a file next to BENCH.md as the durable machine-readable copy.
+    Files.write(
+      Paths.get("bench_out.json"),
+      (jsonLine + "\n").getBytes(StandardCharsets.UTF_8))
+    println(jsonLine)
 
     // -- Scaling evidence into BENCH.md (north-rule reporting) -----------
     // Rows are inserted directly under the table header at the sentinel

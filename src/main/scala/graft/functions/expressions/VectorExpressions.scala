@@ -63,6 +63,14 @@ object VectorKernels {
     false
   }
 
+  /** NULL-result guard for the pairwise kernels: a dimension-mismatched
+   * vector pair yields NULL (matching `zip_with`'s null-padding semantics —
+   * a silent min-length prefix product would rank a plausible-but-wrong
+   * cosine in ANN/top-k with no signal), as does any null element in the
+   * compared range. */
+  def mismatchOrNullPrefix(a: ArrayData, b: ArrayData): Boolean =
+    a.numElements() != b.numElements() || hasNullPrefix(a, b)
+
   /** Allocation-free dot product straight off ArrayData — the entry point
    * for both the interpreted eval and the generated Java call (so DotQ
    * stays inside whole-stage codegen instead of forcing a fallback).
@@ -116,7 +124,7 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_q"
-  // null element anywhere in the compared prefix => NULL result
+  // dimension mismatch, or a null element anywhere => NULL result
   override def nullable: Boolean = true
 
   private def aFloat = elemOf(left.dataType).contains(FloatType)
@@ -125,7 +133,7 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    if (VectorKernels.hasNullPrefix(aa, bb)) null
+    if (VectorKernels.mismatchOrNullPrefix(aa, bb)) null
     else VectorKernels.dotQData(aa, bb, aFloat, bFloat)
   }
 
@@ -137,7 +145,7 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
       ctx,
       ev,
       (a, b) =>
-        s"""if (graft.functions.expressions.VectorKernels$$.MODULE$$.hasNullPrefix($a, $b)) {
+        s"""if (graft.functions.expressions.VectorKernels$$.MODULE$$.mismatchOrNullPrefix($a, $b)) {
            |  ${ev.isNull} = true;
            |} else {
            |  ${ev.value} = graft.functions.expressions.VectorKernels$$.MODULE$$

@@ -44,6 +44,14 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
+    // The construction owns the _t/_tag/_rrow/_last_r working columns and
+    // the struct field name _rt; an input column with one of those names
+    // would silently resolve to the wrong thing, so refuse it up front.
+    val reserved = Set("_t", "_tag", "_rrow", "_last_r", "_rt")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(
+      clash.isEmpty,
+      s"asOf inputs must not contain reserved column name(s): ${clash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val tagged =
       left

@@ -26,10 +26,14 @@ object Validity {
     val obs = Observation(name)
     // count(when(...)), not sum(when(...)): sum over ZERO rows observes
     // NULL and a caller's .asInstanceOf[Long] would NPE on an empty stage;
-    // count is 0 on empty input.
+    // count is 0 on empty input. The skip predicate must be
+    // `isNull || !valid`, not `!valid` alone: a NULL predicate row (e.g. a
+    // null tokens column under size(tokens) >= 1) is dropped by
+    // .filter(valid) but !NULL is NULL, so it would escape the counter and
+    // break the skipped + kept == total invariant.
     val observed = df.observe(
       obs,
-      count(when(!valid, lit(1))).as("skipped"),
+      count(when(valid.isNull || !valid, lit(1))).as("skipped"),
       count(lit(1)).as("total"))
     (observed.filter(valid), obs)
   }

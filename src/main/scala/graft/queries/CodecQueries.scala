@@ -135,50 +135,68 @@ object CodecQueries {
     }),
 
     // Tier payload compression (FIXTURES.md §2 schema): per (source, bucket)
-    // the 1m tier's window/avg series packed as dod/gorilla blobs.
-    // Rows-only check (blob sizes are engine-specific); the round-trip
-    // equality is asserted by aggregate checksums over the decoded arrays.
-    "q_tier_payload" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      import graft.core.Tier
-      import graft.operators.Rollup
-      Rollup
-        .rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
-        .groupBy(col("source"), col("bucket"))
-        .agg(
-          sort_array(collect_list(struct(col("window_start"), col("avg_tok"))))
-            .as("series"))
-        .select(
-          col("source"),
-          col("bucket"),
-          size(col("series")).as("n_windows"),
-          call_function(
-            "dod_encode",
-            expr("transform(series, s -> CAST(s.window_start AS BIGINT))")).as("payload_ts"),
-          call_function(
-            "gorilla_encode",
-            expr("transform(series, s -> s.avg_tok)")).as("payload_values"),
-          call_function(
-            "chimp_encode",
-            expr("transform(series, s -> s.avg_tok)")).as("payload_values_chimp"))
-        .select(
-          col("source"),
-          col("bucket"),
-          col("n_windows"),
-          octet_length(col("payload_ts")).as("ts_bytes"),
-          octet_length(col("payload_values")).as("values_bytes"),
-          // codec bake-off column: chimp vs gorilla on the same series
-          octet_length(col("payload_values_chimp")).as("values_bytes_chimp"),
-          (col("n_windows") * 8).as("raw_bytes_each"),
-          expr("aggregate(dod_decode(payload_ts), 0L, (a, x) -> a + x)").as("ts_sum_check"),
-          expr(
-            "aggregate(gorilla_decode(payload_values), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-            .as("values_sum_check"),
-          expr(
-            "aggregate(chimp_decode(payload_values_chimp), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-            .as("values_sum_check_chimp"))
-    })
+    // the 1m tier's window/avg series packed as dod/gorilla/chimp blobs,
+    // then DECODED again and checksummed — ts as an exact integer sum, the
+    // avg series quantized per element (floor(x*1000+0.5), exact since the
+    // codecs are lossless) then integer-summed, so the whole encode→decode
+    // round trip is reproducible by a plain SQL oracle over the raw points.
+    "q_tier_payload" -> ((s, dir) =>
+      tierPayload(s, dir).select(
+        col("source"),
+        col("bucket"),
+        col("n_windows"),
+        expr("aggregate(dod_decode(payload_ts), 0L, (a, x) -> a + x)").as("ts_sum_check"),
+        expr(
+          "aggregate(gorilla_decode(payload_values), 0L, " +
+            "(a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+          .as("values_q_sum"),
+        expr(
+          "aggregate(chimp_decode(payload_values_chimp), 0L, " +
+            "(a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+          .as("values_q_sum_chimp"))),
+
+    // Engine-specific payload geometry (blob sizes, compression ratio
+    // inputs): rows-only by nature — byte counts depend on the bit layout,
+    // which no SQL oracle can reproduce. CodecSpec covers the layout.
+    "q_tier_payload_sizes" -> ((s, dir) =>
+      tierPayload(s, dir).select(
+        col("source"),
+        col("bucket"),
+        col("n_windows"),
+        octet_length(col("payload_ts")).as("ts_bytes"),
+        octet_length(col("payload_values")).as("values_bytes"),
+        // codec bake-off column: chimp vs gorilla on the same series
+        octet_length(col("payload_values_chimp")).as("values_bytes_chimp"),
+        (col("n_windows") * 8).as("raw_bytes_each")))
   )
+
+  /** Shared encode stage for the two q_tier_payload views: the 1m tier's
+   * (window_start, avg_tok) series per (source, bucket) packed as
+   * dod/gorilla/chimp blobs. */
+  private def tierPayload(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import graft.core.Tier
+    import graft.operators.Rollup
+    Rollup
+      .rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        sort_array(collect_list(struct(col("window_start"), col("avg_tok"))))
+          .as("series"))
+      .select(
+        col("source"),
+        col("bucket"),
+        size(col("series")).as("n_windows"),
+        call_function(
+          "dod_encode",
+          expr("transform(series, s -> CAST(s.window_start AS BIGINT))")).as("payload_ts"),
+        call_function(
+          "gorilla_encode",
+          expr("transform(series, s -> s.avg_tok)")).as("payload_values"),
+        call_function(
+          "chimp_encode",
+          expr("transform(series, s -> s.avg_tok)")).as("payload_values_chimp"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_codec_gorilla_roundtrip" ->
@@ -233,8 +251,25 @@ object CodecQueries {
          |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
          |       CAST(sum(CAST(floor(y * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
-         |FROM f GROUP BY 1, 2""".stripMargin
-    // q_tier_payload: rows-only (engine-specific blob sizes); round-trip
-    // exactness is covered by CodecSpec properties + the two queries above.
+         |FROM f GROUP BY 1, 2""".stripMargin,
+    // The decoded-payload checksums are plain tier math: the codecs are
+    // lossless, so decode(encode(avg series)) quantizes to exactly the
+    // per-window floor(avg*1000+0.5) recomputed here from raw points.
+    "q_tier_payload" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
+         |  FROM pts GROUP BY 1, 2, 3)
+         |SELECT source, bucket, CAST(count(*) AS INT) AS n_windows,
+         |       CAST(sum(window_start) AS BIGINT) AS ts_sum_check,
+         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
+         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum,
+         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
+         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum_chimp
+         |FROM t GROUP BY 1, 2""".stripMargin
+    // q_tier_payload_sizes: rows-only (engine-specific blob byte counts);
+    // the bit layouts are covered by CodecSpec properties.
   )
 }

@@ -76,6 +76,41 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(kept == total - expectedShort)
   }
 
+  test("validity counter includes NULL-predicate rows (skipped + kept == total)") {
+    import spark.implicits._
+    // x = null rows make the predicate x >= 2 evaluate to NULL: dropped by
+    // the filter, and they must be COUNTED as skipped (ADVICE round 2).
+    val df = Seq[(Int, Option[Int])]((1, Some(5)), (2, None), (3, Some(1)), (4, None))
+      .toDF("id", "x")
+    val (valid, obs) = Validity.filterWithCounter(df, col("x") >= 2, "validity-null-test")
+    val kept = valid.count()
+    assert(kept == 1)
+    assert(obs.get("skipped").asInstanceOf[Long] == 3) // 2 nulls + 1 false
+    assert(obs.get("total").asInstanceOf[Long] == 4)
+  }
+
+  test("dot_q returns NULL for dimension-mismatched vectors (zip_with parity)") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark
+      .sql(
+        "SELECT dot_q(array(1.0D, 2.0D), array(3.0D)) AS mismatch, " +
+          "dot_q(array(1.0D), array(CAST(NULL AS DOUBLE))) AS nullelem, " +
+          "dot_q(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok")
+      .collect()(0)
+    assert(row.isNullAt(0), "length mismatch must yield NULL, not a prefix product")
+    assert(row.isNullAt(1))
+    assert(row.getLong(2) == 1000L * 3000L + 2000L * 4000L)
+  }
+
+  test("asOf rejects inputs that shadow its reserved working columns") {
+    import spark.implicits._
+    val bad = Seq((1L, 10L, 1.0)).toDF("k", "_t", "v")
+    val right = Seq((1L, 5L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.AsOfJoin.asOf(bad, right, Seq("k"), "_t", "ts", Seq("v")))
+    assert(e.getMessage.contains("_t"))
+  }
+
   test("bucketed range join == naive range predicate join, across bucket widths") {
     import graft.operators.RangeJoin
     // deterministic synthetic: 500 points over 10 keys, 40 intervals of
