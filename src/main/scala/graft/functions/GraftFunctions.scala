@@ -27,7 +27,11 @@ object GraftFunctions {
     "precond_forward" -> (args =>
       PrecondForward(args.head, foldInt(args(1)), foldStr(args(2)))),
     "precond_reverse" -> (args =>
-      PrecondReverse(args.head, foldInt(args(1)), foldStr(args(2))))
+      PrecondReverse(args.head, foldInt(args(1)), foldStr(args(2)))),
+    // precond_reverse_ctx(window, degree, 'chebyshev', context): decode a
+    // window given the original-scale history preceding it
+    "precond_reverse_ctx" -> (args =>
+      PrecondReverseCtx(args.head, args(3), foldInt(args(1)), foldStr(args(2))))
   )
 
   private def foldInt(e: Expression): Int =

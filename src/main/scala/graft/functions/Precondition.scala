@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -115,12 +115,62 @@ object Precondition {
     }
     out
   }
+
+  /** Reverse with an EXTERNAL CONTEXT buffer (precondition.py:436-524,
+   * `context` parameter; the REVERSAL_CONTEXT_BUG_FIX.md scenario): decode
+   * a WINDOW of a forward-recoded series given only the window plus the
+   * already-decoded, ORIGINAL-SCALE history immediately preceding it.
+   *
+   * Unlike [[reverse]] (which treats the first n positions as identity —
+   * only correct when the window starts at the true series head), EVERY
+   * window position subtracts its coefficient-weighted history sum; for
+   * the first n positions the history indices resolve into `context`.
+   * History terms that fall before the start of a too-short context are
+   * skipped, matching the reference's partial-context behavior. */
+  def reverseWithContext(
+      yt: Array[Double],
+      c: Array[Double],
+      context: Array[Double]): Array[Double] = {
+    val n = c.length
+    val m = context.length
+    val out = new Array[Double](yt.length)
+    var t = 0
+    while (t < yt.length) {
+      var ws = 0.0
+      var i = 1
+      while (i <= n) {
+        val hist = t - i // <0 => reach into the context buffer
+        if (hist >= 0) ws += c(i - 1) * out(hist)
+        else if (m + hist >= 0) ws += c(i - 1) * context(m + hist)
+        i += 1
+      }
+      out(t) = yt(t) - ws
+      t += 1
+    }
+    out
+  }
 }
 
-abstract class PrecondExpression extends UnaryExpression with CodegenFallback {
+/** Each precondition expression has a REAL `doGenCode` (one call into the
+ * static kernels below, coefficients passed via `addReferenceObj`), so the
+ * recode projections keep a single whole-stage-codegen span — same
+ * rationale as [[graft.functions.expressions.CodecKernels]]. */
+object PrecondKernels {
+  def forwardData(a: ArrayData, c: Array[Double]): ArrayData =
+    new GenericArrayData(Precondition.forward(a.toDoubleArray(), c))
+  def reverseData(a: ArrayData, c: Array[Double]): ArrayData =
+    new GenericArrayData(Precondition.reverse(a.toDoubleArray(), c))
+  def reverseCtxData(a: ArrayData, c: Array[Double], context: ArrayData): ArrayData =
+    new GenericArrayData(
+      Precondition.reverseWithContext(a.toDoubleArray(), c, context.toDoubleArray()))
+}
+
+abstract class PrecondExpression extends UnaryExpression {
   def polyType: String
   def degree: Int
   protected lazy val cs: Array[Double] = Precondition.coeffs(polyType, degree)
+  /** Unqualified [[PrecondKernels]] method to call from generated code. */
+  protected def kernel: String
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -128,15 +178,23 @@ abstract class PrecondExpression extends UnaryExpression with CodegenFallback {
         TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $t")
     }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("precondCoeffs", cs, "double[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      in =>
+        s"${ev.value} = graft.functions.PrecondKernels$$.MODULE$$.$kernel($in, $cRef);")
+  }
 }
 
 /** precond_forward(array<double>, degree, 'chebyshev'|'legendre') */
 case class PrecondForward(child: Expression, degree: Int, polyType: String)
     extends PrecondExpression {
   override def prettyName: String = "precond_forward"
+  override protected def kernel: String = "forwardData"
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      Precondition.forward(input.asInstanceOf[ArrayData].toDoubleArray(), cs))
+    PrecondKernels.forwardData(input.asInstanceOf[ArrayData], cs)
   override protected def withNewChildInternal(newChild: Expression): PrecondForward =
     copy(child = newChild)
 }
@@ -145,9 +203,47 @@ case class PrecondForward(child: Expression, degree: Int, polyType: String)
 case class PrecondReverse(child: Expression, degree: Int, polyType: String)
     extends PrecondExpression {
   override def prettyName: String = "precond_reverse"
+  override protected def kernel: String = "reverseData"
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      Precondition.reverse(input.asInstanceOf[ArrayData].toDoubleArray(), cs))
+    PrecondKernels.reverseData(input.asInstanceOf[ArrayData], cs)
   override protected def withNewChildInternal(newChild: Expression): PrecondReverse =
     copy(child = newChild)
+}
+
+/** `precond_reverse_ctx(window, degree, type, context)`: decode a WINDOW of
+ * a forward-recoded series given the original-scale history `context`
+ * immediately preceding it — [[Precondition.reverseWithContext]]. */
+case class PrecondReverseCtx(
+    left: Expression,
+    right: Expression,
+    degree: Int,
+    polyType: String)
+    extends BinaryExpression {
+  private lazy val cs: Array[Double] = Precondition.coeffs(polyType, degree)
+  override def prettyName: String = "precond_reverse_ctx"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(window: Any, context: Any): Any =
+    PrecondKernels.reverseCtxData(
+      window.asInstanceOf[ArrayData],
+      cs,
+      context.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("precondCoeffs", cs, "double[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (w, c) =>
+        s"${ev.value} = graft.functions.PrecondKernels$$.MODULE$$.reverseCtxData($w, $cRef, $c);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): PrecondReverseCtx = copy(left = newLeft, right = newRight)
 }

