@@ -44,8 +44,58 @@ object PatchSizing {
 
   def legalRange(freq: String): (Int, Int) =
     DefaultRanges.getOrElse(
-      freq,
+      baseAlias(freq),
       throw new IllegalArgumentException(s"unknown freq alias: $freq"))
+
+  /** Strip a multiplier prefix from a freq alias: "5T" -> "T", "W" -> "W"
+   * (the offset-name normalization the reference gets from pandas). */
+  def baseAlias(freq: String): String = freq.dropWhile(_.isDigit)
+
+  /** `pd.infer_freq` analogue (data/builder/simple.py:49-58): infer the
+   * freq alias from a series' epoch-SECOND timestamps, or None when the
+   * spacing is irregular — the caller falls back to its configured
+   * default, exactly like the reference's `_from_long_dataframe`.
+   *
+   * Fixed-span units return "<k><unit>" for multiples (e.g. "5T");
+   * calendar units (M/Q/A, whose spans vary by month length / leap years)
+   * are recognized by their span envelope; business-daily ("B") by the
+   * 1-day-steps-with-3-day-weekend signature. */
+  def inferFreq(epochSeconds: Seq[Long]): Option[String] = {
+    if (epochSeconds.length < 3) return None // pd.infer_freq needs >= 3 stamps
+    val deltas = epochSeconds.iterator.sliding(2).map(p => p(1) - p(0)).toVector
+    if (deltas.exists(_ <= 0)) return None
+    val Day = 86400L
+    val distinct = deltas.distinct.sorted
+    if (distinct == Vector(Day, 3 * Day)) return Some("B")
+    if (distinct.size == 1) {
+      val d = distinct.head
+      def of(unitSec: Long, alias: String): Option[String] = {
+        val m = d / unitSec
+        Some(if (m == 1) alias else s"$m$alias")
+      }
+      return if (d % 604800L == 0) of(604800L, "W")
+      else if (d % Day == 0) of(Day, "D")
+      else if (d % 3600L == 0) of(3600L, "H")
+      else if (d % 60L == 0) of(60L, "T")
+      else of(1L, "S")
+    }
+    val (lo, hi) = (deltas.min, deltas.max)
+    if (lo >= 28 * Day && hi <= 31 * Day) Some("M")
+    else if (lo >= 89 * Day && hi <= 92 * Day) Some("Q")
+    else if (lo >= 365 * Day && hi <= 366 * Day) Some("A")
+    else None
+  }
+
+  /** End-to-end: infer the freq from timestamps (falling back to
+   * `defaultFreq` when inference fails) and resolve the patch size. */
+  def resolveFromTimestamps(
+      epochSeconds: Seq[Long],
+      minTimePatches: Int,
+      defaultFreq: String = "H",
+      candidateSet: Seq[Int] = DefaultCandidates): Int = {
+    val freq = inferFreq(epochSeconds).getOrElse(defaultFreq)
+    resolve(freq, epochSeconds.length, minTimePatches, candidateSet)
+  }
 
   /** All legal candidates for (freq, series length, minTimePatches). */
   def candidates(

@@ -21,18 +21,27 @@ object EvalQueries {
   private[queries] val Hor = 16
   private[queries] val Stride = 32
 
-  private[queries] def rollingWindows(s: SparkSession, dir: String): DataFrame =
+  /** Window grammar with explicit geometry — the reference parameterizes
+   * (windows, distance, prediction_length, context_length) per dataset
+   * (eval_util/data.py:263-402); the defaults above are this engine's
+   * standard grid, and q_rolling_eval_alt proves the grammar is general. */
+  private[queries] def rollingWindows(
+      s: SparkSession,
+      dir: String,
+      ctx: Int = Ctx,
+      hor: Int = Hor,
+      stride: Int = Stride): DataFrame =
     TokenTable
       .raw(s, dir)
-      .filter(col("n_tok") >= Ctx + Hor)
+      .filter(col("n_tok") >= ctx + hor)
       .select(
         col("doc_id"),
         col("source"),
         col("tokens"),
-        explode(sequence(lit(0), expr(s"(n_tok - ${Ctx + Hor}) DIV $Stride"))).as("w"))
-      .withColumn("fs", lit(Ctx) + col("w") * Stride)
-      .withColumn("ctx", expr(s"slice(tokens, fs - $Ctx + 1, $Ctx)"))
-      .withColumn("hor", expr(s"slice(tokens, fs + 1, $Hor)"))
+        explode(sequence(lit(0), expr(s"(n_tok - ${ctx + hor}) DIV $stride"))).as("w"))
+      .withColumn("fs", lit(ctx) + col("w") * stride)
+      .withColumn("ctx", expr(s"slice(tokens, fs - $ctx + 1, $ctx)"))
+      .withColumn("hor", expr(s"slice(tokens, fs + 1, $hor)"))
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Window enumeration + per-window context/horizon statistics.
@@ -44,6 +53,21 @@ object EvalQueries {
           col("w"),
           expr("array_min(ctx)").as("ctx_min"),
           expr("array_max(ctx)").as("ctx_max"),
+          expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
+          expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
+
+    // Same grammar at a NON-default geometry (context 48, horizon 24,
+    // stride 40) — proving (ctx, hor, stride) are genuinely free
+    // parameters, as in the reference's per-dataset eval configuration.
+    "q_rolling_eval_alt" -> ((s, dir) =>
+      rollingWindows(s, dir, ctx = 48, hor = 24, stride = 40)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("w"),
+          col("fs"),
+          size(col("ctx")).as("ctx_len"),
+          size(col("hor")).as("hor_len"),
           expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
           expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
 
@@ -70,15 +94,20 @@ object EvalQueries {
             (col("n_windows") * Hor).cast("double")))
   )
 
-  private[queries] val WinCte =
+  /** Window CTE at explicit geometry — the oracle twin of
+   * [[rollingWindows]]'s (ctx, hor, stride) parameters. */
+  private[queries] def winCteAt(ctx: Int, hor: Int, stride: Int): String =
     s"""${TokenRollupQueries.PtsCte},
        |docs_n AS (SELECT doc_id, source, count(*) AS n FROM pts GROUP BY 1, 2),
        |wins AS (
        |  SELECT d.doc_id, d.source, CAST(t.w AS INT) AS w,
-       |         CAST($Ctx + t.w * $Stride AS INT) AS fs
+       |         CAST($ctx + t.w * $stride AS INT) AS fs
        |  FROM docs_n d,
-       |       LATERAL (SELECT unnest(range(0, (d.n - ${Ctx + Hor}) // $Stride + 1)) AS w) t
-       |  WHERE d.n >= ${Ctx + Hor}),
+       |       LATERAL (SELECT unnest(range(0, (d.n - ${ctx + hor}) // $stride + 1)) AS w) t
+       |  WHERE d.n >= ${ctx + hor})""".stripMargin
+
+  private[queries] val WinCte =
+    s"""${winCteAt(Ctx, Hor, Stride)},
        |ctxagg AS (
        |  SELECT w.doc_id, w.source, w.w,
        |         min(p.tok) AS ctx_min, max(p.tok) AS ctx_max,
@@ -98,6 +127,26 @@ object EvalQueries {
       s"""$WinCte
          |SELECT CAST(c.doc_id AS VARCHAR) AS doc_id, c.source, c.w,
          |       c.ctx_min, c.ctx_max, c.ctx_sum, h.hor_sum
+         |FROM ctxagg c JOIN horagg h
+         |  ON c.doc_id = h.doc_id AND c.w = h.w""".stripMargin,
+    "q_rolling_eval_alt" ->
+      s"""${winCteAt(48, 24, 40)},
+         |ctxagg AS (
+         |  SELECT w.doc_id, w.source, w.w, w.fs,
+         |         CAST(count(*) AS INT) AS ctx_len,
+         |         CAST(sum(p.tok) AS BIGINT) AS ctx_sum
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - 48 AND p.pos < w.fs
+         |  GROUP BY 1, 2, 3, 4),
+         |horagg AS (
+         |  SELECT w.doc_id, w.w,
+         |         CAST(count(*) AS INT) AS hor_len,
+         |         CAST(sum(p.tok) AS BIGINT) AS hor_sum
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs AND p.pos < w.fs + 24
+         |  GROUP BY 1, 2)
+         |SELECT CAST(c.doc_id AS VARCHAR) AS doc_id, c.source, c.w, c.fs,
+         |       c.ctx_len, h.hor_len, c.ctx_sum, h.hor_sum
          |FROM ctxagg c JOIN horagg h
          |  ON c.doc_id = h.doc_id AND c.w = h.w""".stripMargin,
     "q_eval_metrics" ->

@@ -184,6 +184,35 @@ object RelationalQueries {
       a.unionByName(b)
         .groupBy(col("side"))
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_rows"))
+    }),
+
+    // Weighted multi-source union builder (LOTSADatasetBuilder.load_dataset,
+    // lotsa_v1/_base.py:71-112 + dataset.py:36-46): three named datasets
+    // carved from documents, each resolving its transform at a DIFFERENT
+    // priority level (name / type / default), with dataset weights 2.5
+    // (floor-replicate + fractional hash), 1.0 (pass-through) and 0.25
+    // (pure fractional subsample).
+    "q_union_weighted" -> ((s, dir) => {
+      import graft.sources.UnionBuilder
+      val docs = s.read
+        .parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id").cast("bigint").as("doc_id"),
+          col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("grp", expr("CAST(substring(source, 4) AS INT) % 3"))
+      def slice(g: Int) = docs.filter(col("grp") === g).drop("grp")
+      UnionBuilder.load(
+        Seq(
+          "a_docs" -> UnionBuilder.Source(slice(0), "docs", 2.5),
+          "b_docs" -> UnionBuilder.Source(slice(1), "docs", 1.0),
+          "c_docs" -> UnionBuilder.Source(slice(2), "other", 0.25)),
+        Map(
+          // name-level hit for a_docs; type-level for b_docs; default for c_docs
+          "a_docs" -> ((d: DataFrame) => d.withColumn("feat", col("n_chars") * 2)),
+          "docs" -> ((d: DataFrame) => d.withColumn("feat", col("n_chars") + 7)),
+          "default" -> ((d: DataFrame) => d.withColumn("feat", col("n_chars")))),
+        idCol = "doc_id")
     })
   )
 
@@ -278,6 +307,28 @@ object RelationalQueries {
         |  SELECT user_id, 'purchase' AS side FROM events WHERE event_type = 'purchase'
         |  UNION ALL
         |  SELECT user_id, 'error' AS side FROM events WHERE event_type = 'error')
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q_union_weighted" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |         CAST(n_chars AS BIGINT) AS n_chars,
+        |         CAST(substring(source, 4) AS INT) % 3 AS grp,
+        |         (CAST(doc_id AS BIGINT) % 1000000000) * 2654435761 % 1000 AS h
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE grp WHEN 0 THEN n_chars * 2
+        |                  WHEN 1 THEN n_chars + 7
+        |                  ELSE n_chars END AS feat,
+        |         CASE grp WHEN 0 THEN 'a_docs'
+        |                  WHEN 1 THEN 'b_docs'
+        |                  ELSE 'c_docs' END AS ds,
+        |         CASE grp WHEN 0 THEN 2 + (CASE WHEN h < 500 THEN 1 ELSE 0 END)
+        |                  WHEN 1 THEN 1
+        |                  ELSE (CASE WHEN h < 250 THEN 1 ELSE 0 END) END AS rep
+        |  FROM d)
+        |SELECT doc_id, source, n_chars, feat, ds, CAST(r.i AS INT) AS rep_idx
+        |FROM t, LATERAL (SELECT unnest(range(1, rep + 1)) AS i) r
+        |WHERE rep > 0""".stripMargin
   )
 }

@@ -29,7 +29,12 @@ object LsfCsv {
       StructField("n_chars", LongType, nullable = false)))
 
   /** Deterministic CSV export of the documents metadata (no text payload —
-   * column selection before the write, the cheap direction). */
+   * column selection before the write, the cheap direction).
+   *
+   * WARNING: coalesce(1) funnels the write through ONE task. That is the
+   * point here — LSF benchmark fixtures are single small CSV files — but
+   * this helper must NOT be reused for real tables; a large export should
+   * write partitioned CSV (drop the coalesce) or parquet. */
   def writeCsv(spark: SparkSession, sfDir: String, outPath: String): Unit =
     spark.read
       .parquet(s"$sfDir/documents.parquet")

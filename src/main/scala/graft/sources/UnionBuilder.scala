@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Weighted multi-source dataset builder — the engine's analogue of the
+ * reference's `LOTSADatasetBuilder.load_dataset` composition
+ * (uni2ts/src/uni2ts/data/builder/lotsa_v1/_base.py:71-112): each named
+ * dataset gets a per-dataset transform resolved from a transform map, a
+ * multiplicative `dataset_weight` on its size (data/dataset.py:36-46:
+ * `__len__ = ceil(weight * len(indexer))`), and the results are
+ * concatenated (ConcatDataset).
+ *
+ * Transform resolution priority mirrors `_get_transform`
+ * (_base.py:90-112): dataset name -> dataset type -> "default" -> identity.
+ *
+ * The reference realizes the weight by repeating/sampling indices at
+ * __getitem__ time; the deterministic batch analogue replicates each row
+ * `floor(w)` times plus one more iff `hash(id) mod 1000 < frac(w) * 1000`
+ * (the same multiplicative hash as the weighted Bernoulli sampler,
+ * StatQueries q_weighted_sample), so the expected size is `w * |dataset|`
+ * and the result is bit-reproducible at any parallelism.
+ *
+ * Scale shape: per-source transforms and the replication are row-local
+ * (a filter + a bounded explode); the union is a plan-level concat — no
+ * shuffle is introduced by the builder itself.
+ */
+object UnionBuilder {
+
+  /** One named input dataset: the frame, its dataset type (the reference's
+   * `dataset_type_map` entry), and the size weight. */
+  final case class Source(
+      df: DataFrame,
+      datasetType: String = "default",
+      weight: Double = 1.0) {
+    require(weight >= 0, s"negative dataset weight: $weight")
+  }
+
+  /** `_get_transform` priority: name -> type -> "default" -> identity. */
+  def transformFor(
+      name: String,
+      datasetType: String,
+      transformMap: Map[String, DataFrame => DataFrame]): DataFrame => DataFrame =
+    transformMap
+      .get(name)
+      .orElse(transformMap.get(datasetType))
+      .orElse(transformMap.get("default"))
+      .getOrElse(identity)
+
+  /**
+   * Load + transform + weight + concat. Output carries two builder columns:
+   * `ds` (the dataset name) and `rep_idx` (1-based replica index, so
+   * weighted duplicates stay distinguishable downstream).
+   *
+   * @param idCol numeric (long-castable) id column used by the
+   *              deterministic fractional-replication hash
+   */
+  def load(
+      sources: Seq[(String, Source)],
+      transformMap: Map[String, DataFrame => DataFrame],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "no sources")
+    val parts = sources.map { case (name, src) =>
+      val t = transformFor(name, src.datasetType, transformMap)
+      val base = math.floor(src.weight).toInt
+      val fracThreshold = math.round((src.weight - base) * 1000).toInt
+      t(src.df)
+        .withColumn("ds", lit(name))
+        .withColumn(
+          "_rep",
+          lit(base) + when(
+            expr(s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L % 1000L")
+              < fracThreshold,
+            1).otherwise(0))
+        .filter(col("_rep") > 0)
+        .withColumn("rep_idx", explode(expr("sequence(1, _rep)")))
+        .drop("_rep")
+    }
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -59,6 +59,39 @@ class OperatorExtrasSpec extends SparkSpec {
         LsfCsv.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("freq inference: pd.infer_freq analogue over the alias table") {
+    import PatchSizing.inferFreq
+    val Day = 86400L
+    def grid(step: Long, n: Int, start: Long = 1700000000L): Seq[Long] =
+      (0 until n).map(i => start + i * step)
+    assert(inferFreq(grid(1, 10)) == Some("S"))
+    assert(inferFreq(grid(60, 10)) == Some("T"))
+    assert(inferFreq(grid(300, 10)) == Some("5T"))
+    assert(inferFreq(grid(3600, 10)) == Some("H"))
+    assert(inferFreq(grid(6 * 3600, 10)) == Some("6H"))
+    assert(inferFreq(grid(Day, 10)) == Some("D"))
+    assert(inferFreq(grid(7 * Day, 10)) == Some("W"))
+    // business-daily: Mon..Fri steps with weekend jumps
+    val bdays = Seq(0L, 1, 2, 3, 4, 7, 8, 9, 10, 11, 14).map(d => 1700000000L + d * Day)
+    assert(inferFreq(bdays) == Some("B"))
+    // calendar months (31/28/31-day spans), quarters, years incl. leap
+    val months = Seq(0L, 31, 59, 90, 120, 151).map(d => 1704067200L + d * Day)
+    assert(inferFreq(months) == Some("M"))
+    val quarters = Seq(0L, 91, 182, 274, 366).map(d => 1704067200L + d * Day)
+    assert(inferFreq(quarters) == Some("Q"))
+    val years = Seq(0L, 366, 731, 1096).map(d => 1704067200L + d * Day)
+    assert(inferFreq(years) == Some("A"))
+    // irregular / degenerate -> None (caller falls back to its default)
+    assert(inferFreq(Seq(0L, 10, 15, 100)).isEmpty)
+    assert(inferFreq(Seq(0L, 60)).isEmpty) // < 3 stamps
+    assert(inferFreq(Seq(0L, 60, 60)).isEmpty) // non-increasing
+    // normalization + end-to-end: "5T" resolves through the "T" range
+    assert(PatchSizing.legalRange("5T") == PatchSizing.legalRange("T"))
+    assert(
+      PatchSizing.resolveFromTimestamps(grid(300, 577), 4) ==
+        PatchSizing.resolve("T", 577, 4))
+  }
+
   test("fixed patch-size constraints behave like the reference's FixedPatchSizeConstraints") {
     assert(PatchSizing.fixedRange(16, 32) == (16, 32))
     intercept[IllegalArgumentException](PatchSizing.fixedRange(32, 16))
