@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
     assert(row.length == 100)
   }
 
+  test("weighted union builder introduces zero exchanges (row-local transforms + plan-level concat)") {
+    val df = graft.queries.RelationalQueries.q("q_union_weighted")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(df.count() > 0)
+    assert(!plan.contains("Exchange"), s"builder must not shuffle:\n$plan")
+  }
+
   test("metric queries: row-local window math, exactly one exchange (on source)") {
     // the whole rolling-window fan-out + per-point loss arithmetic is
     // row-local; only the final per-source reduction may shuffle — at
