@@ -66,24 +66,42 @@ object PatchSizing {
     if (deltas.exists(_ <= 0)) return None
     val Day = 86400L
     val distinct = deltas.distinct.sorted
-    if (distinct == Vector(Day, 3 * Day)) return Some("B")
+    // business-daily: 1-day weekday steps with 3-day Fri->Mon jumps — and
+    // the jumps must actually sit on weekends (a mid-week 3-day gap is an
+    // irregular series, pd.infer_freq -> None). 1970-01-01 was a Thursday:
+    // dow 0=Sun..6=Sat via (days + 4) % 7.
+    if (distinct == Vector(Day, 3 * Day)) {
+      def dow(t: Long): Long = (Math.floorDiv(t, Day) + 4) % 7
+      val businessAligned =
+        epochSeconds.forall(t => dow(t) >= 1 && dow(t) <= 5) &&
+          epochSeconds.iterator.sliding(2).forall { p =>
+            val d = p(1) - p(0)
+            if (d == 3 * Day) dow(p(0)) == 5 else dow(p(0)) != 5
+          }
+      return if (businessAligned) Some("B") else None
+    }
+    // calendar units FIRST: a constant 31/30/29-day span is a monthly
+    // series (months vary 28-31 days, so even equal-delta runs occur, e.g.
+    // Dec->Jan->Feb is 31,31), not a "31D" grid; same for quarters/years.
+    // Exactly 28 days falls through to "4W" (indistinguishable, and the
+    // week reading keeps the multiple exact).
+    val (lo, hi) = (deltas.min, deltas.max)
+    if (lo >= 29 * Day && hi <= 31 * Day) return Some("M")
+    if (lo >= 89 * Day && hi <= 92 * Day) return Some("Q")
+    if (lo >= 365 * Day && hi <= 366 * Day) return Some("A")
+    if (lo >= 28 * Day && hi <= 31 * Day && distinct.size > 1) return Some("M")
     if (distinct.size == 1) {
       val d = distinct.head
       def of(unitSec: Long, alias: String): Option[String] = {
         val m = d / unitSec
         Some(if (m == 1) alias else s"$m$alias")
       }
-      return if (d % 604800L == 0) of(604800L, "W")
+      if (d % 604800L == 0) of(604800L, "W")
       else if (d % Day == 0) of(Day, "D")
       else if (d % 3600L == 0) of(3600L, "H")
       else if (d % 60L == 0) of(60L, "T")
       else of(1L, "S")
-    }
-    val (lo, hi) = (deltas.min, deltas.max)
-    if (lo >= 28 * Day && hi <= 31 * Day) Some("M")
-    else if (lo >= 89 * Day && hi <= 92 * Day) Some("Q")
-    else if (lo >= 365 * Day && hi <= 366 * Day) Some("A")
-    else None
+    } else None
   }
 
   /** End-to-end: infer the freq from timestamps (falling back to

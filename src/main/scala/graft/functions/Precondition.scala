@@ -126,7 +126,16 @@ object Precondition {
    * window position subtracts its coefficient-weighted history sum; for
    * the first n positions the history indices resolve into `context`.
    * History terms that fall before the start of a too-short context are
-   * skipped, matching the reference's partial-context behavior. */
+   * skipped, matching the reference's partial-context behavior.
+   *
+   * EXACT-INVERSE CONTRACT: the decode equals the original series slice
+   * iff the window starts at series position >= degree AND `context` holds
+   * the full `degree` original values preceding it. A window overlapping
+   * the series' identity head (positions < degree, where forward applied
+   * no convolution) decodes best-effort, NOT exactly — the same documented
+   * behavior as the reference's partial-context path ("early values might
+   * be wrong", precondition.py:466-469); use [[reverse]] for whole-series
+   * decodes. */
   def reverseWithContext(
       yt: Array[Double],
       c: Array[Double],

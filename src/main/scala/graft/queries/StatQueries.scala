@@ -17,6 +17,20 @@ object StatQueries {
   private def points1m(s: SparkSession, dir: String): DataFrame =
     Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
 
+  /** Shared patch scaffold for the per-patch precondition queries: one row
+   * per (doc, width-64 patch) with the patch values as doubles. */
+  private def patchVals(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    TokenTable
+      .raw(s, dir)
+      .select(
+        col("doc_id"),
+        col("tokens"),
+        explode(sequence(lit(0), expr("(n_tok - 1) DIV 64"))).as("patch_idx"))
+      .withColumn("patch", expr("slice(tokens, patch_idx * 64 + 1, 64)"))
+      .withColumn("vals", expr("transform(patch, x -> CAST(x AS DOUBLE))"))
+  }
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Causal-mean gap-fill (CausalMeanImputation, imputation.py:65-108):
     // same gap pattern as q_gapfill_tier (every 4th window dropped at the
@@ -117,24 +131,15 @@ object StatQueries {
     // applied independently per width-64 patch — the per-patch boundary
     // reset (positions < degree inside EACH patch stay identity) is the
     // semantics the whole-array variant cannot express.
-    "q_precond_patch" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      TokenTable
-        .raw(s, dir)
-        .select(
-          col("doc_id"),
-          col("tokens"),
-          explode(sequence(lit(0), expr("(n_tok - 1) DIV 64"))).as("patch_idx"))
-        .withColumn("patch", expr("slice(tokens, patch_idx * 64 + 1, 64)"))
-        .withColumn("vals", expr("transform(patch, x -> CAST(x AS DOUBLE))"))
+    "q_precond_patch" -> ((s, dir) =>
+      patchVals(s, dir)
         .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
         .select(
           col("doc_id"),
           col("patch_idx"),
           size(col("f")).as("patch_len"),
           expr("aggregate(f, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-            .as("sum_q"))
-    }),
+            .as("sum_q"))),
 
     // Per-patch REVERSE precondition round-trip (PatchReversePrecondition,
     // transform/patch_precondition.py:222-305): forward-then-reverse inside
@@ -142,16 +147,8 @@ object StatQueries {
     // per-patch boundary reset makes every patch self-contained, so no
     // context buffer is needed — that cross-boundary case is
     // q_precond_window_roundtrip).
-    "q_precond_patch_roundtrip" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      TokenTable
-        .raw(s, dir)
-        .select(
-          col("doc_id"),
-          col("tokens"),
-          explode(sequence(lit(0), expr("(n_tok - 1) DIV 64"))).as("patch_idx"))
-        .withColumn("patch", expr("slice(tokens, patch_idx * 64 + 1, 64)"))
-        .withColumn("vals", expr("transform(patch, x -> CAST(x AS DOUBLE))"))
+    "q_precond_patch_roundtrip" -> ((s, dir) =>
+      patchVals(s, dir)
         .withColumn(
           "r",
           expr("precond_reverse(precond_forward(vals, 4, 'chebyshev'), 4, 'chebyshev')"))
@@ -160,8 +157,7 @@ object StatQueries {
           col("patch_idx"),
           size(col("r")).as("patch_len"),
           expr("aggregate(r, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-            .as("sum_q"))
-    }),
+            .as("sum_q"))),
 
     // PackFields / FlatPackCollection / SequencifyField
     // (transform/reshape.py:26-123): patches flattened back to the token

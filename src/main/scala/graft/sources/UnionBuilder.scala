@@ -61,6 +61,15 @@ object UnionBuilder {
       transformMap: Map[String, DataFrame => DataFrame],
       idCol: String): DataFrame = {
     require(sources.nonEmpty, "no sources")
+    // the builder owns ds/rep_idx/_rep; an input already carrying one of
+    // them would be silently clobbered by withColumn — refuse up front
+    // (same reserved-name discipline as AsOfJoin.asOf)
+    val reserved = Set("ds", "rep_idx", "_rep")
+    val clash =
+      sources.flatMap(_._2.df.columns).filter(reserved.contains).distinct
+    require(
+      clash.isEmpty,
+      s"UnionBuilder inputs must not contain reserved column name(s): ${clash.mkString(", ")}")
     val parts = sources.map { case (name, src) =>
       val t = transformFor(name, src.datasetType, transformMap)
       val base = math.floor(src.weight).toInt

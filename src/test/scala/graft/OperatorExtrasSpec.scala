@@ -71,12 +71,22 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(inferFreq(grid(6 * 3600, 10)) == Some("6H"))
     assert(inferFreq(grid(Day, 10)) == Some("D"))
     assert(inferFreq(grid(7 * Day, 10)) == Some("W"))
-    // business-daily: Mon..Fri steps with weekend jumps
-    val bdays = Seq(0L, 1, 2, 3, 4, 7, 8, 9, 10, 11, 14).map(d => 1700000000L + d * Day)
+    // business-daily: Mon..Fri steps with 3-day jumps ON WEEKENDS only
+    // (1699833600 = Mon 2023-11-13 00:00 UTC)
+    val bMon = 1699833600L
+    val bdays = Seq(0L, 1, 2, 3, 4, 7, 8, 9, 10, 11, 14).map(d => bMon + d * Day)
     assert(inferFreq(bdays) == Some("B"))
+    // same delta multiset but mid-week 3-day gaps -> irregular -> None
+    // (Wed start: deltas 1d,3d land the jump off-Friday)
+    val midweek = Seq(0L, 1, 4, 5, 8).map(d => bMon + 2 * Day + d * Day)
+    assert(inferFreq(midweek).isEmpty)
     // calendar months (31/28/31-day spans), quarters, years incl. leap
     val months = Seq(0L, 31, 59, 90, 120, 151).map(d => 1704067200L + d * Day)
     assert(inferFreq(months) == Some("M"))
+    // CONSTANT 31-day spans are still monthly (Dec->Jan->Feb), not "31D"
+    assert(inferFreq(Seq(0L, 31, 62).map(d => 1701388800L + d * Day)) == Some("M"))
+    // constant 28-day spans read as exact 4-week grid
+    assert(inferFreq(grid(28 * Day, 5)) == Some("4W"))
     val quarters = Seq(0L, 91, 182, 274, 366).map(d => 1704067200L + d * Day)
     assert(inferFreq(quarters) == Some("Q"))
     val years = Seq(0L, 366, 731, 1096).map(d => 1704067200L + d * Day)
@@ -133,6 +143,17 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(row.isNullAt(0), "length mismatch must yield NULL, not a prefix product")
     assert(row.isNullAt(1))
     assert(row.getLong(2) == 1000L * 3000L + 2000L * 4000L)
+  }
+
+  test("UnionBuilder rejects inputs that shadow its builder columns") {
+    import spark.implicits._
+    val bad = Seq((1L, "x")).toDF("doc_id", "ds")
+    val e = intercept[IllegalArgumentException](
+      graft.sources.UnionBuilder.load(
+        Seq("a" -> graft.sources.UnionBuilder.Source(bad)),
+        Map.empty,
+        idCol = "doc_id"))
+    assert(e.getMessage.contains("ds"))
   }
 
   test("asOf rejects inputs that shadow its reserved working columns") {

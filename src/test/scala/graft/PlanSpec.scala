@@ -88,9 +88,22 @@ class PlanSpec extends SparkSpec {
       .filterNot(_.replaceAll("^[\\s:+\\-]*", "").startsWith("*("))
       .toList
     assert(offending.isEmpty, s"codec expr outside codegen:\n${offending.mkString("\n")}\n$plan")
-    // and the generated path computes the same values as the interpreted one
-    val row = df.selectExpr("aggregate(g, 0D, (a, x) -> a + x) AS s").collect()
-    assert(row.length == 100)
+    // and the GENERATED path must compute the right values, not just run:
+    // decode(encode(vals)) == vals and reverse(forward(vals)) == vals, so
+    // both sums equal sum(vals) = id * (0+1+...+63) = 2016 * id exactly
+    // (chebyshev d4 coeffs are exact binary fractions over exact doubles)
+    val wrong = spark
+      .range(100)
+      .selectExpr("id", "transform(sequence(0L, 63L), i -> CAST(i * id AS DOUBLE)) AS vals")
+      .selectExpr(
+        "id",
+        "aggregate(gorilla_decode(gorilla_encode(vals)), 0D, (a, x) -> a + x) AS sg",
+        "aggregate(chimp_decode(chimp_encode(vals)), 0D, (a, x) -> a + x) AS sc",
+        "aggregate(precond_reverse(precond_forward(vals, 4, 'chebyshev'), 4, 'chebyshev')," +
+          " 0D, (a, x) -> a + x) AS sp")
+      .where("sg != 2016.0 * id OR sc != 2016.0 * id OR abs(sp - 2016.0 * id) > 1e-6")
+      .count()
+    assert(wrong == 0, "generated codec path produced wrong values")
   }
 
   test("weighted union builder introduces zero exchanges (row-local transforms + plan-level concat)") {
