@@ -35,7 +35,8 @@ object SparkEntry {
       PipelineQueries.q ++
       EvalQueries.q ++
       MetricQueries.q ++
-      StatQueries.q
+      StatQueries.q ++
+      ResampleQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
@@ -47,5 +48,6 @@ object SparkEntry {
       PipelineQueries.oracle ++
       EvalQueries.oracle ++
       MetricQueries.oracle ++
-      StatQueries.oracle
+      StatQueries.oracle ++
+      ResampleQueries.oracle
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.operators.PadResample
+import graft.sources.TokenTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Padding + rate-resampling queries (transform/pad.py, transform/
+ * resample.py — see operators/PadResample). Outputs are exact-integer
+ * checksums over the transformed arrays: sizes, null counts, first-data
+ * positions, and position-weighted sums, all reproducible by plain SQL
+ * over the raw points. */
+object ResampleQueries {
+
+  /** Per-source minimum length for the PadFreq query: the freq ->
+   * min-length map keyed by source parity (even sources are the "hourly"
+   * fixture, odd the "minutely" one). */
+  private val FreqMinSql =
+    "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 400 ELSE 800 END"
+
+  private def padChecks(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      col("source"),
+      size(col("padded")).as("padded_len"),
+      size(expr("filter(padded, x -> x IS NULL)")).as("n_nulls"),
+      expr("CAST(array_position(transform(padded, x -> x IS NOT NULL), true) AS BIGINT)")
+        .as("first_data_pos"),
+      expr("aggregate(filter(padded, x -> x IS NOT NULL), 0L, (a, x) -> a + x)")
+        .as("data_sum"))
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pad to a fixed minimum length (pad.py:26-50), deterministic
+    // front/back split.
+    "q_pad_min" -> ((s, dir) =>
+      padChecks(
+        PadResample.padTo(TokenTable.raw(s, dir), "tokens", "doc_id", lit(600), "padded"))),
+
+    // PadFreq (pad.py:53-81): the minimum comes from a per-series freq map.
+    "q_pad_freq" -> ((s, dir) =>
+      padChecks(
+        PadResample
+          .padTo(TokenTable.raw(s, dir), "tokens", "doc_id", expr(FreqMinSql), "padded"))),
+
+    // EvalPad (pad.py:84-108): fixed context/prediction pads.
+    "q_eval_pad" -> ((s, dir) =>
+      padChecks(
+        PadResample.evalPad(TokenTable.raw(s, dir), "tokens", 7, 5, "padded"))),
+
+    // Subsample: every 3rd element (resample.py:71-76).
+    "q_subsample" -> ((s, dir) =>
+      PadResample
+        .subsample(TokenTable.raw(s, dir), "tokens", 3, "sub")
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("sub")).as("n_sub"),
+          expr("aggregate(sub, 0L, (a, x) -> a + x)").as("sum_sub"))),
+
+    // GaussianFilterSubsample: binomial [1,2,1] blur (x4, exact integers)
+    // then every 3rd element (resample.py:79-84).
+    "q_gauss_subsample" -> ((s, dir) =>
+      PadResample
+        .gaussianSubsample(TokenTable.raw(s, dir), "tokens", 3, "gsub")
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("gsub")).as("n_sub"),
+          expr("aggregate(gsub, 0L, (a, x) -> a + x)").as("sum_blur4"))),
+
+    // Upsample: repeat each element twice (resample.py:94-96); the
+    // position-weighted checksum proves the interleaving order, not just
+    // the multiset (tok at raw pos p lands at 2p and 2p+1).
+    "q_upsample" -> ((s, dir) =>
+      PadResample
+        .upsample(TokenTable.raw(s, dir), "tokens", 2, "up")
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("up")).as("n_up"),
+          expr(
+            "aggregate(zip_with(up, sequence(0L, size(up) - 1), " +
+              "(x, i) -> CAST(x AS BIGINT) * i), 0L, (a, y) -> a + y)")
+            .as("pos_weighted_sum")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pad_min" -> padOracle("600"),
+    "q_pad_freq" -> padOracle(FreqMinSql),
+    "q_eval_pad" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) + 12 AS INT) AS padded_len,
+         |       CAST(12 AS INT) AS n_nulls,
+         |       CAST(8 AS BIGINT) AS first_data_pos,
+         |       CAST(sum(tok) AS BIGINT) AS data_sum
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q_subsample" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) FILTER (WHERE pos % 3 = 0) AS INT) AS n_sub,
+         |       CAST(sum(tok) FILTER (WHERE pos % 3 = 0) AS BIGINT) AS sum_sub
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q_gauss_subsample" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |b AS (
+         |  SELECT doc_id, source, pos,
+         |         coalesce(lag(tok) OVER w, tok)
+         |           + 2 * CAST(tok AS BIGINT)
+         |           + coalesce(lead(tok) OVER w, tok) AS blur4
+         |  FROM pts WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(count(*) FILTER (WHERE pos % 3 = 0) AS INT) AS n_sub,
+         |       CAST(sum(blur4) FILTER (WHERE pos % 3 = 0) AS BIGINT) AS sum_blur4
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_upsample" ->
+      s"""${TokenRollupQueries.PtsCte}
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(2 * count(*) AS INT) AS n_up,
+         |       CAST(sum(CAST(tok AS BIGINT) * (4 * pos + 1)) AS BIGINT)
+         |         AS pos_weighted_sum
+         |FROM pts GROUP BY 1, 2""".stripMargin
+  )
+
+  /** Oracle twin of padTo + padChecks for a given min-length SQL expr:
+   * need = max(minLen - n, 0), front = hash(doc_id) mod (need + 1),
+   * first data position = front + 1, data sum = the raw token sum. */
+  private def padOracle(minLenSql: String): String =
+    s"""${TokenRollupQueries.PtsCte},
+       |d AS (
+       |  SELECT doc_id, source, count(*) AS n, CAST(sum(tok) AS BIGINT) AS tok_sum
+       |  FROM pts GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_id, source, n, tok_sum,
+       |         greatest(($minLenSql) - n, 0) AS need
+       |  FROM d)
+       |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+       |       CAST(n + need AS INT) AS padded_len,
+       |       CAST(need AS INT) AS n_nulls,
+       |       CAST((doc_id % 1000000000) * 2654435761 % (need + 1) + 1 AS BIGINT)
+       |         AS first_data_pos,
+       |       tok_sum AS data_sum
+       |FROM p""".stripMargin
+}
