@@ -56,6 +56,13 @@ object GapFill {
     }
   }
 
+  /** Constant-value imputation (DummyValueImputation,
+   * transform/imputation.py:32-40): every missing slot takes a fixed
+   * value. Row-local coalesce — the cheapest strategy, and the reference's
+   * training default (value 0.0). */
+  def fillConstant(df: DataFrame, fillCols: Seq[String], value: Column): DataFrame =
+    fillCols.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), value)))
+
   /** Causal-mean gap-fill — the third imputation strategy of the reference
    * (CausalMeanImputation, transform/imputation.py:65-108): a missing
    * window takes the mean of everything observed up to that point.

@@ -56,6 +56,33 @@ object EvalQueries {
           expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
           expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
 
+    // EvalCrop with a NEGATIVE offset (crop.py:111-147): the reference's
+    // end-anchored evaluation windows — fcst_start counts from the series
+    // END (offset -64, distance 16, 3 windows of ctx 32 / horizon 16),
+    // the standard "hold out the last K steps" eval split. q_rolling_eval
+    // covers the start-anchored twin (FinetunePatchCrop, crop.py:149-187,
+    // whose fcst_start = context + window*distance is exactly that grid).
+    "q_eval_crop" -> ((s, dir) =>
+      TokenTable
+        .raw(s, dir)
+        .filter(col("n_tok") >= 96) // a >= 0 at w=0: n_tok - 64 - 32 >= 0
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_tok"),
+          col("tokens"),
+          explode(sequence(lit(0), lit(2))).as("w"))
+        .withColumn("fs", col("n_tok") - 64 + col("w") * 16)
+        .withColumn("ctx", expr("slice(tokens, fs - 32 + 1, 32)"))
+        .withColumn("hor", expr("slice(tokens, fs + 1, 16)"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("w"),
+          col("fs").cast("int").as("fs"),
+          expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
+          expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
+
     // Same grammar at a NON-default geometry (context 48, horizon 24,
     // stride 40) — proving (ctx, hor, stride) are genuinely free
     // parameters, as in the reference's per-dataset eval configuration.
@@ -129,6 +156,20 @@ object EvalQueries {
          |       c.ctx_min, c.ctx_max, c.ctx_sum, h.hor_sum
          |FROM ctxagg c JOIN horagg h
          |  ON c.doc_id = h.doc_id AND c.w = h.w""".stripMargin,
+    "q_eval_crop" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |d AS (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS nn FROM pts p),
+         |docs AS (SELECT DISTINCT doc_id, source, nn FROM d WHERE nn >= 96),
+         |we AS (
+         |  SELECT doc_id, source, CAST(t.w AS INT) AS w,
+         |         CAST(nn - 64 + t.w * 16 AS INT) AS fs
+         |  FROM docs, LATERAL (SELECT unnest(range(0, 3)) AS w) t)
+         |SELECT CAST(we.doc_id AS VARCHAR) AS doc_id, we.source, we.w, we.fs,
+         |       CAST(sum(CASE WHEN p.pos < we.fs THEN p.tok END) AS BIGINT) AS ctx_sum,
+         |       CAST(sum(CASE WHEN p.pos >= we.fs THEN p.tok END) AS BIGINT) AS hor_sum
+         |FROM we JOIN pts p
+         |  ON p.doc_id = we.doc_id AND p.pos >= we.fs - 32 AND p.pos < we.fs + 16
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_rolling_eval_alt" ->
       s"""${winCteAt(48, 24, 40)},
          |ctxagg AS (

@@ -53,6 +53,26 @@ object StatQueries {
         .select("source", "bucket", "window_start", "cnt_tok", "avg_filled")
     }),
 
+    // Constant-value imputation (DummyValueImputation, imputation.py:32-40,
+    // the reference's training default): same gap pattern, every missing
+    // window takes the fixed dummy (0) — no history carried.
+    "q_gapfill_const" -> ((s, dir) => {
+      val sparse = TokenTable
+        .points(s, dir)
+        .filter(expr("(pos div 60) % 4 != 0"))
+      val obs = Rollup
+        .rollupFromPoints(sparse, Tier.OneMinute)
+        .select("source", "bucket", "window_start", "sum_tok", "cnt_tok")
+      val spine =
+        GapFill.denseSpine(obs, Seq("source", "bucket"), "window_start", 60L)
+      GapFill
+        .fillConstant(
+          spine.join(obs, Seq("source", "bucket", "window_start"), "left"),
+          Seq("sum_tok", "cnt_tok"),
+          lit(0L))
+        .select("source", "bucket", "window_start", "sum_tok", "cnt_tok")
+    }),
+
     // Median + argmax per group (reference: median-of-samples point
     // forecast, pretrain.py:440; per-group argmin selection,
     // forecast.py:255-333). Median is computed from explicit order
@@ -241,6 +261,22 @@ object StatQueries {
          |            THEN CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE)
          |            ELSE CAST(cs AS DOUBLE) / CAST(cc AS DOUBLE) END AS avg_filled
          |FROM j""".stripMargin,
+    "q_gapfill_const" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |obs AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
+         |  FROM pts WHERE (pos // 60) % 4 <> 0 GROUP BY 1, 2, 3),
+         |spine AS (
+         |  SELECT source, bucket, CAST(t.w AS INT) AS window_start
+         |  FROM (SELECT source, bucket, min(window_start) AS w0,
+         |               max(window_start) AS w1 FROM obs GROUP BY 1, 2) b,
+         |       LATERAL (SELECT unnest(range(b.w0, b.w1 + 1, 60)) AS w) t)
+         |SELECT s.source, s.bucket, s.window_start,
+         |       COALESCE(o.sum_tok, 0) AS sum_tok,
+         |       COALESCE(o.cnt_tok, 0) AS cnt_tok
+         |FROM spine s LEFT JOIN obs o USING (source, bucket, window_start)""".stripMargin,
     "q_median_argmax" ->
       s"""${TokenRollupQueries.PtsCte},
          |t AS (

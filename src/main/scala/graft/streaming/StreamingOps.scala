@@ -34,6 +34,35 @@ object StreamingOps {
         col("cnt"),
         col("sum_v"))
 
+  /** Streaming tier CASCADE: the 1m tier and its 5m reaggregation chained
+   * inside ONE streaming query — the continuous face of the batch ladder
+   * (Rollup.reaggregate), using Spark's multiple-stateful-operator support:
+   * the second aggregation groups on `window_time()` of the first's window
+   * column, so each finalized 1m window flows straight into its 5m parent
+   * without an intermediate sink or a second job.
+   *
+   * Scale shape identical to the batch cascade: the 5m state sees one row
+   * per finalized (key, 1m window) — already collapsed by the first
+   * aggregation — never raw events. Both states are watermark-bounded. */
+  def tierCascadeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 minute").as("w1m"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_v"))
+      .groupBy(col("event_type"), window(window_time(col("w1m")), "5 minutes").as("w5m"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        count(lit(1)).as("n_1m_windows"),
+        sum(col("sum_v")).cast("double").as("sum_v"))
+      .select(
+        col("event_type"),
+        col("w5m.start").as("window_start"),
+        col("cnt"),
+        col("n_1m_windows"),
+        col("sum_v"))
+
   /** Continuous ingestion into the engine's snapshot layer: each
    * micro-batch commits one immutable snapshot version, fingerprinted by
    * its batch id — so a crashed-and-restarted stream (Structured

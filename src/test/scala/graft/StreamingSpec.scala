@@ -40,6 +40,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("a", "2024-01-01 01:00:00.0", 1L, 4.0)))
   }
 
+  test("streaming tier cascade: chained 1m -> 5m aggregation equals batch recomputation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps
+      .tierCascadeStream(df)
+      .writeStream
+      .format("memory")
+      .queryName("cascade")
+      .outputMode(OutputMode.Append())
+      .start()
+    def ts(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    // minutes 0,1,3 in 5m-window 0; minute 7 in 5m-window 1; spread over
+    // two micro-batches so the chained state crosses batch boundaries
+    val data = Seq(
+      (ts(0, 10), "a", 1.0), (ts(0, 40), "a", 2.0),
+      (ts(1, 5), "a", 4.0), (ts(3, 30), "a", 8.0))
+    in.addData(data.take(2))
+    q.processAllAvailable()
+    in.addData(data.drop(2) :+ ((ts(7, 0), "a", 16.0)))
+    q.processAllAvailable()
+    // advance the watermark far enough to finalize BOTH 5m windows
+    in.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "a", 0.0))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT event_type, window_start, cnt, n_1m_windows, sum_v FROM cascade")
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      .toSet
+    q.stop()
+    // window [00:00, 05:00): 4 events over 3 distinct 1m windows, sum 15;
+    // window [05:00, 10:00): 1 event, 1 window, sum 16 — exactly the batch
+    // ladder's reaggregation of the same points
+    assert(rows.contains(("a", "2024-01-01 00:00:00.0", 4L, 3L, 15.0)), rows.toString)
+    assert(rows.contains(("a", "2024-01-01 00:05:00.0", 1L, 1L, 16.0)), rows.toString)
+  }
+
   test("streaming gap-fill: LOCF windows emitted across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
