@@ -24,4 +24,28 @@ object Reshape {
   /** SequencifyField: broadcast a scalar column to a length-n array. */
   def sequencify(df: DataFrame, field: String, n: Int, out: String): DataFrame =
     df.withColumn(out, array_repeat(col(field), n))
+
+  /** AddVariateIndex (transform/feature.py:26-71): assign each exploded
+   * variate a distinct id in [0, maxDim), optionally as a randomized
+   * permutation — here DETERMINISTIC: an affine bijection
+   * `(a*d + b) mod maxDim` with odd `a` derived from the row id hash, so
+   * the permutation reproduces at any parallelism (the engine's standing
+   * substitution for np.random). Rows whose variate count exceeds `maxDim`
+   * are a hard error in the reference; the caller filters/asserts via the
+   * returned `n_dims`. `dimCol` is the 0-based dim index of an already
+   * posexploded frame. */
+  def addVariateIndex(
+      df: DataFrame,
+      idCol: String,
+      dimCol: String,
+      maxDim: Int,
+      out: String): DataFrame = {
+    require(Integer.bitCount(maxDim) == 1, s"maxDim must be a power of two, got $maxDim")
+    val h = s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L"
+    df.withColumn(
+      out,
+      expr(
+        s"CAST(pmod((2L * pmod($h, ${maxDim / 2}) + 1L) * $dimCol " +
+          s"+ pmod($h DIV 64, $maxDim), $maxDim) AS INT)"))
+  }
 }

@@ -68,6 +68,27 @@ object ResampleQueries {
           size(col("gsub")).as("n_sub"),
           expr("aggregate(gsub, 0L, (a, x) -> a + x)").as("sum_blur4"))),
 
+    // AddVariateIndex (feature.py:26-71): each exploded variate gets a
+    // distinct id in [0, 128) via a deterministic affine permutation per
+    // vector (the reference's optional randomized permutation, made
+    // reproducible), dims capped at max_dim=128.
+    "q_variate_index" -> ((s, dir) =>
+      graft.operators.Reshape
+        .addVariateIndex(
+          s.read
+            .parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "x"))),
+          idCol = "vec_id",
+          dimCol = "d",
+          maxDim = 128,
+          out = "variate_id")
+        .select(
+          col("vec_id"),
+          col("label"),
+          col("d"),
+          col("variate_id"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("x_q"))),
+
     // Upsample: repeat each element twice (resample.py:94-96); the
     // position-weighted checksum proves the interleaving order, not just
     // the multiset (tok at raw pos p lands at 2p and 2p+1).
@@ -113,6 +134,18 @@ object ResampleQueries {
          |       CAST(count(*) FILTER (WHERE pos % 3 = 0) AS INT) AS n_sub,
          |       CAST(sum(blur4) FILTER (WHERE pos % 3 = 0) AS BIGINT) AS sum_blur4
          |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_variate_index" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(t.i AS INT) - 1 AS d,
+        |         CAST(emb[t.i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS i) t)
+        |SELECT vec_id, label, d,
+        |       CAST(((2 * ((vec_id % 1000000000) * 2654435761 % 64) + 1) * d
+        |             + ((vec_id % 1000000000) * 2654435761 // 64) % 128) % 128 AS INT)
+        |         AS variate_id,
+        |       CAST(floor(x * 1000 + 0.5) AS BIGINT) AS x_q
+        |FROM e""".stripMargin,
     "q_upsample" ->
       s"""${TokenRollupQueries.PtsCte}
          |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,

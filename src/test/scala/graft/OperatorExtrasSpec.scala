@@ -102,6 +102,40 @@ class OperatorExtrasSpec extends SparkSpec {
         PatchSizing.resolve("T", 577, 4))
   }
 
+  test("seasonality map follows the gluonts get_seasonality rule incl. multiples") {
+    import graft.core.Seasonality
+    assert(Seasonality.of("H") == 24)
+    assert(Seasonality.of("T") == 1440)
+    assert(Seasonality.of("S") == 3600)
+    assert(Seasonality.of("D") == 1)
+    assert(Seasonality.of("B") == 5)
+    assert(Seasonality.of("M") == 12)
+    assert(Seasonality.of("Q") == 4)
+    // multiplied alias divides the base period when possible, else 1
+    assert(Seasonality.of("6H") == 4)
+    assert(Seasonality.of("5T") == 288)
+    assert(Seasonality.of("7H") == 1) // 24 not divisible by 7
+    assert(Seasonality.of("X") == 1) // unknown alias
+  }
+
+  test("AddVariateIndex: deterministic permutation is a bijection within max_dim") {
+    import graft.operators.Reshape
+    val df = spark
+      .range(20)
+      .selectExpr("id AS vec_id", "explode(sequence(0, 63)) AS d")
+    val out = Reshape.addVariateIndex(df, "vec_id", "d", 128, "variate_id")
+    // every id in range, and distinct within each vector (injective)
+    assert(out.filter("variate_id < 0 OR variate_id >= 128").count() == 0)
+    val collisions = out
+      .groupBy("vec_id", "variate_id")
+      .count()
+      .filter("count > 1")
+      .count()
+    assert(collisions == 0, "permutation must be injective per vector")
+    // and actually permuted (not the identity for every vector)
+    assert(out.filter("variate_id != d").count() > 0)
+  }
+
   test("fixed patch-size constraints behave like the reference's FixedPatchSizeConstraints") {
     assert(PatchSizing.fixedRange(16, 32) == (16, 32))
     intercept[IllegalArgumentException](PatchSizing.fixedRange(32, 16))
