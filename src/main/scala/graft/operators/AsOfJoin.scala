@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
  *
  * Implementation: the union-tag pattern, NOT a range join. Left and right
  * rows are unioned, tagged, sorted within each key partition by
- * (time, tag) with right rows first on ties, and the right payload is
- * forward-filled with `last(_, ignoreNulls)`. Cost: ONE shuffle of
+ * (time, tag, right-row) with right rows first on ties, and the last
+ * right ROW is carried with `last(_, ignoreNulls)` — pandas merge_asof /
+ * DuckDB ASOF JOIN row semantics. Cost: ONE shuffle of
  * |L| + |R| rows on the key + an in-partition sort — linear, no pairwise
  * range-condition blowup, skew-bounded by the largest single key. This is
  * the standard scalable as-of construction for billion-row tables where a
@@ -70,33 +71,33 @@ object AsOfJoin {
                 leftCols.filterNot(keys.contains).map(c =>
                   lit(null).cast(left.schema(c).dataType).as(c)) ++
                 payload.map(c => col(c).as(s"_p_$c")): _*))
-    // right rows sort before left rows at equal time => "at or before"
+    // merge_asof ROW semantics in BOTH branches: the match is the last
+    // right ROW at-or-before the left time, and its own payload is taken
+    // even when null — filling payload columns independently would pair an
+    // old value with a fresh row's timestamp AND diverge from DuckDB's
+    // ASOF JOIN (the oracle's semantics). Per-column LOCF imputation is a
+    // different operator (GapFill.locf).
+    val rowStruct = struct(
+      (col("_t").as("_rt") +: payload.map(c => col(s"_p_$c").as(c))): _*)
+    val withRow = tagged.withColumn("_rrow", when(col("_tag") === 0, rowStruct))
+    // Right rows sort before left rows at equal time => "at or before".
+    // _rrow extends the order to a TOTAL one among right rows tied on
+    // (_t): without it the winner among equal-time right rows would be
+    // shuffle-order-dependent (rows whose full payload is identical remain
+    // interchangeable, which is harmless).
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_tag"))
+      .orderBy(col("_t"), col("_tag"), col("_rrow"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = tolerance match {
-      case None =>
-        // LOCF semantics: each payload column independently carries its
-        // last non-null value forward (the reference's imputation rule)
-        payload.foldLeft(tagged) { (d, c) =>
-          d.withColumn(s"asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
-        }
-      case Some(tol) =>
-        // merge_asof semantics: the match is the last right ROW; its own
-        // payload (even a null one) is taken, and the WHOLE row is gated
-        // by the tolerance — filling payload columns independently could
-        // pair an old value with a fresh row's timestamp
-        val rowStruct = struct(
-          (col("_t").as("_rt") +: payload.map(c => col(s"_p_$c").as(c))): _*)
-        val withRow = tagged
-          .withColumn("_rrow", when(col("_tag") === 0, rowStruct))
-          .withColumn("_last_r", last(col("_rrow"), ignoreNulls = true).over(w))
-        payload.foldLeft(withRow) { (d, c) =>
-          d.withColumn(
-            s"asof_$c",
-            when(col("_t") - col("_last_r._rt") <= tol, col(s"_last_r.$c")))
-        }
+    val matched = withRow.withColumn("_last_r", last(col("_rrow"), ignoreNulls = true).over(w))
+    val filled = payload.foldLeft(matched) { (d, c) =>
+      d.withColumn(
+        s"asof_$c",
+        tolerance match {
+          case None => col(s"_last_r.$c")
+          case Some(tol) =>
+            when(col("_t") - col("_last_r._rt") <= tol, col(s"_last_r.$c"))
+        })
     }
     filled
       .filter(col("_tag") === 1)

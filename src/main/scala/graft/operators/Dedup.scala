@@ -43,7 +43,10 @@ object Dedup {
       .select(col(idCol).cast("long"), col(blockCol).cast("string"), col(textCol))
       .as[(Long, String, String)]
       .map { case (id, blk, text) =>
-        val ws = text.split(' ')
+        // split with limit -1: Java's default drops TRAILING empty tokens,
+        // but the DuckDB oracle's string_split keeps them — a doc ending
+        // in a space must tokenize identically on both engines
+        val ws = text.split(" ", -1)
         val set = new java.util.HashSet[java.lang.Long]()
         var i = 0
         while (i + n <= ws.length) {

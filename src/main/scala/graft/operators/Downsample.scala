@@ -91,7 +91,10 @@ object Downsample {
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
         val arr = it.map(t => (t._2, t._3)).toArray
-        java.util.Arrays.sort(arr, Ordering.by[(Double, Double), Double](_._1))
+        // total (x, y) order, not x alone: duplicate x values under an
+        // x-only sort would leave the point order — and thus the selected
+        // points — dependent on the nondeterministic group iterator order
+        java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
         lttbCore(arr, threshold).iterator.map { case (x, y) => (k, x, y) }
       }
       .toDF(keyCol, xCol, yCol)
@@ -124,12 +127,16 @@ object Downsample {
         col(yCol).cast("double").as("_y"))
       .withColumn(
         "_chunk",
-        expr(s"CAST((row_number() OVER (PARTITION BY _k ORDER BY _x) - 1) DIV $chunkSize AS INT)"))
+        // (x, y) rank, not x alone: chunk membership must be deterministic
+        // under duplicate x values (same reason as the in-chunk sort)
+        expr(
+          s"CAST((row_number() OVER (PARTITION BY _k ORDER BY _x, _y) - 1) " +
+            s"DIV $chunkSize AS INT)"))
       .as[(String, Double, Double, Int)]
       .groupByKey(t => (t._1, t._4))
       .flatMapGroups { (key, it) =>
         val arr = it.map(t => (t._2, t._3)).toArray
-        java.util.Arrays.sort(arr, Ordering.by[(Double, Double), Double](_._1))
+        java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
         lttbCore(arr, threshold).iterator.map { case (x, y) => (key._1, x, y) }
       }
       .toDF(keyCol, xCol, yCol)

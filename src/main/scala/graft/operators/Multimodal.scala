@@ -52,6 +52,13 @@ object Multimodal {
    * shaped. */
   private def decodeStub(media: Array[Byte]): Array[Byte] = media
 
+  /** THE swap point for a real decoder: one invocation per BatchSize-row
+   * batch (amortizing per-call setup — model load, codec init — exactly
+   * like a mapInPandas batch). The stub maps the per-item kernel; a real
+   * implementation would hand the whole batch to the native library. */
+  private def decodeBatch(batch: Array[Array[Byte]]): Array[Array[Byte]] =
+    batch.map(decodeStub)
+
   /** Feature extraction over decoded payload: 16-bin byte histogram
    * (high nibble), i.e. a deterministic stand-in for an embedding. */
   private def extractFeatures(decoded: Array[Byte]): Array[Long] = {
@@ -73,14 +80,15 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
-          // one decoder invocation per batch (amortized setup point)
-          batch.iterator.map { r =>
-            val decoded = decodeStub(r.media)
-            val hist = extractFeatures(decoded)
+          // ONE decoder invocation per batch — the amortization the
+          // grouped() exists for (a per-row call would make it a no-op)
+          val decoded = decodeBatch(batch.iterator.map(_.media).toArray)
+          batch.iterator.zipWithIndex.map { case (r, i) =>
+            val hist = extractFeatures(decoded(i))
             FeatureRow(
               r.doc_id,
               r.modality,
-              decoded.length,
+              decoded(i).length,
               hist,
               hist.sum,
               hist(2)) // bin 2 = bytes 0x20..0x2f (ASCII space lives here)

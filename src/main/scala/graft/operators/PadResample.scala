@@ -29,11 +29,19 @@ object PadResample {
   private def hashOf(idCol: String): String =
     s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L"
 
+  /** SQL name of `arr`'s element type, so the NULL pads match any series
+   * element type (int tokens, double values, float embeddings). */
+  private def elemSqlOf(df: DataFrame, arr: String): String =
+    df.schema(arr).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et.sql
+      case t => throw new IllegalArgumentException(s"$arr must be an array column, got $t")
+    }
+
   /** Pad `arr` to at least `minLen` elements with NULLs, split front/back
    * by the deterministic hash (Pad, pad.py:26-50). `minLen` may be any
    * Column — a per-row map lookup gives PadFreq (pad.py:53-81). */
   def padTo(df: DataFrame, arr: String, idCol: String, minLen: Column, out: String): DataFrame = {
-    val elemT = "element_at(" + arr + ", 1)" // type anchor for the NULL pads
+    val elemSql = elemSqlOf(df, arr)
     df.withColumn("_need", greatest(minLen - size(col(arr)), lit(0)))
       .withColumn(
         "_front",
@@ -41,19 +49,21 @@ object PadResample {
       .withColumn(
         out,
         expr(
-          s"concat(array_repeat(CAST(NULL AS INT), _front), $arr, " +
-            s"array_repeat(CAST(NULL AS INT), _need - _front))"))
+          s"concat(array_repeat(CAST(NULL AS $elemSql), _front), $arr, " +
+            s"array_repeat(CAST(NULL AS $elemSql), _need - _front))"))
       .drop("_need", "_front")
   }
 
   /** Fixed eval-time padding: `contextPad` NULLs in front, `predictionPad`
    * behind (EvalPad, pad.py:84-108). */
-  def evalPad(df: DataFrame, arr: String, contextPad: Int, predictionPad: Int, out: String): DataFrame =
+  def evalPad(df: DataFrame, arr: String, contextPad: Int, predictionPad: Int, out: String): DataFrame = {
+    val elemSql = elemSqlOf(df, arr)
     df.withColumn(
       out,
       expr(
-        s"concat(array_repeat(CAST(NULL AS INT), $contextPad), $arr, " +
-          s"array_repeat(CAST(NULL AS INT), $predictionPad))"))
+        s"concat(array_repeat(CAST(NULL AS $elemSql), $contextPad), $arr, " +
+          s"array_repeat(CAST(NULL AS $elemSql), $predictionPad))"))
+  }
 
   /** Take every k-th element, starting at index 0 (Subsample,
    * resample.py:71-76: "just take every n-th element"). */

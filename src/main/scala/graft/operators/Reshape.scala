@@ -30,22 +30,26 @@ object Reshape {
    * permutation — here DETERMINISTIC: an affine bijection
    * `(a*d + b) mod maxDim` with odd `a` derived from the row id hash, so
    * the permutation reproduces at any parallelism (the engine's standing
-   * substitution for np.random). Rows whose variate count exceeds `maxDim`
-   * are a hard error in the reference; the caller filters/asserts via the
-   * returned `n_dims`. `dimCol` is the 0-based dim index of an already
-   * posexploded frame. */
+   * substitution for np.random). A dim index >= maxDim is a HARD runtime
+   * error, matching the reference's assert (feature.py:56-58) — a silent
+   * mod-wrap would hand two dims the same variate id. `dimCol` is the
+   * 0-based dim index of an already posexploded frame. */
   def addVariateIndex(
       df: DataFrame,
       idCol: String,
       dimCol: String,
       maxDim: Int,
       out: String): DataFrame = {
-    require(Integer.bitCount(maxDim) == 1, s"maxDim must be a power of two, got $maxDim")
+    require(
+      maxDim >= 2 && Integer.bitCount(maxDim) == 1,
+      s"maxDim must be a power of two >= 2, got $maxDim")
     val h = s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L"
     df.withColumn(
       out,
       expr(
-        s"CAST(pmod((2L * pmod($h, ${maxDim / 2}) + 1L) * $dimCol " +
-          s"+ pmod($h DIV 64, $maxDim), $maxDim) AS INT)"))
+        s"CASE WHEN $dimCol >= $maxDim THEN " +
+          s"CAST(raise_error(CONCAT('variate dim ', $dimCol, ' exceeds max_dim $maxDim')) AS INT) " +
+          s"ELSE CAST(pmod((2L * pmod($h, ${maxDim / 2}) + 1L) * $dimCol " +
+          s"+ pmod($h DIV 64, $maxDim), $maxDim) AS INT) END"))
   }
 }

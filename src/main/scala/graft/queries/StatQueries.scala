@@ -219,7 +219,10 @@ object StatQueries {
     // metadata exported to CSV, read back with a DECLARED schema in mode
     // "M", then the loader's train-stat normalization as exact ppm weights.
     "q_csv_lsf" -> ((s, dir) => {
-      val out = s"/tmp/graft_csv_${new java.io.File(dir).getName}"
+      // per-process dir: two concurrent runs (Verify + Bench) must not race
+      // on one overwrite-while-read path
+      val out =
+        s"/tmp/graft_csv_${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
       LsfCsv.writeCsv(s, dir, out)
       LsfCsv
         .read(s, out, "M")

@@ -163,6 +163,7 @@ object TokenRollupQueries {
         |       CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS src_total,
         |       CAST(n_chars * 1000000000 //
         |            sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS weight_ppb
-        |FROM documents""".stripMargin
+        |FROM documents
+        |WHERE n_chars >= 1""".stripMargin // TokenTable.raw's empty-doc guard
   )
 }

@@ -78,8 +78,10 @@ object UnionBuilder {
         .withColumn("ds", lit(name))
         .withColumn(
           "_rep",
+          // pmod, not %: a negative id's sign-preserving remainder would
+          // always clear the threshold and over-replicate the row
           lit(base) + when(
-            expr(s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L % 1000L")
+            expr(s"pmod((CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L, 1000L)")
               < fracThreshold,
             1).otherwise(0))
         .filter(col("_rep") > 0)

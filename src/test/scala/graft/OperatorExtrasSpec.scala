@@ -136,6 +136,32 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(out.filter("variate_id != d").count() > 0)
   }
 
+  test("AddVariateIndex hard-errors on dim >= max_dim (reference assert, no silent wrap)") {
+    import graft.operators.Reshape
+    val df = spark.range(2).selectExpr("id AS vec_id", "explode(sequence(0, 5)) AS d")
+    val out = Reshape.addVariateIndex(df, "vec_id", "d", 4, "variate_id")
+    val e = intercept[Exception](out.collect())
+    assert(e.getMessage.contains("exceeds max_dim") || e.getCause != null)
+  }
+
+  test("padTo pads non-int element types with matching NULLs") {
+    import graft.operators.PadResample
+    val df = spark
+      .range(3)
+      .selectExpr("id", "transform(sequence(0L, id), x -> CAST(x AS DOUBLE)) AS vals")
+    val out = PadResample.padTo(df, "vals", "id", lit(5), "padded")
+    val rows = out
+      .selectExpr(
+        "size(padded) AS n",
+        "size(filter(padded, x -> x IS NULL)) AS nn",
+        "aggregate(filter(padded, x -> x IS NOT NULL), 0D, (a, x) -> a + x) AS s")
+      .collect()
+    assert(rows.forall(_.getInt(0) == 5))
+    assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(2, 3, 4))
+    // and the data values survive as doubles
+    assert(rows.map(_.getDouble(2)).sorted.toSeq == Seq(0.0, 1.0, 3.0))
+  }
+
   test("fixed patch-size constraints behave like the reference's FixedPatchSizeConstraints") {
     assert(PatchSizing.fixedRange(16, 32) == (16, 32))
     intercept[IllegalArgumentException](PatchSizing.fixedRange(32, 16))
