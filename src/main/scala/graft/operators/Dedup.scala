@@ -116,23 +116,49 @@ object Dedup {
 
   // -- MinHash + LSH ------------------------------------------------------
 
+  /** SplitMix64 finalizer (Steele/Lea/Flood 2014; Vigna's public constants)
+   * — the per-seed hash family h_i(x) = mix(x xor i*GOLDEN) used for the
+   * MinHash permutations. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** MinHash signature per doc: sig[i] = min over shingle hashes of the
-   * i-seeded xxhash64 (one independent permutation per seed). One shuffle
-   * (groupBy id). */
+   * i-seeded SplitMix64 permutation. Computed ROW-LOCALLY inside the same
+   * typed map pass that shingles the text — zero shuffle (the previous
+   * formulation exploded every shingle and ran numHashes min-aggregations,
+   * shuffling |shingles| rows for nothing: the minima are per-doc state). */
   def minHashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       numHashes: Int): DataFrame = {
-    val sh = shingleHashes(docs, idCol, textCol, idCol, n)
-      .select(col("_id"), explode(col("hs")).as("h"))
-    val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
-    }
-    sh.groupBy(col("_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("_id"), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = shingleHashes(docs, idCol, textCol, idCol, n)
+    sets
+      .select(col("_id"), col("hs"))
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) =>
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var j = 0
+        while (j < hs.length) {
+          val h = hs(j)
+          var i = 0
+          while (i < numHashes) {
+            val v = mix64(h ^ (i * 0x9e3779b97f4a7c15L))
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          j += 1
+        }
+        (id, sig)
+      }
+      .toDF("_id", "sig")
   }
 
   /** LSH candidate pairs from banded signatures, verified with exact
