@@ -125,7 +125,12 @@ object TokenRollupQueries {
             .over(org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
         .withColumn(
           "weight_ppb",
-          expr("(CAST(n_tok AS BIGINT) * 1000000000L) DIV src_total")))
+          expr("(CAST(n_tok AS BIGINT) * 1000000000L) DIV src_total"))
+        // get_uniform_probabilities (indexer/_base.py:97-117): equal weight
+        // 1/|source| per doc, same ppb fixed point as the proportional path
+        .withColumn(
+          "uniform_ppb",
+          expr("1000000000L DIV count(*) OVER (PARTITION BY source)")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,7 +167,9 @@ object TokenRollupQueries {
         |       CAST(n_chars AS INT) AS n_tok,
         |       CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS src_total,
         |       CAST(n_chars * 1000000000 //
-        |            sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS weight_ppb
+        |            sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS weight_ppb,
+        |       CAST(1000000000 // count(*) OVER (PARTITION BY source) AS BIGINT)
+        |         AS uniform_ppb
         |FROM documents
         |WHERE n_chars >= 1""".stripMargin // TokenTable.raw's empty-doc guard
   )
