@@ -97,6 +97,40 @@ object PipelineQueries {
           col("modality"),
           col("f.frame_idx").as("frame_idx"),
           octet_length(col("f.frame")).as("frame_bytes")))
+  ,
+
+    // The CANONICAL §3.1 training chain composed end-to-end (SURVEY §3.1:
+    // ImputeTimeSeries(0) -> Patchify -> AddVariateIndex -> AddTimeIndex ->
+    // AddObservedMask -> EvalMaskedPrediction -> pack): deterministic
+    // missingness planted per point, dummy-imputed, patched at width 64,
+    // feature-indexed, horizon-masked (last 16 positions), and reduced to
+    // exact per-patch checksums a plain SQL oracle reproduces.
+    "q_train_pipeline" -> ((s, dir) =>
+      graft.sources.TokenTable
+        .raw(s, dir)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("source"),
+          col("n_tok"),
+          posexplode(col("tokens")).as(Seq("i", "tok")))
+        .withColumn("pos", col("i").cast("int"))
+        // planted missingness + AddObservedMask (feature.py:107-127)
+        .withColumn("observed", expr("(doc_id + pos) % 7 != 0"))
+        // ImputeTimeSeries with DummyValueImputation(0) (imputation.py:32-40)
+        .withColumn("y", expr("CASE WHEN observed THEN tok ELSE 0 END"))
+        // Patchify (patch.py:123-159) + AddTimeIndex/AddSampleIndex
+        .withColumn("patch_idx", expr("pos DIV 64"))
+        // EvalMaskedPrediction horizon mask (task.py:116-166), last 16
+        .withColumn("prediction_mask", expr("pos >= n_tok - 16"))
+        .groupBy(col("doc_id"), col("source"), col("patch_idx"))
+        .agg(
+          count(lit(1)).cast("int").as("patch_len"),
+          sum(expr("CAST(observed AS BIGINT)")).as("obs_cnt"),
+          sum(expr("CAST(y AS BIGINT)")).as("y_sum"),
+          sum(expr("CAST(prediction_mask AS BIGINT)")).as("pred_cnt"),
+          sum(col("pos").cast("long")).as("time_id_sum"),
+          max(lit(1)).as("sample_id"),
+          max(lit(0)).as("variate_id")))
   )
 
   private val ShinglesCte =
@@ -109,6 +143,20 @@ object PipelineQueries {
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracle: Map[String, String] = Map(
+    "q_train_pipeline" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |d AS (SELECT p.*, count(*) OVER (PARTITION BY doc_id) AS nn FROM pts p)
+         |SELECT doc_id, source, CAST(pos // 64 AS INT) AS patch_idx,
+         |       CAST(count(*) AS INT) AS patch_len,
+         |       CAST(sum(CASE WHEN (doc_id + pos) % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS obs_cnt,
+         |       CAST(sum(CASE WHEN (doc_id + pos) % 7 <> 0 THEN tok ELSE 0 END) AS BIGINT)
+         |         AS y_sum,
+         |       CAST(sum(CASE WHEN pos >= nn - 16 THEN 1 ELSE 0 END) AS BIGINT) AS pred_cnt,
+         |       CAST(sum(pos) AS BIGINT) AS time_id_sum,
+         |       CAST(1 AS INT) AS sample_id,
+         |       CAST(0 AS INT) AS variate_id
+         |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, text_hash, group_size FROM (
         |  SELECT doc_id, md5(text) AS text_hash,
