@@ -36,7 +36,8 @@ object SparkEntry {
       EvalQueries.q ++
       MetricQueries.q ++
       StatQueries.q ++
-      ResampleQueries.q
+      ResampleQueries.q ++
+      IngestQueries.q
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
    * parquet tables. Omitted keys get a rows-only check. */
@@ -49,5 +50,6 @@ object SparkEntry {
       EvalQueries.oracle ++
       MetricQueries.oracle ++
       StatQueries.oracle ++
-      ResampleQueries.oracle
+      ResampleQueries.oracle ++
+      IngestQueries.oracle
 }
