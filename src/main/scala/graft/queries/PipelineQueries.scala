@@ -23,8 +23,9 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)),
 
     // MinHash+LSH: 64 hashes × 16 bands of 4 (s-curve threshold ≈ 0.5).
-    // No SQL oracle (xxhash64-based signatures); DedupSpec asserts the LSH
-    // pair set equals the exact-Jaccard pair set at the same threshold.
+    // No SQL oracle (SplitMix64 signature family is not SQL-reproducible);
+    // PipelineSpec asserts the LSH pair set equals the exact-Jaccard pair
+    // set at the same threshold.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", 3, 64, 16, 0.5)),
 
