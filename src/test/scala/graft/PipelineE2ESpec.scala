@@ -103,4 +103,49 @@ class PipelineE2ESpec extends SparkSpec {
       .count()
     assert(payloadDrift == 0, "codec round-trips must be exact on tier payloads")
   }
+
+  test("builder → pad → patchify → precondition window decode, invariants at every stage") {
+    GraftFunctions.register(spark)
+    val dir = sf("sf0.001")
+    import graft.operators.PadResample
+    import graft.sources.UnionBuilder
+
+    // 1. weighted union of two slices with weight 1.0 each == plain union
+    val raw = TokenTable.raw(spark, dir)
+    val even = raw.filter(expr("CAST(doc_id AS BIGINT) % 2 = 0"))
+    val odd = raw.filter(expr("CAST(doc_id AS BIGINT) % 2 = 1"))
+    val unioned = UnionBuilder.load(
+      Seq(
+        "even" -> UnionBuilder.Source(even, "tok", 1.0),
+        "odd" -> UnionBuilder.Source(odd, "tok", 1.0)),
+      Map.empty,
+      idCol = "doc_id")
+    assert(unioned.count() == raw.count(), "weight-1.0 union must preserve cardinality")
+
+    // 2. pad to a multiple-of-64 frame: data mass is conserved, only
+    // NULLs are added, and every padded series meets the minimum
+    val minLen = 256
+    val padded = PadResample.padTo(unioned, "tokens", "doc_id", lit(minLen), "frame")
+    val padStats = padded
+      .select(
+        expr("size(frame)").as("flen"),
+        expr("aggregate(filter(frame, x -> x IS NOT NULL), 0L, (a, x) -> a + x)").as("dsum"),
+        expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tsum"))
+    assert(padStats.filter(col("flen") < minLen).count() == 0)
+    assert(padStats.filter(col("dsum") =!= col("tsum")).count() == 0, "padding must not touch data")
+
+    // 3. forward-precondition the full series, slice ANY interior window,
+    // decode it with only 4 original values of context — exact recovery
+    val winDrift = unioned
+      .filter(col("n_tok") >= 40)
+      .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+      .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
+      .withColumn("fs", expr("CAST(n_tok DIV 3 + 4 AS INT)")) // interior, >= 4
+      .withColumn("w", expr("slice(f, fs + 1, LEAST(16, n_tok - fs))"))
+      .withColumn("hist", expr("slice(vals, fs - 3, 4)"))
+      .withColumn("dec", expr("precond_reverse_ctx(w, 4, 'chebyshev', hist)"))
+      .filter(expr("dec != slice(vals, fs + 1, LEAST(16, n_tok - fs))"))
+      .count()
+    assert(winDrift == 0, "context window decode must be exact on integer-valued series")
+  }
 }
