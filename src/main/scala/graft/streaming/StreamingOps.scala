@@ -34,6 +34,20 @@ object StreamingOps {
         col("cnt"),
         col("sum_v"))
 
+  /** Streaming exact dedup — the continuous face of Dedup.exactDedup:
+   * re-observed content (same hash columns) within the watermark delay is
+   * dropped via `dropDuplicatesWithinWatermark`, so dedup state is bounded
+   * by the delay window instead of growing with the stream (the standard
+   * bounded-state trade: a duplicate arriving later than `delay` after
+   * its original is passed through — at 100 TB/day retention-unbounded
+   * exact dedup is a batch job over the snapshot store, not stream state). */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      delay: String): DataFrame =
+    docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming tier CASCADE: the 1m tier and its 5m reaggregation chained
    * inside ONE streaming query — the continuous face of the batch ladder
    * (Rollup.reaggregate), using Spark's multiple-stateful-operator support:

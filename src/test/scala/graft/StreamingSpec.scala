@@ -40,6 +40,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("a", "2024-01-01 01:00:00.0", 1L, 4.0)))
   }
 
+  test("streaming dedup: re-observed content within the watermark is dropped across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val df = in.toDF().toDF("ts", "text_hash", "doc_id")
+    val q = StreamingOps
+      .dedupStream(df, "ts", Seq("text_hash"), "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("deduped")
+      .outputMode(OutputMode.Append())
+      .start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    in.addData((ts(0), "aaa", 1L), (ts(1), "bbb", 2L))
+    q.processAllAvailable()
+    // batch 2: a CROSS-BATCH duplicate of "aaa" within the watermark is
+    // dropped; a new hash passes
+    in.addData((ts(2), "aaa", 3L), (ts(3), "ccc", 4L))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT text_hash, doc_id FROM deduped")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(rows == Set(("aaa", 1L), ("bbb", 2L), ("ccc", 4L)), rows.toString)
+  }
+
   test("streaming tier cascade: chained 1m -> 5m aggregation equals batch recomputation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
