@@ -68,6 +68,29 @@ object ResampleQueries {
           size(col("gsub")).as("n_sub"),
           expr("aggregate(gsub, 0L, (a, x) -> a + x)").as("sum_blur4"))),
 
+    // PatchCrop (crop.py:30-108): the random patch-aligned training-window
+    // sampler with its three variates (offset / num_patches / first) drawn
+    // deterministically — P=64, min 2 / max 8 patches; the crop checksum
+    // is a raw range sum the oracle recomputes from the same derivation.
+    "q_patch_crop" -> ((s, dir) =>
+      graft.operators.Crop
+        .patchCrop(
+          TokenTable.raw(s, dir),
+          idCol = "doc_id",
+          arrCol = "tokens",
+          lenCol = "n_tok",
+          patchSize = 64,
+          minTimePatches = 2,
+          maxPatches = 8)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("num_patches"),
+          col("first_patch"),
+          col("crop_start").cast("int").as("crop_start"),
+          size(col("crop")).as("crop_len"),
+          expr("aggregate(crop, 0L, (a, x) -> a + x)").as("crop_sum"))),
+
     // AddVariateIndex (feature.py:26-71): each exploded variate gets a
     // distinct id in [0, 128) via a deterministic affine permutation per
     // vector (the reference's optional randomized permutation, made
@@ -134,6 +157,34 @@ object ResampleQueries {
          |       CAST(count(*) FILTER (WHERE pos % 3 = 0) AS INT) AS n_sub,
          |       CAST(sum(blur4) FILTER (WHERE pos % 3 = 0) AS BIGINT) AS sum_blur4
          |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_patch_crop" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |d AS (
+         |  SELECT doc_id, source, n_chars AS n,
+         |         (doc_id % 1000000000) * 2654435761 % 1000000007 AS h
+         |  FROM documents WHERE n_chars >= 1),
+         |p AS (
+         |  SELECT doc_id, source, n, h, CAST(h % (n % 64 + 1) AS INT) AS off,
+         |         CAST((n - CAST(h % (n % 64 + 1) AS INT)) // 64 AS INT) AS total
+         |  FROM d),
+         |r AS (SELECT *, LEAST(8, total) AS maxp FROM p WHERE LEAST(8, total) >= 2),
+         |w AS (
+         |  SELECT doc_id, source, off, total,
+         |         CAST(2 + (h // 7) % (maxp - 1) AS INT) AS num_patches, h
+         |  FROM r),
+         |x AS (
+         |  SELECT doc_id, source, off, num_patches,
+         |         CAST((h // 49) % (total - num_patches + 1) AS INT) AS first_patch
+         |  FROM w)
+         |SELECT CAST(x.doc_id AS VARCHAR) AS doc_id, x.source, x.num_patches,
+         |       x.first_patch,
+         |       CAST(x.off + x.first_patch * 64 AS INT) AS crop_start,
+         |       CAST(x.num_patches * 64 AS INT) AS crop_len,
+         |       CAST(sum(pts.tok) AS BIGINT) AS crop_sum
+         |FROM x JOIN pts ON pts.doc_id = x.doc_id
+         |    AND pts.pos >= x.off + x.first_patch * 64
+         |    AND pts.pos < x.off + (x.first_patch + x.num_patches) * 64
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     "q_variate_index" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(t.i AS INT) - 1 AS d,

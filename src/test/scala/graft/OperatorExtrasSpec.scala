@@ -102,6 +102,29 @@ class OperatorExtrasSpec extends SparkSpec {
         PatchSizing.resolve("T", 577, 4))
   }
 
+  test("sampler registry: deterministic, bounded, and distribution-shaped") {
+    import graft.core.Samplers
+    val n = 100
+    val draws = (0 until 4000).map(s => Samplers.uniform(s.toLong, n))
+    assert(draws.forall(d => d >= 1 && d <= n))
+    val mean = draws.sum.toDouble / draws.size
+    assert(math.abs(mean - (n + 1) / 2.0) < 3.0, s"uniform mean $mean")
+    // determinism: same seed, same draw
+    assert(Samplers.uniform(42L, n) == Samplers.uniform(42L, n))
+    val bin = (0 until 4000).map(s => Samplers.binomial(s.toLong, n))
+    assert(bin.forall(d => d >= 1 && d <= n))
+    assert(math.abs(bin.sum.toDouble / bin.size - ((n - 1) * 0.5 + 1)) < 1.0)
+    // beta-binomial with a=b=1 matches the uniform sampler's mean
+    val bb = (0 until 4000).map(s => Samplers.betaBinomial(s.toLong, n))
+    assert(bb.forall(d => d >= 1 && d <= n))
+    assert(math.abs(bb.sum.toDouble / bb.size - (n + 1) / 2.0) < 3.0)
+    // skewed beta shifts the mass: a=2,b=8 -> mean p = 0.2
+    val sk = (0 until 4000).map(s => Samplers.betaBinomial(s.toLong, n, 2, 8))
+    assert(math.abs(sk.sum.toDouble / sk.size - ((n - 1) * 0.2 + 1)) < 2.0)
+    intercept[IllegalArgumentException](Samplers.get("zipf"))
+    assert(Samplers.get("uniform")(7L, 10) == Samplers.uniform(7L, 10))
+  }
+
   test("seasonality map follows the gluonts get_seasonality rule incl. multiples") {
     import graft.core.Seasonality
     assert(Seasonality.of("H") == 24)
