@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-2 operator queries: causal-mean gap-fill, median/argmax per group,
+/** Stat/operator queries: causal-mean + constant gap-fill, median/argmax per group,
  * series pivot (stacking), abs-mean scaler, weighted sampling, patch-level
  * preconditioning, CSV ingestion. Every oracle keeps the exact-arithmetic
  * discipline (integer sums; doubles only as final fixed expressions). */
