@@ -33,7 +33,9 @@ object Crop {
       minTimePatches: Int,
       maxPatches: Int): DataFrame = {
     require(minTimePatches <= maxPatches, "min_patches must be <= max_patches")
-    val h = s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L % 1000000007L"
+    // pmod, not %: a negative id's sign-preserving remainder would make
+    // _offset negative and slice() silently take an END-anchored crop
+    val h = s"pmod((CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L, 1000000007L)"
     df.withColumn("_h", expr(h))
       .withColumn("_offset", expr(s"CAST(_h % ($lenCol % $patchSize + 1) AS INT)"))
       .withColumn("_total", expr(s"CAST(($lenCol - _offset) DIV $patchSize AS INT)"))

@@ -116,21 +116,22 @@ object Dedup {
 
   // -- MinHash + LSH ------------------------------------------------------
 
-  /** SplitMix64 finalizer (Steele/Lea/Flood 2014; Vigna's public constants)
-   * — the per-seed hash family h_i(x) = mix(x xor i*GOLDEN) used for the
-   * MinHash permutations. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** The per-seed MinHash permutation family h_i(x) = mix64(x xor
+   * i*GOLDEN), over the shared SplitMix64 finalizer
+   * ([[graft.core.Hash.mix64]]). */
+  private def mix64(z: Long): Long = graft.core.Hash.mix64(z)
 
   /** MinHash signature per doc: sig[i] = min over shingle hashes of the
    * i-seeded SplitMix64 permutation. Computed ROW-LOCALLY inside the same
    * typed map pass that shingles the text — zero shuffle (the previous
    * formulation exploded every shingle and ran numHashes min-aggregations,
-   * shuffling |shingles| rows for nothing: the minima are per-doc state). */
+   * shuffling |shingles| rows for nothing: the minima are per-doc state).
+   *
+   * Docs with ZERO shingles (text shorter than n words) are dropped: the
+   * min over an empty set is undefined, and an all-sentinel signature
+   * would make every such pair collide in every band and then pass the
+   * 0/0 = NaN Jaccard verification. The exact path drops them too (no
+   * shingle rows to join), so the LSH == exact invariant holds. */
   def minHashSignatures(
       docs: DataFrame,
       idCol: String,
@@ -141,6 +142,7 @@ object Dedup {
     import spark.implicits._
     val sets = shingleHashes(docs, idCol, textCol, idCol, n)
     sets
+      .filter(size(col("hs")) > 0)
       .select(col("_id"), col("hs"))
       .as[(Long, Array[Long])]
       .map { case (id, hs) =>

@@ -49,12 +49,12 @@ object IngestQueries {
       val wide = Rollup
         .rollupFromPoints(TokenTable.points(s, dir), Tier.OneHour)
         .groupBy(col("bucket"), col("window_start"))
-        .pivot("source", (0 until 20).map(i => s"src$i"))
+        .pivot("source", TokenTable.FixtureSources)
         .agg(sum(col("sum_tok")))
       SimpleIngest.wideToLong(
         wide,
         idCols = Seq("bucket", "window_start"),
-        itemCols = (0 until 20).map(i => s"src$i"),
+        itemCols = TokenTable.FixtureSources,
         itemName = "source",
         valueName = "sum_tok")
     })

@@ -113,7 +113,7 @@ object StatQueries {
       Rollup
         .rollupFromPoints(TokenTable.points(s, dir), Tier.OneHour)
         .groupBy(col("bucket"), col("window_start"))
-        .pivot("source", (0 until 20).map(i => s"src$i"))
+        .pivot("source", TokenTable.FixtureSources)
         .agg(sum(col("sum_tok")))),
 
     // PackedAbsMeanScaler (packed_scaler.py:125-155): per-series mean |x|
@@ -310,8 +310,8 @@ object StatQueries {
          |         CAST(sum(tok) AS BIGINT) AS sum_tok
          |  FROM pts GROUP BY 1, 2, 3)
          |SELECT bucket, window_start,
-         |${(0 until 20)
-          .map(i => s"       CAST(sum(CASE WHEN source = 'src$i' THEN sum_tok END) AS BIGINT) AS src$i")
+         |${TokenTable.FixtureSources
+          .map(n => s"       CAST(sum(CASE WHEN source = '$n' THEN sum_tok END) AS BIGINT) AS $n")
           .mkString(",\n")}
          |FROM t GROUP BY 1, 2""".stripMargin,
     "q_scaler_absmean" ->

@@ -36,6 +36,12 @@ object TokenTable {
   val MulA = 2654435761L // Knuth multiplicative hash constant (public)
   val MulB = 40503L
 
+  /** The fixture's source label set (documents.source ∈ src0..src19) —
+   * shared by every query that enumerates sources explicitly (pivot value
+   * lists, unpivot column lists) so the enumeration cannot silently
+   * diverge from the data or between the Spark and oracle sides. */
+  val FixtureSources: Seq[String] = (0 until 20).map(i => s"src$i")
+
   /** The deterministic token-expression for position column `p` and doc
    * column `d` (both integral). */
   private def tokExpr(d: String, p: String) =

@@ -109,8 +109,17 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(draws.forall(d => d >= 1 && d <= n))
     val mean = draws.sum.toDouble / draws.size
     assert(math.abs(mean - (n + 1) / 2.0) < 3.0, s"uniform mean $mean")
-    // determinism: same seed, same draw
-    assert(Samplers.uniform(42L, n) == Samplers.uniform(42L, n))
+    // determinism pinned to GOLDEN values (independently recomputed from
+    // the SplitMix64 spec in Python) — an algorithm/constant change fails
+    // here, which a trivial f(x)==f(x) comparison would not catch
+    assert(Samplers.uniform(42L, n) == 14)
+    assert(Samplers.binomial(42L, n) == 45)
+    // adjacent seeds draw DECORRELATED streams, not sliding windows of one
+    // shared Bernoulli sequence: neighboring binomial draws must not be
+    // bounded-increment neighbors systematically
+    val adj = (0 until 500).map(s => Samplers.binomial(s.toLong, n))
+    val bigJumps = adj.sliding(2).count(p => math.abs(p(1) - p(0)) > 3)
+    assert(bigJumps > 200, s"adjacent-seed draws look correlated ($bigJumps/499 big jumps)")
     val bin = (0 until 4000).map(s => Samplers.binomial(s.toLong, n))
     assert(bin.forall(d => d >= 1 && d <= n))
     assert(math.abs(bin.sum.toDouble / bin.size - ((n - 1) * 0.5 + 1)) < 1.0)
@@ -121,6 +130,11 @@ class OperatorExtrasSpec extends SparkSpec {
     // skewed beta shifts the mass: a=2,b=8 -> mean p = 0.2
     val sk = (0 until 4000).map(s => Samplers.betaBinomial(s.toLong, n, 2, 8))
     assert(math.abs(sk.sum.toDouble / sk.size - ((n - 1) * 0.2 + 1)) < 2.0)
+    // large shapes terminate (Johnk's acceptance collapses there; the
+    // gamma-ratio path must take over) and concentrate near the mean
+    val big = (0 until 500).map(s => Samplers.betaBinomial(s.toLong, n, 20, 20))
+    assert(big.forall(d => d >= 1 && d <= n))
+    assert(math.abs(big.sum.toDouble / big.size - ((n - 1) * 0.5 + 1)) < 2.0)
     intercept[IllegalArgumentException](Samplers.get("zipf"))
     assert(Samplers.get("uniform")(7L, 10) == Samplers.uniform(7L, 10))
   }

@@ -33,6 +33,26 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("minhash LSH: docs with fewer words than the shingle width produce NO pairs") {
+    // Zero-shingle docs have no defined signature; an all-sentinel sig
+    // would collide every such pair in every band and then pass the
+    // 0/0 = NaN jaccard gate (NaN >= t is TRUE in Spark's ordering).
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .minHashLshPairs(tiny, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((3L, 4L)), s"short docs must not pair: $pairs")
+  }
+
   test("simhash finds the planted near-dup pairs at small hamming distance") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
