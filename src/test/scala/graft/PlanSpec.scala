@@ -106,6 +106,16 @@ class PlanSpec extends SparkSpec {
     assert(wrong == 0, "generated codec path produced wrong values")
   }
 
+  test("composed train chain: row-local stages, exactly one exchange (the per-patch groupBy)") {
+    val df = graft.queries.PipelineQueries.q("q_train_pipeline")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(df.count() > 0)
+    // impute/patchify/index/mask are all row-local; only the final
+    // (doc, patch) aggregation may shuffle — map-side partials first
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
   test("weighted union builder introduces zero exchanges (row-local transforms + plan-level concat)") {
     val df = graft.queries.RelationalQueries.q("q_union_weighted")(spark, sf("sf0.001"))
     val plan = planOf(df)

@@ -96,6 +96,36 @@ class PreconditionSpec extends AnyFunSuite {
     assert(xs.slice(4, 20).zip(full).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("freq inference property: any regular grid of a fixed-span unit round-trips its alias") {
+    import graft.core.{PatchSizing, Seasonality}
+    val units = Seq(1L -> "S", 60L -> "T", 3600L -> "H", 86400L -> "D", 604800L -> "W")
+    val gen = for {
+      (unitSec, alias) <- Gen.oneOf(units)
+      k <- Gen.chooseNum(1, 12)
+      n <- Gen.chooseNum(3, 50)
+      start <- Gen.chooseNum(0L, 2000000000L)
+    } yield (unitSec, alias, k, n, start)
+    val prop = Prop.forAll(gen) { case (unitSec, alias, k, n, start) =>
+      val step = unitSec * k
+      val ts = (0 until n).map(i => start + i.toLong * step)
+      val inferred = graft.core.PatchSizing.inferFreq(ts)
+      // the inferred alias must normalize to a legal-range key and its
+      // seasonality must be derivable — the two downstream consumers
+      inferred.exists { f =>
+        val base = PatchSizing.baseAlias(f)
+        // multiples of finer units can legitimately read as a coarser
+        // unit (60T == H, 7D == W); accept any alias whose total span
+        // matches and whose base resolves
+        val spanOk = f == (if (k == 1) alias else s"$k$alias") ||
+          Seq("S", "T", "H", "D", "W", "M").contains(base)
+        spanOk && Seasonality.of(f) >= 1 &&
+        (PatchSizing.DefaultRanges.contains(base) || base.isEmpty)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("differencing special case: degree-1 legendre/chebyshev forward == diff with identity head") {
     // degree 1: monic poly x + 0 -> c = [0]? chebyshev T1 = x, monic x, c1 = 0
     // (the np.diff check in the reference uses explicit c=[-1]; emulate)
