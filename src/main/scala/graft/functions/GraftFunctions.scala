@@ -23,6 +23,18 @@ object GraftFunctions {
     "tier_stats" -> (args => TierStats(args.head)),
     "dot_q" -> (args => DotQ(args.head, args(1))),
     "lsh_sig" -> (args => LshSig(args.head, foldInt(args(1)))),
+    // array kernels (typed JVM loops replacing interpreted HOF lambdas —
+    // see ArrayExpressions.scala)
+    "arr_sum" -> (args => ArrSum(args.head)),
+    "arr_sum_q" -> (args => ArrSumQ(args.head, foldLong(args(1)))),
+    "arr_null_count" -> (args => ArrNullCount(args.head)),
+    "arr_first_data_pos" -> (args => ArrFirstDataPos(args.head)),
+    "arr_pos_weighted_sum" -> (args => ArrPosWeightedSum(args.head, foldLong(args(1)))),
+    "arr_pos_weighted_sum_q" -> (args =>
+      ArrPosWeightedSumQ(args.head, foldLong(args(1)), foldLong(args(2)))),
+    "arr_every_kth" -> (args => ArrEveryKth(args.head, foldInt(args(1)))),
+    "arr_blur4_every_kth" -> (args => ArrBlur4EveryKth(args.head, foldInt(args(1)))),
+    "arr_repeat_each" -> (args => ArrRepeatEach(args.head, foldInt(args(1)))),
     // precond_forward(arr, degree, 'chebyshev'), precond_reverse(...)
     "precond_forward" -> (args =>
       PrecondForward(args.head, foldInt(args(1)), foldStr(args(2)))),
@@ -36,6 +48,8 @@ object GraftFunctions {
 
   private def foldInt(e: Expression): Int =
     e.eval(null).toString.toInt
+  private def foldLong(e: Expression): Long =
+    e.eval(null).toString.toLong
   private def foldStr(e: Expression): String =
     e.eval(null).toString
 

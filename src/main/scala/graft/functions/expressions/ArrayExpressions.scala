@@ -1,0 +1,341 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Array kernels replacing the SQL higher-order-function lambdas
+ * (`aggregate`/`filter`/`transform`/`zip_with`) that previously sat in the
+ * pad/resample operators and their checksum queries. HOF lambdas evaluate
+ * INTERPRETED per element (~100 µs/element measured in this environment —
+ * BENCH.md round-1 lesson, the same trap that cost dot_q its round-1
+ * plans); each kernel here is one expression eval per ROW containing a
+ * tight JVM loop, with a real `doGenCode` (the DotQ/CodecKernels pattern)
+ * so the surrounding projection stays inside one whole-stage-codegen span.
+ *
+ * Semantics copied exactly from the SQL they replace (reference:
+ * uni2ts/src/uni2ts/transform/pad.py, resample.py — see
+ * operators/PadResample.scala):
+ *  - sums skip NULL elements (the `aggregate(filter(x IS NOT NULL))` shape);
+ *  - `arr_first_data_pos` is the 1-based position of the first non-null
+ *    element, 0 when there is none (array_position semantics);
+ *  - `arr_every_kth`/`arr_repeat_each` preserve the element type and NULLs.
+ */
+object ArrayKernels {
+
+  private def getLong(a: ArrayData, i: Int, isInt: Boolean): Long =
+    if (isInt) a.getInt(i).toLong else a.getLong(i)
+
+  /** Null-skipping exact sum of an integral array. */
+  def sumLong(a: ArrayData, isInt: Boolean): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) s += getLong(a, i, isInt)
+      i += 1
+    }
+    s
+  }
+
+  /** Null-skipping sum of floor(x*scale + 0.5) over a float/double array —
+   * the engine's shared quantization contract (VectorKernels.quantize). */
+  def sumQuant(a: ArrayData, isFloat: Boolean, scale: Long): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += math.floor(x * scale + 0.5).toLong
+      }
+      i += 1
+    }
+    s
+  }
+
+  def nullCount(a: ArrayData): Int = {
+    val n = a.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** 1-based position of the first non-null element; 0 if all null. */
+  def firstDataPos(a: ArrayData): Long = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) return i + 1L
+      i += 1
+    }
+    0L
+  }
+
+  /** Null-skipping sum of x_i * (i + base), i 0-based, over an integral
+   * array (base=0 gives the upsample interleaving checksum; base=1 the
+   * 1-based variant). */
+  def posWeightedSum(a: ArrayData, isInt: Boolean, base: Long): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) s += getLong(a, i, isInt) * (i + base)
+      i += 1
+    }
+    s
+  }
+
+  /** Null-skipping sum of floor(x_i*scale + 0.5) * (i + base) over a
+   * float/double array — the long-ingest time-order checksum. */
+  def posWeightedSumQuant(a: ArrayData, isFloat: Boolean, scale: Long, base: Long): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += math.floor(x * scale + 0.5).toLong * (i + base)
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Elements at 0-based positions 0, k, 2k, … (Subsample). */
+  def everyKth(a: ArrayData, k: Int, elem: DataType): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](if (n == 0) 0 else (n + k - 1) / k)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      out(j) = if (a.isNullAt(i)) null else a.get(i, elem)
+      i += k
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Binomial [1,2,1] blur emitted pre-division as 4*g (exact integers,
+   * edges clamped to the boundary sample), then every k-th element —
+   * the fused GaussianFilterSubsample kernel. */
+  def blur4EveryKth(a: ArrayData, k: Int, isInt: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](if (n == 0) 0 else (n + k - 1) / k)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      val prev = getLong(a, if (i > 0) i - 1 else 0, isInt)
+      val next = getLong(a, if (i + 1 < n) i + 1 else n - 1, isInt)
+      out(j) = prev + 2L * getLong(a, i, isInt) + next
+      i += k
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Each element repeated k times in place (Upsample). */
+  def repeatEach(a: ArrayData, k: Int, elem: DataType): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n * k)
+    var i = 0
+    while (i < n) {
+      val v = if (a.isNullAt(i)) null else a.get(i, elem)
+      var r = 0
+      while (r < k) {
+        out(i * k + r) = v
+        r += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for the array kernels: input must be an array; doGenCode is a
+ * one-line static-kernel call built by [[genCall]]. Abstract members are
+ * defs, not ctor params — superclasses of serialized expressions must keep
+ * no-arg constructors (Java serialization, see CodecExpressions.scala). */
+abstract class ArrayKernelExpression extends UnaryExpression {
+  protected def elemOk(e: DataType): Boolean
+  protected def expects: String
+
+  protected def elemType: DataType = child.dataType match {
+    case ArrayType(e, _) => e
+    case t => throw new IllegalStateException(s"$prettyName on non-array $t")
+  }
+  protected def elemIsInt: Boolean = elemType == IntegerType
+  protected def elemIsFloat: Boolean = elemType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, _) if elemOk(e) => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires $expects, got $t")
+    }
+
+  /** Java expression computing the result from ArrayData variable `c`. */
+  protected def genCall(ctx: CodegenContext, c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${genCall(ctx, c)};")
+}
+
+private object ArrayKernelExpression {
+  final val K = "graft.functions.expressions.ArrayKernels$.MODULE$"
+}
+
+/** `arr_sum(array<int|bigint>) -> bigint`: null-skipping exact sum. */
+case class ArrSum(child: Expression) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.sumLong(input.asInstanceOf[ArrayData], elemIsInt)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.sumLong($c, $elemIsInt)"
+  override protected def withNewChildInternal(newChild: Expression): ArrSum =
+    copy(child = newChild)
+}
+
+/** `arr_sum_q(array<float|double>, scale) -> bigint`: null-skipping sum of
+ * floor(x*scale + 0.5). */
+case class ArrSumQ(child: Expression, scale: Long) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean =
+    e == FloatType || e == DoubleType
+  override protected def expects: String = "array<float|double>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_sum_q"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.sumQuant(input.asInstanceOf[ArrayData], elemIsFloat, scale)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.sumQuant($c, $elemIsFloat, ${scale}L)"
+  override protected def withNewChildInternal(newChild: Expression): ArrSumQ =
+    copy(child = newChild)
+}
+
+/** `arr_null_count(array<T>) -> int`. */
+case class ArrNullCount(child: Expression) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean = true
+  override protected def expects: String = "array<any>"
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "arr_null_count"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.nullCount(input.asInstanceOf[ArrayData])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.nullCount($c)"
+  override protected def withNewChildInternal(newChild: Expression): ArrNullCount =
+    copy(child = newChild)
+}
+
+/** `arr_first_data_pos(array<T>) -> bigint`: 1-based first non-null
+ * position, 0 if none. */
+case class ArrFirstDataPos(child: Expression) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean = true
+  override protected def expects: String = "array<any>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_first_data_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.firstDataPos(input.asInstanceOf[ArrayData])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.firstDataPos($c)"
+  override protected def withNewChildInternal(newChild: Expression): ArrFirstDataPos =
+    copy(child = newChild)
+}
+
+/** `arr_pos_weighted_sum(array<int|bigint>, base) -> bigint`:
+ * sum x_i * (i + base), i 0-based, null elements skipped. */
+case class ArrPosWeightedSum(child: Expression, base: Long)
+    extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_pos_weighted_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.posWeightedSum(input.asInstanceOf[ArrayData], elemIsInt, base)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.posWeightedSum($c, $elemIsInt, ${base}L)"
+  override protected def withNewChildInternal(newChild: Expression): ArrPosWeightedSum =
+    copy(child = newChild)
+}
+
+/** `arr_pos_weighted_sum_q(array<float|double>, scale, base) -> bigint`:
+ * sum floor(x_i*scale + 0.5) * (i + base). */
+case class ArrPosWeightedSumQ(child: Expression, scale: Long, base: Long)
+    extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean =
+    e == FloatType || e == DoubleType
+  override protected def expects: String = "array<float|double>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_pos_weighted_sum_q"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.posWeightedSumQuant(input.asInstanceOf[ArrayData], elemIsFloat, scale, base)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.posWeightedSumQuant($c, $elemIsFloat, ${scale}L, ${base}L)"
+  override protected def withNewChildInternal(newChild: Expression): ArrPosWeightedSumQ =
+    copy(child = newChild)
+}
+
+/** `arr_every_kth(array<T>, k) -> array<T>`: elements at 0-based positions
+ * 0, k, 2k, … (Subsample, resample.py:71-76). */
+case class ArrEveryKth(child: Expression, k: Int) extends ArrayKernelExpression {
+  require(k >= 1, s"arr_every_kth requires k >= 1, got $k")
+  override protected def elemOk(e: DataType): Boolean = true
+  override protected def expects: String = "array<any>"
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "arr_every_kth"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.everyKth(input.asInstanceOf[ArrayData], k, elemType)
+  override protected def genCall(ctx: CodegenContext, c: String): String = {
+    val et = ctx.addReferenceObj("elemType", elemType, classOf[DataType].getName)
+    s"${ArrayKernelExpression.K}.everyKth($c, $k, $et)"
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArrEveryKth =
+    copy(child = newChild)
+}
+
+/** `arr_blur4_every_kth(array<int|bigint>, k) -> array<bigint>`: fused
+ * binomial [1,2,1] blur (×4, exact) + every-k-th
+ * (GaussianFilterSubsample, resample.py:79-84). */
+case class ArrBlur4EveryKth(child: Expression, k: Int) extends ArrayKernelExpression {
+  require(k >= 1, s"arr_blur4_every_kth requires k >= 1, got $k")
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "arr_blur4_every_kth"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.blur4EveryKth(input.asInstanceOf[ArrayData], k, elemIsInt)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.blur4EveryKth($c, $k, $elemIsInt)"
+  override protected def withNewChildInternal(newChild: Expression): ArrBlur4EveryKth =
+    copy(child = newChild)
+}
+
+/** `arr_repeat_each(array<T>, k) -> array<T>`: each element repeated k
+ * times in place (Upsample, resample.py:94-96). */
+case class ArrRepeatEach(child: Expression, k: Int) extends ArrayKernelExpression {
+  require(k >= 1, s"arr_repeat_each requires k >= 1, got $k")
+  override protected def elemOk(e: DataType): Boolean = true
+  override protected def expects: String = "array<any>"
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "arr_repeat_each"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.repeatEach(input.asInstanceOf[ArrayData], k, elemType)
+  override protected def genCall(ctx: CodegenContext, c: String): String = {
+    val et = ctx.addReferenceObj("elemType", elemType, classOf[DataType].getName)
+    s"${ArrayKernelExpression.K}.repeatEach($c, $k, $et)"
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArrRepeatEach =
+    copy(child = newChild)
+}

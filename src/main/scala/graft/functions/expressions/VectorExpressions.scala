@@ -2,7 +2,6 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -30,17 +29,24 @@ object VectorKernels {
    * formulation, not bit-identical to it: the SQL's xxhash64 hashed its
    * INT argument via hashInt; this kernel hashes the long via hashLong.
    * Bucket ids are engine-internal — only recall, asserted in
-   * PipelineSpec, is the contract.) */
-  def lshSig(v: Array[Double], nPlanes: Int): Long = {
+   * PipelineSpec, is the contract.)
+   *
+   * Reads straight off ArrayData — the shared entry point for the
+   * interpreted eval AND the generated Java call of `lsh_sig`, so the
+   * expression keeps a real `doGenCode` (same one-line kernel-call shape
+   * as DotQ/CodecKernels) instead of a span-breaking CodegenFallback. */
+  def lshSigData(a: ArrayData, isFloat: Boolean, nPlanes: Int): Long = {
+    val n = a.numElements()
     var acc = 0L
     var p = 0
     while (p < nPlanes) {
       var s = 0L
       var d = 0
-      while (d < v.length) {
+      while (d < n) {
         val h = XXH64.hashLong(p.toLong * 1024L + d, 42L)
         val w = ((h % 7L) + 7L) % 7L - 3L
-        s += quantize(v(d)) * w
+        val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        s += quantize(x) * w
         d += 1
       }
       acc = acc * 2L + (if (s >= 0L) 1L else 0L)
@@ -88,16 +94,6 @@ object VectorKernels {
     s
   }
 
-  def toDoubles(arr: ArrayData, elem: DataType): Array[Double] = elem match {
-    case DoubleType => arr.toDoubleArray()
-    case FloatType =>
-      val f = arr.toFloatArray()
-      val out = new Array[Double](f.length)
-      var i = 0
-      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
-      out
-    case _ => throw new IllegalStateException(s"unsupported element type $elem")
-  }
 }
 
 /** `dot_q(a, b) -> bigint`: exact fixed-point dot product (see
@@ -157,10 +153,13 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
       newRight: Expression): DotQ = copy(left = newLeft, right = newRight)
 }
 
-/** `lsh_sig(vec, nPlanes) -> bigint`: hyperplane-LSH bucket signature. */
-case class LshSig(child: Expression, nPlanes: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+/** `lsh_sig(vec, nPlanes) -> bigint`: hyperplane-LSH bucket signature.
+ *
+ * Real `doGenCode` (one-line call into [[VectorKernels.lshSigData]]) — this
+ * expression sits in the bucketing projection of every ANN query, and a
+ * CodegenFallback here would break the whole-stage span around every
+ * co-resident expression (the measured dot_q effect). */
+case class LshSig(child: Expression, nPlanes: Int) extends UnaryExpression {
 
   private def elemOf(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -178,10 +177,21 @@ case class LshSig(child: Expression, nPlanes: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sig"
 
+  private def isFloat = elemOf(child.dataType).contains(FloatType)
+
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.lshSig(
-      VectorKernels.toDoubles(input.asInstanceOf[ArrayData], elemOf(child.dataType).get),
-      nPlanes)
+    VectorKernels.lshSigData(input.asInstanceOf[ArrayData], isFloat, nPlanes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"${ev.value} = graft.functions.expressions.VectorKernels$$.MODULE$$" +
+          s".lshSigData($c, $isFloat, $nPlanes);")
 
   override protected def withNewChildInternal(newChild: Expression): LshSig =
     copy(child = newChild)

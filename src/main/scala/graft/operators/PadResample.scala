@@ -65,12 +65,21 @@ object PadResample {
           s"array_repeat(CAST(NULL AS $elemSql), $predictionPad))"))
   }
 
+  // The three rate-resamplers are single Catalyst kernel expressions
+  // (ArrayExpressions.scala) rather than SQL higher-order functions: HOF
+  // lambdas evaluate interpreted at ~100 µs/element (BENCH.md round-1
+  // lesson), a 10-100× constant factor on what is otherwise a linear
+  // shuffle-free pass — at 100 TB the constant IS the cost.
+
+  private def withFn(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df
+  }
+
   /** Take every k-th element, starting at index 0 (Subsample,
    * resample.py:71-76: "just take every n-th element"). */
   def subsample(df: DataFrame, arr: String, k: Int, out: String): DataFrame =
-    df.withColumn(
-      out,
-      expr(s"filter($arr, (x, i) -> i % $k = 0)"))
+    withFn(df).withColumn(out, call_function("arr_every_kth", col(arr), lit(k)))
 
   /** Binomial [1,2,1]/4 blur (the discrete Gaussian) then every k-th
    * element (GaussianFilterSubsample, resample.py:79-84: "blur using
@@ -78,17 +87,9 @@ object PadResample {
    * sample. Emitted pre-division as 4*g (an exact integer) so downstream
    * checksums stay exact. */
   def gaussianSubsample(df: DataFrame, arr: String, k: Int, out: String): DataFrame =
-    df.withColumn(
-      "_blur4",
-      expr(
-        s"transform($arr, (x, i) -> " +
-          s"CAST(element_at($arr, CAST(greatest(i, 1) AS INT)) AS BIGINT) " +
-          s"+ 2L * x " +
-          s"+ element_at($arr, CAST(least(i + 2, size($arr)) AS INT)))"))
-      .withColumn(out, expr(s"filter(_blur4, (x, i) -> i % $k = 0)"))
-      .drop("_blur4")
+    withFn(df).withColumn(out, call_function("arr_blur4_every_kth", col(arr), lit(k)))
 
   /** Repeat each element k times (Upsample, resample.py:94-96). */
   def upsample(df: DataFrame, arr: String, k: Int, out: String): DataFrame =
-    df.withColumn(out, expr(s"flatten(transform($arr, x -> array_repeat(x, $k)))"))
+    withFn(df).withColumn(out, call_function("arr_repeat_each", col(arr), lit(k)))
 }

@@ -14,7 +14,8 @@ object IngestQueries {
     // Long frame -> one series row per item (_from_long_dataframe,
     // simple.py:40-87): the position-weighted quantized checksum proves
     // the TIME ORDER of the folded series, not just its multiset.
-    "q_ingest_long" -> ((s, dir) =>
+    "q_ingest_long" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       SimpleIngest
         .longToSeries(
           s.read
@@ -35,10 +36,13 @@ object IngestQueries {
           size(col("series")).as("n_obs"),
           expr("element_at(series, 1).o0").as("first_us"),
           expr("element_at(series, -1).o0").as("last_us"),
-          expr(
-            "aggregate(zip_with(series, sequence(1L, size(series)), " +
-              "(e, i) -> i * CAST(floor(e.value * 100 + 0.5) AS BIGINT)), " +
-              "0L, (a, x) -> a + x)").as("vq_pos_sum"))),
+          // 1-based position-weighted quantized checksum over the folded
+          // values; `series.value` is a codegen'd array-of-struct field
+          // extraction, the kernel replaces the interpreted zip_with/
+          // aggregate lambda (round-3 verdict hot path).
+          call_function("arr_pos_weighted_sum_q", col("series.value"), lit(100L), lit(1L))
+            .as("vq_pos_sum"))
+    }),
 
     // Wide frame -> long (_from_wide_dataframe, simple.py:90-137): the 1h
     // tier pivoted wide (one column per source) then melted back — the
@@ -65,7 +69,7 @@ object IngestQueries {
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
         |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY epoch_us(ts), event_id) AS rn,
+        |                            ORDER BY epoch_us(ts), event_id, value) AS rn,
         |         count(*) OVER (PARTITION BY user_id) AS n
         |  FROM events)
         |SELECT user_id, CAST(max(n) AS INT) AS n_obs,

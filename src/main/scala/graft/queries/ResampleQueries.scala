@@ -18,16 +18,19 @@ object ResampleQueries {
   private val FreqMinSql =
     "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 400 ELSE 800 END"
 
-  private def padChecks(df: DataFrame): DataFrame =
+  // Checksums via the typed array kernels (ArrayExpressions.scala), not
+  // SQL HOF lambdas — those evaluate interpreted per element and were the
+  // round-3 verdict's flagged hot path.
+  private def padChecks(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(
       col("doc_id"),
       col("source"),
       size(col("padded")).as("padded_len"),
-      size(expr("filter(padded, x -> x IS NULL)")).as("n_nulls"),
-      expr("CAST(array_position(transform(padded, x -> x IS NOT NULL), true) AS BIGINT)")
-        .as("first_data_pos"),
-      expr("aggregate(filter(padded, x -> x IS NOT NULL), 0L, (a, x) -> a + x)")
-        .as("data_sum"))
+      call_function("arr_null_count", col("padded")).as("n_nulls"),
+      call_function("arr_first_data_pos", col("padded")).as("first_data_pos"),
+      call_function("arr_sum", col("padded")).as("data_sum"))
+  }
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pad to a fixed minimum length (pad.py:26-50), deterministic
@@ -55,7 +58,7 @@ object ResampleQueries {
           col("doc_id"),
           col("source"),
           size(col("sub")).as("n_sub"),
-          expr("aggregate(sub, 0L, (a, x) -> a + x)").as("sum_sub"))),
+          call_function("arr_sum", col("sub")).as("sum_sub"))),
 
     // GaussianFilterSubsample: binomial [1,2,1] blur (x4, exact integers)
     // then every 3rd element (resample.py:79-84).
@@ -66,13 +69,14 @@ object ResampleQueries {
           col("doc_id"),
           col("source"),
           size(col("gsub")).as("n_sub"),
-          expr("aggregate(gsub, 0L, (a, x) -> a + x)").as("sum_blur4"))),
+          call_function("arr_sum", col("gsub")).as("sum_blur4"))),
 
     // PatchCrop (crop.py:30-108): the random patch-aligned training-window
     // sampler with its three variates (offset / num_patches / first) drawn
     // deterministically — P=64, min 2 / max 8 patches; the crop checksum
     // is a raw range sum the oracle recomputes from the same derivation.
-    "q_patch_crop" -> ((s, dir) =>
+    "q_patch_crop" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       graft.operators.Crop
         .patchCrop(
           TokenTable.raw(s, dir),
@@ -89,7 +93,8 @@ object ResampleQueries {
           col("first_patch"),
           col("crop_start").cast("int").as("crop_start"),
           size(col("crop")).as("crop_len"),
-          expr("aggregate(crop, 0L, (a, x) -> a + x)").as("crop_sum"))),
+          call_function("arr_sum", col("crop")).as("crop_sum"))
+    }),
 
     // AddVariateIndex (feature.py:26-71): each exploded variate gets a
     // distinct id in [0, 128) via a deterministic affine permutation per
@@ -122,9 +127,7 @@ object ResampleQueries {
           col("doc_id"),
           col("source"),
           size(col("up")).as("n_up"),
-          expr(
-            "aggregate(zip_with(up, sequence(0L, size(up) - 1), " +
-              "(x, i) -> CAST(x AS BIGINT) * i), 0L, (a, y) -> a + y)")
+          call_function("arr_pos_weighted_sum", col("up"), lit(0L))
             .as("pos_weighted_sum")))
   )
 

@@ -20,8 +20,12 @@ object SimpleIngest {
   /** Fold a long frame into one row per item carrying the time-ordered
    * series as an array of (orderCols..., value) structs. The struct field
    * order makes `sort_array` the total time order (ties broken by the
-   * later order columns), so the fold is deterministic at any parallelism
-   * — the reference gets this for free from its sorted dataframe index. */
+   * later order columns, then — because `value` is the struct's trailing
+   * field — by the value itself), so the fold is deterministic at any
+   * parallelism EVEN when (orderCols) is not unique per item; an external
+   * oracle must use the same final value tie-break (q_ingest_long's
+   * row_number orders by ts, event_id, value for exactly this reason).
+   * The reference gets this for free from its sorted dataframe index. */
   def longToSeries(
       df: DataFrame,
       itemCol: String,

@@ -106,6 +106,72 @@ class PlanSpec extends SparkSpec {
     assert(wrong == 0, "generated codec path produced wrong values")
   }
 
+  test("lsh_sig + simhash64 + array kernels stay inside whole-stage codegen") {
+    // Round 3 left lsh_sig/simhash64 as the last two CodegenFallback
+    // expressions; the array kernels replaced interpreted HOF lambdas.
+    // All must keep the projection's * (codegen) span.
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark
+      .range(50)
+      .selectExpr(
+        "transform(sequence(0L, 15L), i -> CAST(i * (id + 1) AS DOUBLE)) AS v",
+        "transform(sequence(0L, 9L), i -> CAST(i * id AS STRING)) AS terms",
+        "transform(sequence(0L, 20L), i -> CAST(i * (id + 3) AS INT)) AS a")
+      .selectExpr(
+        "lsh_sig(v, 8) AS sig",
+        "simhash64(terms) AS sh",
+        "arr_sum(a) AS s",
+        "arr_sum_q(v, 1000) AS sq",
+        "arr_null_count(a) AS nc",
+        "arr_first_data_pos(a) AS fp",
+        "arr_pos_weighted_sum(a, 0) AS pws",
+        "arr_pos_weighted_sum_q(v, 100, 1) AS pwsq",
+        "arr_sum(arr_every_kth(a, 3)) AS sek",
+        "arr_sum(arr_blur4_every_kth(a, 3)) AS sbk",
+        "arr_sum(arr_repeat_each(a, 2)) AS sre")
+    val plan = planOf(df)
+    val offending = plan
+      .linesIterator
+      .filter(l =>
+        Seq("lsh_sig", "simhash64", "arr_sum", "arr_null_count", "arr_first_data_pos",
+          "arr_pos_weighted", "arr_every_kth", "arr_blur4", "arr_repeat_each")
+          .exists(l.contains) && l.contains("Project"))
+      .filterNot(_.contains("FileScan"))
+      .filterNot(_.replaceAll("^[\\s:+\\-]*", "").startsWith("*("))
+      .toList
+    assert(offending.isEmpty, s"kernel expr outside codegen:\n${offending.mkString("\n")}\n$plan")
+    // the GENERATED path must agree bit-exactly with the interpreted SQL
+    // HOF formulations the kernels replaced
+    val wrong = spark
+      .range(50)
+      .selectExpr(
+        "id",
+        "transform(sequence(0L, 15L), i -> CAST(i * (id + 1) AS DOUBLE)) AS v",
+        "transform(sequence(0L, 20L), i -> CAST(i * (id + 3) AS INT)) AS a")
+      .selectExpr(
+        "arr_sum(a) = aggregate(a, 0L, (acc, x) -> acc + x) AS c1",
+        "arr_sum_q(v, 1000) = aggregate(v, 0L, (acc, x) -> acc + CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS c2",
+        "arr_pos_weighted_sum(a, 0) = aggregate(zip_with(a, sequence(0L, size(a) - 1), (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y) AS c3",
+        "arr_pos_weighted_sum_q(v, 100, 1) = aggregate(zip_with(v, sequence(1L, size(v)), (x, i) -> i * CAST(floor(x * 100 + 0.5) AS BIGINT)), 0L, (acc, y) -> acc + y) AS c4",
+        "arr_every_kth(a, 3) = filter(a, (x, i) -> i % 3 = 0) AS c5",
+        "arr_blur4_every_kth(a, 3) = filter(transform(a, (x, i) -> CAST(element_at(a, CAST(greatest(i, 1) AS INT)) AS BIGINT) + 2L * x + element_at(a, CAST(least(i + 2, size(a)) AS INT))), (x, i) -> i % 3 = 0) AS c6",
+        "arr_repeat_each(a, 2) = flatten(transform(a, x -> array_repeat(x, 2))) AS c7",
+        "arr_null_count(a) = size(filter(a, x -> x IS NULL)) AS c8",
+        "arr_first_data_pos(a) = CAST(array_position(transform(a, x -> x IS NOT NULL), true) AS BIGINT) AS c9")
+      .where("NOT (c1 AND c2 AND c3 AND c4 AND c5 AND c6 AND c7 AND c8 AND c9)")
+      .count()
+    assert(wrong == 0, "array kernel disagrees with its HOF-SQL formulation")
+    // null-handling twins: sums skip nulls, counts/positions see them
+    val nulls = spark
+      .sql("SELECT array(CAST(NULL AS INT), 5, NULL, 7) AS a")
+      .selectExpr(
+        "arr_sum(a) AS s", "arr_null_count(a) AS nc",
+        "arr_first_data_pos(a) AS fp", "arr_pos_weighted_sum(a, 0) AS pws")
+      .collect()(0)
+    assert(nulls.getLong(0) == 12L && nulls.getInt(1) == 2 &&
+      nulls.getLong(2) == 2L && nulls.getLong(3) == 26L)
+  }
+
   test("composed train chain: row-local stages, exactly one exchange (the per-patch groupBy)") {
     val df = graft.queries.PipelineQueries.q("q_train_pipeline")(spark, sf("sf0.001"))
     val plan = planOf(df)
