@@ -80,16 +80,27 @@ object PatchSizing {
           }
       return if (businessAligned) Some("B") else None
     }
-    // calendar units FIRST: a constant 31/30/29-day span is a monthly
-    // series (months vary 28-31 days, so even equal-delta runs occur, e.g.
-    // Dec->Jan->Feb is 31,31), not a "31D" grid; same for quarters/years.
-    // Exactly 28 days falls through to "4W" (indistinguishable, and the
-    // week reading keeps the multiple exact).
+    // calendar units FIRST — but only where the span evidence really is
+    // calendar-shaped. Mixed-delta runs inside a period's span envelope are
+    // calendar series (months vary 28-31 days, quarters 90-92, years
+    // 365-366). EQUAL-delta runs are calendar evidence only for the spans
+    // two ADJACENT periods can share: months 31 (Jul-Aug, Dec-Jan),
+    // quarters 92 (Q3-Q4), years 365 (consecutive non-leap). A constant
+    // 29- or 30-day grid is a true k-day series — no two adjacent calendar
+    // months are both 29 or both 30 days long, so pd.infer_freq reads it
+    // as '30D', not monthly (round-3 ADVICE). Exactly 28 days falls
+    // through to "4W" (indistinguishable, and the week reading keeps the
+    // multiple exact); 91 days to "13W"; 90/366 to "90D"/"366D".
     val (lo, hi) = (deltas.min, deltas.max)
-    if (lo >= 29 * Day && hi <= 31 * Day) return Some("M")
-    if (lo >= 89 * Day && hi <= 92 * Day) return Some("Q")
-    if (lo >= 365 * Day && hi <= 366 * Day) return Some("A")
-    if (lo >= 28 * Day && hi <= 31 * Day && distinct.size > 1) return Some("M")
+    if (distinct.size > 1) {
+      if (lo >= 28 * Day && hi <= 31 * Day) return Some("M")
+      if (lo >= 89 * Day && hi <= 92 * Day) return Some("Q")
+      if (lo >= 365 * Day && hi <= 366 * Day) return Some("A")
+      return None
+    }
+    if (lo == 31 * Day) return Some("M")
+    if (lo == 92 * Day) return Some("Q")
+    if (lo == 365 * Day) return Some("A")
     if (distinct.size == 1) {
       val d = distinct.head
       def of(unitSec: Long, alias: String): Option[String] = {

@@ -36,6 +36,17 @@ object AsOfJoin {
    *                  time columns' own units (the pandas merge_asof
    *                  `tolerance` semantics): a match older than this is
    *                  dropped (payload NULL) instead of carried forward
+   * @param tieBreak  payload columns (must be a subset of `payload`) that
+   *                  decide the winner among right rows TIED on
+   *                  (keys, rightTime) — pass a unique right-row sequence
+   *                  column here to reproduce pandas merge_asof's
+   *                  last-occurrence rule. When empty (and (keys,
+   *                  rightTime) is not unique), the whole payload struct
+   *                  decides: the MAX payload row wins — deterministic at
+   *                  any parallelism but engine-defined, and it requires
+   *                  every payload column to be orderable (no map type).
+   *                  With unique (keys, rightTime) — the common shape —
+   *                  ties cannot occur and none of this matters.
    */
   def asOf(
       left: DataFrame,
@@ -44,7 +55,11 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(
+      tieBreak.forall(payload.contains),
+      s"tieBreak columns must be payload columns: ${tieBreak.filterNot(payload.contains).mkString(", ")}")
     // The construction owns the _t/_tag/_rrow/_last_r working columns and
     // the struct field name _rt; an input column with one of those names
     // would silently resolve to the wrong thing, so refuse it up front.
@@ -77,14 +92,19 @@ object AsOfJoin {
     // old value with a fresh row's timestamp AND diverge from DuckDB's
     // ASOF JOIN (the oracle's semantics). Per-column LOCF imputation is a
     // different operator (GapFill.locf).
+    // Struct field order = tie order: tieBreak columns first (caller-chosen
+    // rule), remaining payload after (struct comparison falls through in
+    // field order). Extraction below is by NAME, so reordering is safe.
+    val orderedPayload = tieBreak ++ payload.filterNot(tieBreak.contains)
     val rowStruct = struct(
-      (col("_t").as("_rt") +: payload.map(c => col(s"_p_$c").as(c))): _*)
+      (col("_t").as("_rt") +: orderedPayload.map(c => col(s"_p_$c").as(c))): _*)
     val withRow = tagged.withColumn("_rrow", when(col("_tag") === 0, rowStruct))
     // Right rows sort before left rows at equal time => "at or before".
     // _rrow extends the order to a TOTAL one among right rows tied on
     // (_t): without it the winner among equal-time right rows would be
     // shuffle-order-dependent (rows whose full payload is identical remain
-    // interchangeable, which is harmless).
+    // interchangeable, which is harmless). See the tieBreak param doc for
+    // the tie semantics this implies.
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_tag"), col("_rrow"))

@@ -37,12 +37,36 @@ object MetricQueries {
 
   private val Ctx = EvalQueries.Ctx // 64
   private val Hor = EvalQueries.Hor // 16
-  private val Season = 7 // seasonality m for the MASE seasonal-naive error
+  // q_eval_mase's fixed seasonality (the daily-data default m=7, kept as a
+  // regression anchor); q_eval_mase_freq derives m per source from its
+  // freq via Seasonality.of — the reference's actual rule (cli/eval.py:57
+  // -> eval_util/evaluation.py:73-88 seasonal_error(freq=...)).
+  private val Season = 7
+  // Fixture freq-per-source convention (shared with ResampleQueries'
+  // FreqMinSql parity rule): even sources are the hourly fixture, odd the
+  // business-daily one. m comes from the gluonts table, not a constant.
+  private val MEven = graft.core.Seasonality.of("H") // 24
+  private val MOdd = graft.core.Seasonality.of("B") // 5
+  private val SrcParitySql = "CAST(substring(source, 4) AS INT) % 2 = 0"
 
   /** Quantize a deterministic double term to fixed point (10^-4) and make
    * it an exact, overflow-free summand. */
   private def tq(term: String): String =
     s"CAST(CAST(floor(($term) * 10000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"
+
+  /** Emit an internal DECIMAL(38,0) accumulator as BIGINT, RAISING instead
+   * of silently NULLing when the value exceeds the Long range: in non-ANSI
+   * mode an out-of-range decimal→long cast yields NULL (round-3 ADVICE),
+   * which at the ~1e13-points-per-source production scale would corrupt
+   * the column without any error. Oracle-scale sums fit a long by orders
+   * of magnitude; past the ceiling the right fix is widening the OUTPUT
+   * type, and this guard is what surfaces that. NULL input stays NULL
+   * (the CASE's null condition falls through to the plain cast). */
+  private def decToLong(c: String) =
+    expr(
+      s"CASE WHEN abs($c) > 9223372036854775807 THEN " +
+        s"CAST(raise_error(concat('$c overflows BIGINT: ', CAST($c AS STRING))) AS BIGINT) " +
+        s"ELSE CAST($c AS BIGINT) END")
 
   /** Per-horizon-point view: (doc_id, source, w, naive, i, y). */
   private def horPoints(s: SparkSession, dir: String): DataFrame =
@@ -69,7 +93,7 @@ object MetricQueries {
         .agg(
           count(lit(1)).as("n_points"),
           sum(expr(tq("term"))).as("mape_q_sum"))
-        .withColumn("mape_q_sum", col("mape_q_sum").cast("long"))
+        .withColumn("mape_q_sum", decToLong("mape_q_sum"))
         .withColumn(
           "mape",
           expr("CAST(mape_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
@@ -88,7 +112,7 @@ object MetricQueries {
         .agg(
           count(lit(1)).as("n_points"),
           sum(expr(tq("term"))).as("smape_q_sum"))
-        .withColumn("smape_q_sum", col("smape_q_sum").cast("long"))
+        .withColumn("smape_q_sum", decToLong("smape_q_sum"))
         .withColumn(
           "smape",
           expr("CAST(smape_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
@@ -119,7 +143,7 @@ object MetricQueries {
         .agg(
           count(lit(1)).as("n_points"),
           sum(expr(tq("term"))).as("pinball_q_sum"))
-        .withColumn("pinball_q_sum", col("pinball_q_sum").cast("long"))
+        .withColumn("pinball_q_sum", decToLong("pinball_q_sum"))
         .withColumn(
           "pinball",
           expr("CAST(pinball_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
@@ -160,9 +184,9 @@ object MetricQueries {
             .as("nmse_q_sum"),
           sum(expr("CAST(CAST(floor(nrmse_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
             .as("nrmse_q_sum"))
-        .withColumn("nmae_q_sum", col("nmae_q_sum").cast("long"))
-        .withColumn("nmse_q_sum", col("nmse_q_sum").cast("long"))
-        .withColumn("nrmse_q_sum", col("nrmse_q_sum").cast("long"))
+        .withColumn("nmae_q_sum", decToLong("nmae_q_sum"))
+        .withColumn("nmse_q_sum", decToLong("nmse_q_sum"))
+        .withColumn("nrmse_q_sum", decToLong("nrmse_q_sum"))
         .withColumn("nmae",expr("CAST(nmae_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
         .withColumn("nmse", expr("CAST(nmse_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
         .withColumn("nrmse", expr("CAST(nrmse_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
@@ -195,10 +219,45 @@ object MetricQueries {
           count(lit(1)).as("n_windows"),
           sum(expr("CAST(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
             .as("mase_q_sum"))
-        .withColumn("mase_q_sum", col("mase_q_sum").cast("long"))
+        .withColumn("mase_q_sum", decToLong("mase_q_sum"))
         .withColumn(
           "mase",
           expr("CAST(mase_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
+
+    // MASE with the seasonality m DERIVED from each source's frequency via
+    // the gluonts rule (Seasonality.of), exactly as the reference resolves
+    // it at eval time (cli/eval.py:57 -> eval_util/evaluation.py:73-88):
+    // two different m values (hourly m=24, business-daily m=5) flow through
+    // the same query, per the fixture's source-parity freq convention.
+    "q_eval_mase_freq" -> ((s, dir) => {
+      def seNum(m: Int) =
+        s"aggregate(sequence($m, ${Ctx - 1}), 0L, (a, t) -> " +
+          s"a + abs(CAST(element_at(ctx, t + 1) AS BIGINT) - element_at(ctx, t - ${m - 1})))"
+      EvalQueries
+        .rollingWindows(s, dir)
+        .withColumn("m", expr(s"CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END"))
+        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn(
+          "sum_eq",
+          expr(
+            "aggregate(hor, 0L, (a, x) -> " +
+              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn("se_num", expr(s"CASE WHEN m = $MEven THEN ${seNum(MEven)} ELSE ${seNum(MOdd)} END"))
+        .withColumn(
+          "mase_w",
+          expr(
+            s"(CAST(sum_eq AS DOUBLE) / 10000.0 / $Hor.0) / " +
+              s"CASE WHEN se_num = 0 THEN 1.0 ELSE CAST(se_num AS DOUBLE) / CAST($Ctx - m AS DOUBLE) END"))
+        .groupBy(col("source"), col("m"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(expr("CAST(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("mase_q_sum"))
+        .withColumn("mase_q_sum", decToLong("mase_q_sum"))
+        .withColumn(
+          "mase",
+          expr("CAST(mase_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))
+    }),
 
     // MSIS — mean scaled interval score at alpha=0.05 (the reference's
     // evaluator list, eval_util/evaluation.py metrics; gluonts MSIS
@@ -232,7 +291,7 @@ object MetricQueries {
           count(lit(1)).as("n_windows"),
           sum(expr("CAST(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
             .as("msis_q_sum"))
-        .withColumn("msis_q_sum", col("msis_q_sum").cast("long"))
+        .withColumn("msis_q_sum", decToLong("msis_q_sum"))
         .withColumn(
           "msis",
           expr("CAST(msis_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
@@ -282,10 +341,10 @@ object MetricQueries {
               expr("CAST(CAST(y - med AS BIGINT) * (y - med) AS DECIMAL(38,0))"))
               .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("med_se_sum"),
           sum(expr(tq("pin"))).as("pinball_all_q"))
-        .withColumn("sum_abs_y", col("sum_abs_y").cast("long"))
-        .withColumn("nd_q_sum", col("nd_q_sum").cast("long"))
-        .withColumn("med_se_sum", col("med_se_sum").cast("long"))
-        .withColumn("pinball_all_q", col("pinball_all_q").cast("long"))
+        .withColumn("sum_abs_y", decToLong("sum_abs_y"))
+        .withColumn("nd_q_sum", decToLong("nd_q_sum"))
+        .withColumn("med_se_sum", decToLong("med_se_sum"))
+        .withColumn("pinball_all_q", decToLong("pinball_all_q"))
         .withColumn(
           "nd",
           expr(
@@ -447,6 +506,36 @@ object MetricQueries {
          |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS mase
          |FROM wvals GROUP BY 1""".stripMargin,
+    "q_eval_mase_freq" ->
+      s"""$HorPtsCte,
+         |srcm AS (
+         |  SELECT DISTINCT source,
+         |         CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END AS m
+         |  FROM pts),
+         |sen AS (
+         |  SELECT w.doc_id, w.w, sm.m,
+         |         CAST(sum(abs(p1.tok - p2.tok)) AS BIGINT) AS se_num
+         |  FROM wins w
+         |  JOIN srcm sm ON sm.source = w.source
+         |  JOIN pts p1 ON p1.doc_id = w.doc_id
+         |              AND p1.pos >= w.fs - ($Ctx - sm.m) AND p1.pos < w.fs
+         |  JOIN pts p2 ON p2.doc_id = w.doc_id AND p2.pos = p1.pos - sm.m
+         |  GROUP BY 1, 2, 3),
+         |perwin AS (
+         |  SELECT hp.doc_id, hp.source, hp.w,
+         |         CAST(sum(${tqSql("abs(CAST(hp.y AS DOUBLE) - hp.naive)")}) AS BIGINT) AS sum_eq
+         |  FROM hp GROUP BY 1, 2, 3),
+         |wvals AS (
+         |  SELECT pw.source, s.m,
+         |         (CAST(pw.sum_eq AS DOUBLE) / 10000.0 / $Hor.0)
+         |           / (CASE WHEN s.se_num = 0 THEN 1.0
+         |                   ELSE CAST(s.se_num AS DOUBLE) / CAST($Ctx - s.m AS DOUBLE) END) AS mase_w
+         |  FROM perwin pw JOIN sen s ON s.doc_id = pw.doc_id AND s.w = pw.w)
+         |SELECT source, CAST(m AS INT) AS m, count(*) AS n_windows,
+         |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mase_q_sum,
+         |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS mase
+         |FROM wvals GROUP BY 1, 2""".stripMargin,
     "q_eval_msis" ->
       s"""${EvalQueries.WinCte},
          |cr AS (

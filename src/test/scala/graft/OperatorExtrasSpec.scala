@@ -87,6 +87,15 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(inferFreq(Seq(0L, 31, 62).map(d => 1701388800L + d * Day)) == Some("M"))
     // constant 28-day spans read as exact 4-week grid
     assert(inferFreq(grid(28 * Day, 5)) == Some("4W"))
+    // constant 29/30-day grids are true k-day series, NOT monthly: no two
+    // adjacent calendar months are both 29 or both 30 days long, so
+    // pd.infer_freq reads '30D' (round-3 ADVICE fix)
+    assert(inferFreq(grid(30 * Day, 5)) == Some("30D"))
+    assert(inferFreq(grid(29 * Day, 5)) == Some("29D"))
+    // constant 92-day spans CAN be quarterly (Q3->Q4); constant 365-day
+    // spans CAN be annual (consecutive non-leap years)
+    assert(inferFreq(grid(92 * Day, 3)) == Some("Q"))
+    assert(inferFreq(grid(365 * Day, 3)) == Some("A"))
     val quarters = Seq(0L, 91, 182, 274, 366).map(d => 1704067200L + d * Day)
     assert(inferFreq(quarters) == Some("Q"))
     val years = Seq(0L, 366, 731, 1096).map(d => 1704067200L + d * Day)
@@ -197,6 +206,16 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(2, 3, 4))
     // and the data values survive as doubles
     assert(rows.map(_.getDouble(2)).sorted.toSeq == Seq(0.0, 1.0, 3.0))
+  }
+
+  test("NOP scaler: loc=0/scale=1 columns, identity under (x - loc) / scale") {
+    // PackedNOPScaler (packed_scaler.py:63-75) — the third scaler, the
+    // "scaling off" switch with the same (loc, scale) interface.
+    val df = spark.range(5).selectExpr("id", "CAST(id * 3 - 7 AS DOUBLE) AS x")
+    val out = graft.operators.Scalers.nop(df)
+    assert(out.columns.toSeq == Seq("id", "x", "loc", "scale"))
+    val rows = out.selectExpr("x", "(x - loc) / scale AS scaled").collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
   test("fixed patch-size constraints behave like the reference's FixedPatchSizeConstraints") {

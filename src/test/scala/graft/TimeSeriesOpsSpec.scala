@@ -57,6 +57,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
         (3L, None))) // key v has no right rows at all
   }
 
+  test("asOf tieBreak: an explicit sequence column controls equal-time right-row ties") {
+    // two right rows tied on (k, rt=100): default picks the MAX payload
+    // struct; a seq tieBreak picks the max SEQ row (pandas merge_asof's
+    // last-occurrence rule with seq = input position)
+    val left = df(Seq(Row(1L, "u", 100L)), "id BIGINT, k STRING, t BIGINT")
+    val right = df(
+      Seq(Row("u", 100L, 9.9, 1L), Row("u", 100L, 1.1, 2L)),
+      "k STRING, rt BIGINT, pay DOUBLE, seq BIGINT")
+    def run(tb: Seq[String]) = AsOfJoin
+      .asOf(left, right, Seq("k"), "t", "rt", Seq("pay", "seq"), tieBreak = tb)
+      .collect()(0)
+    assert(run(Nil).getDouble(3) == 9.9) // max-payload default
+    assert(run(Seq("seq")).getDouble(3) == 1.1) // seq=2 row wins
+    assert(intercept[IllegalArgumentException](run(Seq("nope"))).getMessage.contains("tieBreak"))
+  }
+
   test("sessionize: gap exactly equal to threshold does NOT split") {
     val ev = df(
       Seq(Row("u", 0L), Row("u", 100L), Row("u", 201L), Row("x", 5L)),
