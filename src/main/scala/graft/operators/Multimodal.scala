@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,12 +10,13 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, plus decode / feature-extract / frame-sample stages.
  *
- * The Spark-side plumbing (schema, batched partition processing, UDF
- * signatures, deterministic fan-out) is REAL and tested; the actual media
- * decode is a clearly-marked STUB (`decodeStub`) because no image/audio
- * libraries exist in this container — a production deployment swaps
- * `decodeStub` for a real decoder with the same signature, and nothing
- * else changes.
+ * The IMAGE path is a REAL decode: payloads are genuine PNG containers and
+ * `decode` parses them back to grayscale pixels via `javax.imageio`
+ * (ships with the JDK — no external dependency). Audio/video decode
+ * remains a clearly-marked STUB (`decodeStub`, identity on bytes) because
+ * no audio/video codec libraries exist in this container — a production
+ * deployment swaps `decodeStub` for a real codec with the same signature,
+ * and nothing else changes.
  *
  * Batch shape: rows are processed through `mapPartitions` in fixed-size
  * batches (`BatchSize`), the Scala analogue of `mapInPandas` Arrow batches
@@ -33,31 +37,103 @@ object Multimodal {
       hist_sum: Long,
       spaces_bin: Long)
 
-  /** Synthesize the media table from documents: payload = utf-8 bytes of
-   * the text (a deterministic opaque blob), modality round-robins over the
-   * three media kinds. */
-  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+  /** Real PNG codec for the image modality — grayscale 16x16, lossless
+   * round-trip (PNG is lossless, so decode(encode(p)) == p bit-exactly,
+   * which is what lets the decoded-pixel statistics stay SQL-oracle-able:
+   * the oracle recomputes them from the pixel formula without touching
+   * PNG at all). */
+  object Png {
+    val W = 16
+    val H = 16
+
+    def encodeGray(pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == W * H, s"expected ${W * H} pixels, got ${pixels.length}")
+      val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, W, H, pixels)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decodeGray(png: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = raster.getSample(x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Deterministic synthetic pixel content for doc `id` — the corpus
+     * token formula reduced mod 256, so an independent SQL engine can
+     * reproduce every DECODED pixel from doc_id arithmetic alone. */
+    def pixelsOf(id: Long): Array[Byte] = {
+      import graft.sources.TokenTable.{MulA, MulB}
+      val out = new Array[Byte](W * H)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (((id + 1) * MulA + i * MulB) % 256L).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize the media table from documents: modality round-robins over
+   * the three media kinds; IMAGE rows carry a real PNG encoding of the
+   * deterministic pixel pattern, audio/video rows an opaque blob (the
+   * utf-8 text bytes). Row-local typed map — zero shuffle. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     spark.read
       .parquet(s"$sfDir/documents.parquet")
-      .select(
-        col("doc_id"),
-        element_at(
-          array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3).cast("int") + 1).as("modality"),
-        encode(col("text"), "utf-8").as("media"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val modality = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val media =
+          if (modality == "image") Png.encodeGray(Png.pixelsOf(id))
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, modality, media)
+      })
+      .toDF()
+  }
 
-  /** STUB decode: a real implementation would parse the container format
-   * and return pixels/samples/frames. Here: identity on bytes. The
-   * surrounding batching, schema and checksum plumbing is production
-   * shaped. */
+  /** STUB decode for audio/video: a real implementation would parse the
+   * container format and return samples/frames. Here: identity on bytes
+   * (no audio/video codec libraries in this container). The surrounding
+   * batching, schema and checksum plumbing is production shaped. */
   private def decodeStub(media: Array[Byte]): Array[Byte] = media
 
-  /** THE swap point for a real decoder: one invocation per BatchSize-row
-   * batch (amortizing per-call setup — model load, codec init — exactly
-   * like a mapInPandas batch). The stub maps the per-item kernel; a real
-   * implementation would hand the whole batch to the native library. */
-  private def decodeBatch(batch: Array[Array[Byte]]): Array[Array[Byte]] =
-    batch.map(decodeStub)
+  /** Modality dispatch: image -> REAL PNG decode to pixels; audio/video ->
+   * the documented stub. */
+  private def decodeOne(modality: String, media: Array[Byte]): Array[Byte] =
+    if (modality == "image") Png.decodeGray(media) else decodeStub(media)
+
+  /** THE swap point for a real audio/video decoder: one invocation per
+   * BatchSize-row batch (amortizing per-call setup — model load, codec
+   * init — exactly like a mapInPandas batch). */
+  private def decodeBatch(modalities: Array[String], batch: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](batch.length)
+    var i = 0
+    while (i < batch.length) {
+      out(i) = decodeOne(modalities(i), batch(i))
+      i += 1
+    }
+    out
+  }
 
   /** Feature extraction over decoded payload: 16-bin byte histogram
    * (high nibble), i.e. a deterministic stand-in for an embedding. */
@@ -72,7 +148,8 @@ object Multimodal {
   }
 
   /** Batched decode + feature extraction (mapPartitions in BatchSize
-   * groups — the mapInPandas batch analogue). */
+   * groups — the mapInPandas batch analogue). Image rows' features are
+   * computed over REAL decoded pixels. */
   def features(spark: SparkSession, media: DataFrame): Dataset[FeatureRow] = {
     import spark.implicits._
     media
@@ -82,7 +159,9 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           // ONE decoder invocation per batch — the amortization the
           // grouped() exists for (a per-row call would make it a no-op)
-          val decoded = decodeBatch(batch.iterator.map(_.media).toArray)
+          val decoded = decodeBatch(
+            batch.iterator.map(_.modality).toArray,
+            batch.iterator.map(_.media).toArray)
           batch.iterator.zipWithIndex.map { case (r, i) =>
             val hist = extractFeatures(decoded(i))
             FeatureRow(
@@ -99,7 +178,9 @@ object Multimodal {
 
   /** Frame sampling: split the payload into fixed `frameBytes` chunks and
    * keep every `everyN`-th — the video-frame-sampling plumbing with a
-   * byte-chunk stand-in for real frame boundaries. */
+   * byte-chunk stand-in for real frame boundaries. (Callers should apply
+   * this to the audio/video modalities; byte-chunking a compressed image
+   * container is meaningless.) */
   def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
     media.select(
       col("doc_id"),

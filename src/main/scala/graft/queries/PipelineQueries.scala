@@ -81,17 +81,25 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
 
-    // Multimodal: batched decode+feature plumbing over binary media.
+    // Multimodal: batched decode+feature plumbing over binary media; image
+    // rows carry REAL PNGs and their stats are over the DECODED pixels
+    // (javax.imageio round-trip; the oracle reproduces the pixels from
+    // doc_id arithmetic because PNG is lossless).
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal
         .features(s, Multimodal.mediaTable(s, dir))
         .toDF()
         .select("doc_id", "modality", "n_bytes", "hist_sum", "spaces_bin")),
 
-    // Frame sampling: 256-byte frames, every 2nd kept.
+    // Frame sampling: 256-byte frames, every 2nd kept — an audio/video
+    // operation (byte-chunking a compressed PNG container is meaningless,
+    // and its deflate length is not SQL-reproducible).
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal
-        .frameSample(Multimodal.mediaTable(s, dir), 256, 2)
+        .frameSample(
+          Multimodal.mediaTable(s, dir).filter(col("modality") =!= "image"),
+          256,
+          2)
         .select(col("doc_id"), col("modality"), explode(col("frames")).as("f"))
         .select(
           col("doc_id"),
@@ -266,23 +274,37 @@ object PipelineQueries {
         |         AS fingerprint,
         |       count(*) AS n_words
         |FROM w GROUP BY 1""".stripMargin,
-    // byte-exact oracle: strlen() is BYTE length (len() is chars) and the
-    // bin-2 count is the full 0x20..0x2f class, so the oracle stays green
-    // for any punctuation and for multi-byte text (UTF-8 continuation bytes
-    // never fall in 0x20..0x2f).
+    // byte-exact oracle. Audio/video (stub decode = identity): strlen() is
+    // BYTE length (len() is chars) and the bin-2 count is the full
+    // 0x20..0x2f class, so it stays green for any punctuation and for
+    // multi-byte text (UTF-8 continuation bytes never fall in 0x20..0x2f).
+    // Image: the REAL decode is a lossless PNG round-trip, so the decoded
+    // pixels equal the deterministic pattern and the oracle recomputes
+    // their stats from doc_id arithmetic alone (16x16 = 256 pixels,
+    // pixel_i = ((doc_id+1)*2654435761 + i*40503) % 256).
     "q_multimodal_features" ->
       s"""SELECT doc_id, $ModalityCase AS modality,
          |       CAST(strlen(text) AS INT) AS n_bytes,
          |       CAST(strlen(text) AS BIGINT) AS hist_sum,
          |       CAST(strlen(text) - strlen(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT)
          |         AS spaces_bin
-         |FROM documents""".stripMargin,
+         |FROM documents WHERE doc_id % 3 != 0
+         |UNION ALL
+         |SELECT d.doc_id, 'image' AS modality,
+         |       CAST(256 AS INT) AS n_bytes,
+         |       CAST(256 AS BIGINT) AS hist_sum,
+         |       CAST(sum(CASE WHEN ((d.doc_id + 1) * 2654435761 + t.i * 40503) % 256
+         |                          BETWEEN 32 AND 47 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS spaces_bin
+         |FROM documents d, LATERAL (SELECT unnest(range(0, 256)) AS i) t
+         |WHERE d.doc_id % 3 = 0
+         |GROUP BY 1""".stripMargin,
     "q_multimodal_frames" ->
       s"""SELECT doc_id, $ModalityCase AS modality,
          |       CAST(t.i AS INT) AS frame_idx,
          |       CAST(LEAST(256, strlen(text) - t.i * 256) AS INT) AS frame_bytes
          |FROM documents,
          |     LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS INT))) AS i) t
-         |WHERE t.i % 2 = 0""".stripMargin
+         |WHERE t.i % 2 = 0 AND doc_id % 3 != 0""".stripMargin
   )
 }

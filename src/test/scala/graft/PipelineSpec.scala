@@ -53,6 +53,33 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((3L, 4L)), s"short docs must not pair: $pairs")
   }
 
+  test("PNG image decode: lossless javax.imageio round-trip; features over real pixels") {
+    import graft.operators.Multimodal
+    // handcrafted golden: the full byte ramp survives encode -> decode
+    val ramp = Array.tabulate(256)(i => i.toByte)
+    assert(Multimodal.Png.decodeGray(Multimodal.Png.encodeGray(ramp)).toSeq == ramp.toSeq)
+    for (id <- Seq(0L, 3L, 42L, 999L)) {
+      val pix = Multimodal.Png.pixelsOf(id)
+      val png = Multimodal.Png.encodeGray(pix)
+      // a real PNG container, not the raw bytes
+      assert(png(0) == 0x89.toByte && new String(png.slice(1, 4), "ascii") == "PNG")
+      assert(png.toSeq != pix.toSeq)
+      assert(Multimodal.Png.decodeGray(png).toSeq == pix.toSeq)
+    }
+    // features() on image rows are computed over the DECODED pixels:
+    // 256 of them, and the bin-2 count matches the direct formula
+    val feats = Multimodal
+      .features(spark, Multimodal.mediaTable(spark, sf("sf0.001")))
+      .filter(col("modality") === "image")
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_bytes == 256 && f.hist_sum == 256L)
+      val want = Multimodal.Png.pixelsOf(f.doc_id).count(b => (b & 0xf0) == 0x20)
+      assert(f.spaces_bin == want.toLong)
+    }
+  }
+
   test("simhash finds the planted near-dup pairs at small hamming distance") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
