@@ -148,6 +148,57 @@ object StreamingOps {
       }
   }
 
+  final case class AsOfIn(key: String, ts: Long, is_right: Boolean, value: Double)
+  final case class AsOfOut(key: String, ts: Long, asof_value: Option[Double])
+  final case class AsOfState(rightTs: Long, rightValue: Double)
+
+  /** Streaming as-of join — the continuous face of
+   * [[graft.operators.AsOfJoin]]: each left (event) row is joined to the
+   * most recent right (quote) row at-or-before its time, per key, with the
+   * last right row carried in keyed state so matches SPAN micro-batch
+   * boundaries (the gapFillStream state discipline; state is O(1) per
+   * key). The two streams arrive pre-unioned and tagged (`is_right`) — the
+   * same union-tag construction as the batch operator, which is also how a
+   * caller feeds two source streams: `leftDs.union(rightDs)` keeps this a
+   * single stateful operator instead of a stream-stream join with
+   * watermark-bounded buffers.
+   *
+   * Ordering contract (as sessionize/gapFillStream): per-key delivery is
+   * event-time-ordered ACROSS batches; within a batch rows are sorted
+   * here, right-before-left at equal times ("at or before"), equal-time
+   * right rows resolved max-value-last — the batch operator's tie rule.
+   * `tolerance` mirrors merge_asof: a match older than `tolerance` time
+   * units yields None instead of a stale carry. */
+  def asOfStream(in: Dataset[AsOfIn], tolerance: Option[Long] = None): Dataset[AsOfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.is_right, r.value))(
+            Ordering.Tuple3(Ordering.Long, Ordering.Boolean.reverse, Ordering.Double.TotalOrdering))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          sorted.foreach { r =>
+            if (r.is_right) {
+              // monotonic guard: a late right row older than the carried
+              // state must not regress it
+              if (st == null || r.ts >= st.rightTs) st = AsOfState(r.ts, r.value)
+            } else {
+              val v = st match {
+                case null => None
+                case s if tolerance.exists(tol => r.ts - s.rightTs > tol) => None
+                case s => Some(s.rightValue)
+              }
+              out += AsOfOut(key, r.ts, v)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(sessionId: Long, lastTsUs: Long)
   final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)

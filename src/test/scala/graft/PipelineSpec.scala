@@ -53,6 +53,64 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((3L, 4L)), s"short docs must not pair: $pairs")
   }
 
+  test("simhash banded pairing under a hot block: pair set == all-pairs, candidates ~linear") {
+    // Fixture-sized blocks are near-uniform; this is the SKEW case the
+    // WWW'07 density claim (Dedup.scala) is about: one hot block ~60x the
+    // median. With maxHamming=3 (4 bands of 16 bits — the paper's setting)
+    // the banded join must still produce the exact all-pairs result while
+    // candidate volume stays ~linear in docs x bands, not quadratic in the
+    // hot block.
+    import spark.implicits._
+    import graft.core.Hash
+    val maxH = 3
+    val bands = maxH + 1
+    // 40 cold blocks x 5 docs + ONE hot block of 300 docs
+    val cold = for { b <- 0 until 40; i <- 0 until 5 }
+      yield (b.toLong * 1000 + i, s"blk$b", Hash.mix64(b * 31L + i + 7))
+    val hotBase = Hash.mix64(0xdeadbeefL)
+    val hot = (0 until 300).map { i =>
+      val sig =
+        if (i % 29 == 0) hotBase ^ (1L << (i % 64)) // planted near-dup clique
+        else Hash.mix64(900000L + i)
+      (100000L + i, "hot", sig)
+    }
+    val rows = cold ++ hot
+    val sigs = rows.toDF("doc_id", "blk", "sig")
+    val got = Dedup
+      .simHashBandedPairs(sigs, "doc_id", "sig", "blk", maxH)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val byBlk = rows.groupBy(_._2)
+    val want = byBlk.values.flatMap { ds =>
+      for {
+        a <- ds; b <- ds
+        if a._1 < b._1 && java.lang.Long.bitCount(a._3 ^ b._3) <= maxH
+      } yield (a._1, b._1)
+    }.toSet
+    assert(want.size >= 10, "planted clique must produce pairs")
+    assert(got == want, s"banded pair set must equal all-pairs under skew")
+    // candidate volume BEFORE verification, replicating the operator's
+    // banding exactly: bounded by a small multiple of docs x bands (the
+    // all-pairs product in the hot block alone would be ~45k)
+    val candCount = byBlk.values.map { ds =>
+      (0 until bands).map { b =>
+        val lo = 64 * b / bands
+        val hi = 64 * (b + 1) / bands
+        val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1L
+        ds.groupBy(d => (d._3 >>> lo) & mask)
+          .values
+          .map(g => g.size.toLong * (g.size - 1) / 2)
+          .sum
+      }.sum
+    }.sum
+    val n = rows.size.toLong
+    assert(
+      candCount <= 5L * n * bands,
+      s"candidate count $candCount exceeds linear bound ${5L * n * bands} (docs=$n, bands=$bands)")
+  }
+
   test("PNG image decode: lossless javax.imageio round-trip; features over real pixels") {
     import graft.operators.Multimodal
     // handcrafted golden: the full byte ramp survives encode -> decode

@@ -171,6 +171,73 @@ class StreamingSpec extends SparkSpec {
     assert(store.snapshots("stream_tier").size == before)
   }
 
+  test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.AsOfIn]
+    val q = StreamingOps
+      .asOfStream(in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("asof_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    def L(k: String, t: Long) = StreamingOps.AsOfIn(k, t, is_right = false, 0.0)
+    def R(k: String, t: Long, v: Double) = StreamingOps.AsOfIn(k, t, is_right = true, v)
+    // batch 1: out-of-order WITHIN the batch (sorted inside the group);
+    // equal-time tie at t=100 must take the t=100 right row
+    in.addData(L("k", 60), R("k", 50, 1.0), L("k", 40), R("k", 100, 2.0), L("k", 100), L("m", 10))
+    q.processAllAvailable()
+    // batch 2: the carry CROSSES the batch boundary (t=150 joins 2.0)
+    in.addData(L("k", 150), R("k", 200, 5.0), L("k", 250))
+    q.processAllAvailable()
+    val got = spark
+      .sql("SELECT key, ts, asof_value FROM asof_stream ORDER BY key, ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSeq
+    q.stop()
+    // golden = the BATCH operator on the same data
+    val lefts = Seq(("k", 40L), ("k", 60L), ("k", 100L), ("k", 150L), ("k", 250L), ("m", 10L))
+      .toDF("key", "t")
+    val rights = Seq(("k", 50L, 1.0), ("k", 100L, 2.0), ("k", 200L, 5.0))
+      .toDF("key", "rt", "value")
+    val batch = graft.operators.AsOfJoin
+      .asOf(lefts, rights, Seq("key"), "t", "rt", Seq("value"))
+      .orderBy("key", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.contains(("k", 150L, Some(2.0))), "cross-batch carry")
+    assert(got.contains(("m", 10L, None)), "no right row -> None")
+  }
+
+  test("streaming as-of join honors tolerance (stale carry -> None)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.AsOfIn]
+    val q = StreamingOps
+      .asOfStream(in.toDS(), tolerance = Some(30L))
+      .writeStream
+      .format("memory")
+      .queryName("asof_tol")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(
+      StreamingOps.AsOfIn("k", 10, is_right = true, 7.0),
+      StreamingOps.AsOfIn("k", 30, is_right = false, 0.0),
+      StreamingOps.AsOfIn("k", 99, is_right = false, 0.0))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT ts, asof_value FROM asof_tol ORDER BY ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+      .toSeq
+    q.stop()
+    assert(rows == Seq((30L, Some(7.0)), (99L, None))) // 99 - 10 > 30
+  }
+
   test("streaming sessionize: state persists across micro-batches, gap splits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
