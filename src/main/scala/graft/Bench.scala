@@ -16,10 +16,16 @@ import org.apache.spark.sql.SparkSession
  * sandbox stand-in for N vs 4N executors, reporting scaling efficiency
  * (north-rule gate: >= 0.8). Appends the scaling evidence to BENCH.md.
  *
- * Prints ONE JSON line:
- *   {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
+ * Prints ONE JSON line (compact: the 8 slowest queries +
+ * "queries_full":"bench_out.json" pointing at the complete per-query map,
+ * so the line survives the driver's tail capture):
+ *   {"metric":"total","value":S,"unit":"sec","suite_passes":2,
+ *    "queries":{...},"queries_full":"bench_out.json","sf":...,
  *    "rollup":{"points":P,"n_sec":...,"4n_sec":...,"n_pps":...,
- *              "4n_pps":...,"scaling_efficiency":E,"n_cores":N}}
+ *              "4n_pps":...,"scaling_efficiency":E,"n_cores":N},
+ *    "tiers":{...}}
+ * Suite timings are the MIN over SPARK_GRAFT_SUITE_PASSES (default 2)
+ * interleaved full passes.
  */
 object Bench {
 
@@ -72,6 +78,11 @@ object Bench {
 
     // -- Part 1: the registered query suite ------------------------------
     val runSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
+    // min over interleaved full passes: single-run-per-query timings are
+    // noise-limited on this host (CPU delivery swings minutes-scale up to
+    // 10x — BENCH.md), and interleaving whole passes (not back-to-back
+    // repeats) keeps a slow window from biasing one contiguous query range
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SUITE_PASSES", "2").toInt
     val spark = session(cpus)
     graft.functions.GraftFunctions.register(spark)
     // throwaway warmup: the first query of a fresh session otherwise pays
@@ -83,12 +94,15 @@ object Bench {
       try SparkEntry.queries("q_rollup_1m")(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     }
-    val results = (if (runSuite) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
+    val suite = if (runSuite) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty
+    val best = scala.collection.mutable.LinkedHashMap(suite.map(_._1 -> Double.MaxValue): _*)
+    for (_ <- 1 to passes; (name, fn) <- suite) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
     }
+    val results = suite.map { case (name, _) => name -> best(name) }
     spark.stop()
 
     // -- Part 2: primary metric at two cluster sizes ---------------------
@@ -181,6 +195,15 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // compact per-query map for the stdout line: only the slowest queries,
+    // so the line stays well under the driver's tail-capture window (the
+    // full map made the r1-r3 artifact lines head-truncate; the complete
+    // map is in bench_out.json)
+    val qsCompact = results
+      .sortBy(-_._2)
+      .take(8)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val rollupJson = scaling
       .map { sc =>
@@ -194,15 +217,20 @@ object Bench {
         f""","rollup":{"points":${sc.pts},"n_cores":${sc.n},"n_sec":${sc.wN}%.3f,"4n_sec":${sc.w4N}%.3f,"n_pps":${sc.ppsN}%.0f,"4n_pps":${sc.pps4N}%.0f,"scaling_efficiency":${sc.eff}%.3f,"n_cpu_sec":${sc.cN}%.1f,"4n_cpu_sec":${sc.c4N}%.1f,"cpu_per_point_ratio":${sc.cpuRatio}%.3f$note}"""
       }
       .getOrElse("")
-    val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$rollupJson$ladderJson}"""
-    // The driver's stdout tail-capture truncates long lines (it lost the
-    // first ~10 queries of the round-1/2 JSON), so persist the full line to
-    // a file next to BENCH.md as the durable machine-readable copy.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qs,"sf":"$sfDir"$rollupJson$ladderJson}"""
+    // Compact stdout line: same shape, but "queries" carries only the 8
+    // slowest (min-of-passes) timings plus a pointer to the full map. The
+    // driver's stdout tail-capture truncates long lines from the HEAD
+    // (r1-r3 artifacts all lost their first ~25 queries and parsed as
+    // null); keeping the one stdout JSON line short is the fix, and
+    // bench_out.json is the durable complete copy.
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json","sf":"$sfDir"$rollupJson$ladderJson}"""
     Files.write(
       Paths.get("bench_out.json"),
-      (jsonLine + "\n").getBytes(StandardCharsets.UTF_8))
-    println(jsonLine)
+      (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+    println(compactLine)
 
     // -- Scaling evidence into BENCH.md (north-rule reporting) -----------
     // Rows are inserted directly under the table header at the sentinel
