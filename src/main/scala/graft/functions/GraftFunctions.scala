@@ -32,6 +32,14 @@ object GraftFunctions {
     "arr_pos_weighted_sum" -> (args => ArrPosWeightedSum(args.head, foldLong(args(1)))),
     "arr_pos_weighted_sum_q" -> (args =>
       ArrPosWeightedSumQ(args.head, foldLong(args(1)), foldLong(args(2)))),
+    "arr_abs_sum" -> (args => ArrAbsSum(args.head)),
+    "arr_abs_err_q_sum" -> (args =>
+      ArrErrQSum(args.head, args(1), foldLong(args(2)), squared = false)),
+    "arr_sq_err_q_sum" -> (args =>
+      ArrErrQSum(args.head, args(1), foldLong(args(2)), squared = true)),
+    "arr_seasonal_abs_sum" -> (args => ArrSeasonalAbsSum(args.head, foldInt(args(1)))),
+    "arr_interval_penalty_sum" -> (args =>
+      ArrIntervalPenaltySum(args.head, args(1), args(2), foldLong(args(3)))),
     "arr_every_kth" -> (args => ArrEveryKth(args.head, foldInt(args(1)))),
     "arr_blur4_every_kth" -> (args => ArrBlur4EveryKth(args.head, foldInt(args(1)))),
     "arr_repeat_each" -> (args => ArrRepeatEach(args.head, foldInt(args(1)))),

@@ -109,6 +109,69 @@ object ArrayKernels {
     s
   }
 
+  /** Null-skipping sum of |x| over an integral array (the ABS_TARGET
+   * normalization denominator, loss/packed/normalized.py). */
+  def absSum(a: ArrayData, isInt: Boolean): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) s += math.abs(getLong(a, i, isInt))
+      i += 1
+    }
+    s
+  }
+
+  /** Quantized error sum against a per-row scalar forecast: sum of
+   * floor(|x - center| * scale + 0.5) (abs mode) or
+   * floor((x - center)^2 * scale + 0.5) (squared mode) — bit-identical to
+   * the SQL `aggregate` lambdas it replaces (same double-op order). */
+  def errQSum(a: ArrayData, isInt: Boolean, center: Double, scale: Long, squared: Boolean): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val d = getLong(a, i, isInt).toDouble - center
+        val t = if (squared) d * d else math.abs(d)
+        s += math.floor(t * scale + 0.5).toLong
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Seasonal-naive absolute error numerator over an integral array:
+   * sum over t in [m, n) of |a[t] - a[t-m]| (gluonts seasonal_error
+   * numerator, eval_util/evaluation.py:73-88) — exact integers. */
+  def seasonalAbsSum(a: ArrayData, isInt: Boolean, m: Int): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var t = m
+    while (t < n) {
+      s += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
+      t += 1
+    }
+    s
+  }
+
+  /** MSIS interval-penalty sum over an integral array: per element y,
+   * (hi - lo) + mult*(lo - y) when y < lo + mult*(y - hi) when y > hi —
+   * exact integers (gluonts MSIS numerator at alpha = 2/mult). */
+  def intervalPenaltySum(a: ArrayData, isInt: Boolean, lo: Long, hi: Long, mult: Long): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val y = getLong(a, i, isInt)
+      s += (hi - lo) +
+        (if (y < lo) mult * (lo - y) else 0L) +
+        (if (y > hi) mult * (y - hi) else 0L)
+      i += 1
+    }
+    s
+  }
+
   /** Elements at 0-based positions 0, k, 2k, … (Subsample). */
   def everyKth(a: ArrayData, k: Int, elem: DataType): ArrayData = {
     val n = a.numElements()
@@ -320,6 +383,125 @@ case class ArrBlur4EveryKth(child: Expression, k: Int) extends ArrayKernelExpres
     s"${ArrayKernelExpression.K}.blur4EveryKth($c, $k, $elemIsInt)"
   override protected def withNewChildInternal(newChild: Expression): ArrBlur4EveryKth =
     copy(child = newChild)
+}
+
+/** `arr_abs_sum(array<int|bigint>) -> bigint`: null-skipping sum of |x|. */
+case class ArrAbsSum(child: Expression) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_abs_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.absSum(input.asInstanceOf[ArrayData], elemIsInt)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.absSum($c, $elemIsInt)"
+  override protected def withNewChildInternal(newChild: Expression): ArrAbsSum =
+    copy(child = newChild)
+}
+
+/** `arr_{abs|sq}_err_q_sum(array<int|bigint>, center double, scale) ->
+ * bigint`: quantized per-window error sum against a per-row scalar
+ * forecast — the PackedLoss numerator as ONE codegen'd expression instead
+ * of an interpreted per-element lambda. */
+case class ArrErrQSum(left: Expression, right: Expression, scale: Long, squared: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def elemIsInt = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType | LongType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int|bigint>, double), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = if (squared) "arr_sq_err_q_sum" else "arr_abs_err_q_sum"
+  override protected def nullSafeEval(arr: Any, center: Any): Any =
+    ArrayKernels.errQSum(
+      arr.asInstanceOf[ArrayData],
+      elemIsInt,
+      center.asInstanceOf[Double],
+      scale,
+      squared)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, c) =>
+        s"${ev.value} = ${ArrayKernelExpression.K}.errQSum($a, $elemIsInt, $c, ${scale}L, $squared);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): ArrErrQSum = copy(left = newLeft, right = newRight)
+}
+
+/** `arr_seasonal_abs_sum(array<int|bigint>, m) -> bigint`: the gluonts
+ * seasonal_error numerator, sum |a[t] - a[t-m]| for t in [m, n). */
+case class ArrSeasonalAbsSum(child: Expression, m: Int) extends ArrayKernelExpression {
+  require(m >= 1, s"arr_seasonal_abs_sum requires m >= 1, got $m")
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_seasonal_abs_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.seasonalAbsSum(input.asInstanceOf[ArrayData], elemIsInt, m)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.seasonalAbsSum($c, $elemIsInt, $m)"
+  override protected def withNewChildInternal(newChild: Expression): ArrSeasonalAbsSum =
+    copy(child = newChild)
+}
+
+/** `arr_interval_penalty_sum(array<int|bigint>, lo, hi, mult) -> bigint`:
+ * the MSIS numerator — per element, (hi-lo) plus mult-weighted
+ * out-of-interval excess; lo/hi are per-row scalars (context order
+ * statistics). */
+case class ArrIntervalPenaltySum(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    mult: Long)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  private def elemIsInt = first.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType | LongType, _), IntegerType | LongType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, l, h) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int|bigint>, int|bigint, int|bigint), got ($a, $l, $h)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_interval_penalty_sum"
+  private def toLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+    case other => other.asInstanceOf[Number].longValue()
+  }
+  override protected def nullSafeEval(arr: Any, lo: Any, hi: Any): Any =
+    ArrayKernels.intervalPenaltySum(
+      arr.asInstanceOf[ArrayData],
+      elemIsInt,
+      toLong(lo),
+      toLong(hi),
+      mult)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, lo, hi) =>
+        s"${ev.value} = ${ArrayKernelExpression.K}.intervalPenaltySum($a, $elemIsInt, (long) $lo, (long) $hi, ${mult}L);")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression): ArrIntervalPenaltySum =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `arr_repeat_each(array<T>, k) -> array<T>`: each element repeated k

@@ -43,9 +43,14 @@ object EvalQueries {
       .withColumn("ctx", expr(s"slice(tokens, fs - $ctx + 1, $ctx)"))
       .withColumn("hor", expr(s"slice(tokens, fs + 1, $hor)"))
 
+  // All per-window reductions run through the typed array kernels
+  // (ArrayExpressions.scala) rather than SQL `aggregate` lambdas — the
+  // lambdas evaluate interpreted per element, and the eval grid touches
+  // every (window x element) pair; at 100 TB the constant IS the cost.
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Window enumeration + per-window context/horizon statistics.
-    "q_rolling_eval" -> ((s, dir) =>
+    "q_rolling_eval" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       rollingWindows(s, dir)
         .select(
           col("doc_id"),
@@ -53,8 +58,9 @@ object EvalQueries {
           col("w"),
           expr("array_min(ctx)").as("ctx_min"),
           expr("array_max(ctx)").as("ctx_max"),
-          expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
-          expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
+          call_function("arr_sum", col("ctx")).as("ctx_sum"),
+          call_function("arr_sum", col("hor")).as("hor_sum"))
+    }),
 
     // EvalCrop with a NEGATIVE offset (crop.py:111-147): the reference's
     // end-anchored evaluation windows — fcst_start counts from the series
@@ -62,7 +68,8 @@ object EvalQueries {
     // the standard "hold out the last K steps" eval split. q_rolling_eval
     // covers the start-anchored twin (FinetunePatchCrop, crop.py:149-187,
     // whose fcst_start = context + window*distance is exactly that grid).
-    "q_eval_crop" -> ((s, dir) =>
+    "q_eval_crop" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
         .filter(col("n_tok") >= 96) // a >= 0 at w=0: n_tok - 64 - 32 >= 0
@@ -80,13 +87,15 @@ object EvalQueries {
           col("source"),
           col("w"),
           col("fs").cast("int").as("fs"),
-          expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
-          expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
+          call_function("arr_sum", col("ctx")).as("ctx_sum"),
+          call_function("arr_sum", col("hor")).as("hor_sum"))
+    }),
 
     // Same grammar at a NON-default geometry (context 48, horizon 24,
     // stride 40) — proving (ctx, hor, stride) are genuinely free
     // parameters, as in the reference's per-dataset eval configuration.
-    "q_rolling_eval_alt" -> ((s, dir) =>
+    "q_rolling_eval_alt" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       rollingWindows(s, dir, ctx = 48, hor = 24, stride = 40)
         .select(
           col("doc_id"),
@@ -95,22 +104,22 @@ object EvalQueries {
           col("fs"),
           size(col("ctx")).as("ctx_len"),
           size(col("hor")).as("hor_len"),
-          expr("aggregate(ctx, 0L, (a, x) -> a + x)").as("ctx_sum"),
-          expr("aggregate(hor, 0L, (a, x) -> a + x)").as("hor_sum"))),
+          call_function("arr_sum", col("ctx")).as("ctx_sum"),
+          call_function("arr_sum", col("hor")).as("hor_sum"))
+    }),
 
     // Naive-forecast evaluation metrics: forecast = context mean; per-window
     // fixed-point MAE over the horizon, aggregated per source (the packed
     // doubly-normalized reduction shape, loss/packed/_base.py:76-106).
-    "q_eval_metrics" -> ((s, dir) =>
+    "q_eval_metrics" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       rollingWindows(s, dir)
         .withColumn(
           "naive",
-          expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+          call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble)
         .withColumn(
           "mae_q",
-          expr(
-            "aggregate(hor, 0L, (a, x) -> " +
-              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 1000 + 0.5) AS BIGINT))"))
+          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(1000L)))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_windows"),
@@ -118,7 +127,8 @@ object EvalQueries {
         .withColumn(
           "mae",
           col("mae_q_sum").cast("double") / 1000.0 /
-            (col("n_windows") * Hor).cast("double")))
+            (col("n_windows") * Hor).cast("double"))
+    })
   )
 
   /** Window CTE at explicit geometry — the oracle twin of

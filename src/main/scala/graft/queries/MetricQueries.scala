@@ -68,17 +68,24 @@ object MetricQueries {
         s"CAST(raise_error(concat('$c overflows BIGINT: ', CAST($c AS STRING))) AS BIGINT) " +
         s"ELSE CAST($c AS BIGINT) END")
 
+  /** The context-mean naive forecast via the arr_sum kernel (not an
+   * interpreted `aggregate` lambda — ArrayExpressions.scala). */
+  private def naiveCol =
+    call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble
+
   /** Per-horizon-point view: (doc_id, source, w, naive, i, y). */
-  private def horPoints(s: SparkSession, dir: String): DataFrame =
+  private def horPoints(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     EvalQueries
       .rollingWindows(s, dir)
-      .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+      .withColumn("naive", naiveCol)
       .select(
         col("doc_id"),
         col("source"),
         col("w"),
         col("naive"),
         posexplode(col("hor")).as(Seq("i", "y")))
+  }
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MAPE: 100 * |e| / |y| with safe_div (percentage_error.py:25-38).
@@ -157,18 +164,15 @@ object MetricQueries {
     "q_eval_normalized" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
-        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .transform(d => { graft.functions.GraftFunctions.register(s); d })
+        .withColumn("naive", naiveCol)
         .withColumn(
           "sum_eq",
-          expr(
-            "aggregate(hor, 0L, (a, x) -> " +
-              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
+          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(10000L)))
         .withColumn(
           "sum_e2q",
-          expr(
-            "aggregate(hor, 0L, (a, x) -> " +
-              "a + CAST(floor((CAST(x AS DOUBLE) - naive) * (CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
-        .withColumn("habs", expr("aggregate(hor, 0L, (a, x) -> a + abs(x))"))
+          call_function("arr_sq_err_q_sum", col("hor"), col("naive"), lit(10000L)))
+        .withColumn("habs", call_function("arr_abs_sum", col("hor")))
         .withColumn(
           "d",
           expr(s"CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END"))
@@ -198,17 +202,14 @@ object MetricQueries {
     "q_eval_mase" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
-        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .transform(d => { graft.functions.GraftFunctions.register(s); d })
+        .withColumn("naive", naiveCol)
         .withColumn(
           "sum_eq",
-          expr(
-            "aggregate(hor, 0L, (a, x) -> " +
-              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
+          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(10000L)))
         .withColumn(
           "se_num",
-          expr(
-            s"aggregate(sequence($Season, ${Ctx - 1}), 0L, (a, t) -> " +
-              s"a + abs(CAST(element_at(ctx, t + 1) AS BIGINT) - element_at(ctx, t - ${Season - 1})))"))
+          call_function("arr_seasonal_abs_sum", col("ctx"), lit(Season)))
         .withColumn(
           "mase_w",
           expr(
@@ -230,19 +231,20 @@ object MetricQueries {
     // two different m values (hourly m=24, business-daily m=5) flow through
     // the same query, per the fixture's source-parity freq convention.
     "q_eval_mase_freq" -> ((s, dir) => {
-      def seNum(m: Int) =
-        s"aggregate(sequence($m, ${Ctx - 1}), 0L, (a, t) -> " +
-          s"a + abs(CAST(element_at(ctx, t + 1) AS BIGINT) - element_at(ctx, t - ${m - 1})))"
+      graft.functions.GraftFunctions.register(s)
       EvalQueries
         .rollingWindows(s, dir)
         .withColumn("m", expr(s"CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END"))
-        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn("naive", naiveCol)
         .withColumn(
           "sum_eq",
-          expr(
-            "aggregate(hor, 0L, (a, x) -> " +
-              "a + CAST(floor(abs(CAST(x AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT))"))
-        .withColumn("se_num", expr(s"CASE WHEN m = $MEven THEN ${seNum(MEven)} ELSE ${seNum(MOdd)} END"))
+          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(10000L)))
+        .withColumn(
+          "se_num",
+          when(
+            col("m") === MEven,
+            call_function("arr_seasonal_abs_sum", col("ctx"), lit(MEven)))
+            .otherwise(call_function("arr_seasonal_abs_sum", col("ctx"), lit(MOdd))))
         .withColumn(
           "mase_w",
           expr(
@@ -267,20 +269,16 @@ object MetricQueries {
     "q_eval_msis" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
+        .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("sctx", array_sort(col("ctx")))
         .withColumn("lo", expr("element_at(sctx, 2)")) // ceil(64*0.025)
         .withColumn("hi", expr("element_at(sctx, 63)")) // ceil(64*0.975)
         .withColumn(
           "terms",
-          expr(
-            "aggregate(hor, 0L, (a, y) -> a + (hi - lo) " +
-              "+ CASE WHEN y < lo THEN 40L * (lo - y) ELSE 0L END " +
-              "+ CASE WHEN y > hi THEN 40L * (y - hi) ELSE 0L END)"))
+          call_function("arr_interval_penalty_sum", col("hor"), col("lo"), col("hi"), lit(40L)))
         .withColumn(
           "se_num",
-          expr(
-            s"aggregate(sequence($Season, ${Ctx - 1}), 0L, (a, t) -> " +
-              s"a + abs(CAST(element_at(ctx, t + 1) AS BIGINT) - element_at(ctx, t - ${Season - 1})))"))
+          call_function("arr_seasonal_abs_sum", col("ctx"), lit(Season)))
         .withColumn(
           "msis_w",
           expr(
@@ -306,8 +304,9 @@ object MetricQueries {
     "q_eval_extra" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
+        .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("sctx", array_sort(col("ctx")))
-        .withColumn("naive", expr(s"CAST(aggregate(ctx, 0L, (a, x) -> a + x) AS DOUBLE) / $Ctx.0"))
+        .withColumn("naive", naiveCol)
         .withColumn("med", expr(s"element_at(sctx, ${Ctx / 2})"))
         .select(
           col("source"),

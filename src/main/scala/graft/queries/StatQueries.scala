@@ -183,23 +183,27 @@ object StatQueries {
     // (transform/reshape.py:26-123): patches flattened back to the token
     // axis, packed with the position field along the variate axis, and a
     // scalar broadcast to a sequence — all row-local, checksummed exactly.
-    "q_pack_fields" -> ((s, dir) =>
+    "q_pack_fields" -> ((s, dir) => {
+      GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
         .withColumn(
           "patches",
           expr("transform(sequence(0, (n_tok - 1) DIV 64), i -> slice(tokens, i * 64 + 1, 64))"))
         .transform(d => graft.operators.Reshape.flatPack(d, "patches", "flat"))
-        .withColumn("positions", expr("transform(sequence(0, n_tok - 1), p -> p)"))
+        // AddTimeIndex's position field is just the integer range — no
+        // identity lambda needed (sequence() is a codegen'd builtin)
+        .withColumn("positions", expr("sequence(0, n_tok - 1)"))
         .transform(d => graft.operators.Reshape.packFields(d, Seq("flat", "positions"), "packed"))
         .transform(d => graft.operators.Reshape.sequencify(d, "n_tok", 3, "rep"))
         .select(
           col("doc_id"),
           size(col("packed")).as("packed_len"),
-          expr("aggregate(packed, 0L, (a, x) -> a + x)").as("packed_sum"),
+          call_function("arr_sum", col("packed")).as("packed_sum"),
           expr("element_at(packed, 1)").as("first_v"),
           expr("element_at(packed, -1)").as("last_v"),
-          expr("aggregate(rep, 0L, (a, x) -> a + x)").as("rep_sum"))),
+          call_function("arr_sum", col("rep")).as("rep_sum"))
+    }),
 
     // SampleDimension (transform/resample.py:29-66): subsample each
     // vector's variates to a budget — deterministically (hash of

@@ -41,16 +41,18 @@ object TokenRollupQueries {
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Raw tier + per-row token-array-equality invariant (as an exact
     // checksum: sum / first / last over the materialized array).
-    "q_raw_tokens" -> ((s, dir) =>
+    "q_raw_tokens" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
         .select(
           col("doc_id"),
           col("source"),
           col("n_tok"),
-          expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tok_sum"),
+          call_function("arr_sum", col("tokens")).as("tok_sum"),
           expr("element_at(tokens, 1)").as("tok_first"),
-          expr("element_at(tokens, -1)").as("tok_last"))),
+          expr("element_at(tokens, -1)").as("tok_last"))
+    }),
 
     // Retention-tier rollups. 1m aggregates the raw point view; every
     // coarser tier REAGGREGATES the previous tier (the continuous-aggregate
@@ -96,7 +98,8 @@ object TokenRollupQueries {
     // Patchify (uni2ts transform/patch.py:123-159): per-doc reshape of the
     // token array into width-64 patches (last patch ragged), row-local
     // slice — no shuffle; stats checksummed per patch.
-    "q_patchify" -> ((s, dir) =>
+    "q_patchify" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
         .select(
@@ -110,7 +113,8 @@ object TokenRollupQueries {
           size(col("patch")).as("patch_len"),
           expr("array_min(patch)").as("p_min"),
           expr("array_max(patch)").as("p_max"),
-          expr("aggregate(patch, 0L, (a, x) -> a + x)").as("p_sum"))),
+          call_function("arr_sum", col("patch")).as("p_sum"))
+    }),
 
     // Proportional sampling weights (indexer get_proportional_probabilities,
     // hf_dataset_indexer.py:119-139): per-doc weight = n_tok / Σ n_tok of
