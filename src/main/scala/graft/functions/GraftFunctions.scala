@@ -33,6 +33,7 @@ object GraftFunctions {
     "arr_pos_weighted_sum_q" -> (args =>
       ArrPosWeightedSumQ(args.head, foldLong(args(1)), foldLong(args(2)))),
     "arr_abs_sum" -> (args => ArrAbsSum(args.head)),
+    "arr_abs_sum_q" -> (args => ArrAbsSumQ(args.head, foldLong(args(1)))),
     "arr_abs_err_q_sum" -> (args =>
       ArrErrQSum(args.head, args(1), foldLong(args(2)), squared = false)),
     "arr_sq_err_q_sum" -> (args =>

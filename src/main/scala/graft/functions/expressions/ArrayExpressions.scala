@@ -57,6 +57,22 @@ object ArrayKernels {
     s
   }
 
+  /** Null-skipping sum of floor(|x|*scale + 0.5) over a float/double array
+   * (the abs-mean scaler numerator). */
+  def absSumQuant(a: ArrayData, isFloat: Boolean, scale: Long): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += math.floor(math.abs(x) * scale + 0.5).toLong
+      }
+      i += 1
+    }
+    s
+  }
+
   def nullCount(a: ArrayData): Int = {
     val n = a.numElements()
     var c = 0
@@ -283,6 +299,22 @@ case class ArrSumQ(child: Expression, scale: Long) extends ArrayKernelExpression
   override protected def genCall(ctx: CodegenContext, c: String): String =
     s"${ArrayKernelExpression.K}.sumQuant($c, $elemIsFloat, ${scale}L)"
   override protected def withNewChildInternal(newChild: Expression): ArrSumQ =
+    copy(child = newChild)
+}
+
+/** `arr_abs_sum_q(array<float|double>, scale) -> bigint`: null-skipping
+ * sum of floor(|x|*scale + 0.5). */
+case class ArrAbsSumQ(child: Expression, scale: Long) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean =
+    e == FloatType || e == DoubleType
+  override protected def expects: String = "array<float|double>"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_abs_sum_q"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.absSumQuant(input.asInstanceOf[ArrayData], elemIsFloat, scale)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.absSumQuant($c, $elemIsFloat, ${scale}L)"
+  override protected def withNewChildInternal(newChild: Expression): ArrAbsSumQ =
     copy(child = newChild)
 }
 

@@ -19,7 +19,7 @@ object CodecQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn(
           "decoded",
           call_function("gorilla_decode", call_function("gorilla_encode", col("vals"))))
@@ -27,7 +27,10 @@ object CodecQueries {
           col("doc_id"),
           col("source"),
           size(col("decoded")).as("n"),
-          expr("aggregate(decoded, 0L, (a, x) -> a + CAST(x AS BIGINT))").as("sum_v"),
+          // decoded values are EXACT non-negative integer doubles (the
+          // codec is lossless), so the quantized kernel sum at scale 1
+          // equals the old CAST-to-BIGINT lambda bit-for-bit
+          call_function("arr_sum_q", col("decoded"), lit(1L)).as("sum_v"),
           expr("element_at(decoded, 1)").as("first_v"),
           expr("element_at(decoded, -1)").as("last_v"))
     }),
@@ -38,7 +41,7 @@ object CodecQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn(
           "decoded",
           call_function("chimp_decode", call_function("chimp_encode", col("vals"))))
@@ -46,7 +49,10 @@ object CodecQueries {
           col("doc_id"),
           col("source"),
           size(col("decoded")).as("n"),
-          expr("aggregate(decoded, 0L, (a, x) -> a + CAST(x AS BIGINT))").as("sum_v"),
+          // decoded values are EXACT non-negative integer doubles (the
+          // codec is lossless), so the quantized kernel sum at scale 1
+          // equals the old CAST-to-BIGINT lambda bit-for-bit
+          call_function("arr_sum_q", col("decoded"), lit(1L)).as("sum_v"),
           expr("element_at(decoded, 1)").as("first_v"),
           expr("element_at(decoded, -1)").as("last_v"))
     }),
@@ -86,7 +92,7 @@ object CodecQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn(
           "rt",
           expr("precond_reverse(precond_forward(vals, 4, 'chebyshev'), 4, 'chebyshev')"))
@@ -94,7 +100,9 @@ object CodecQueries {
           col("doc_id"),
           col("source"),
           size(col("rt")).as("n"),
-          expr("aggregate(rt, 0L, (a, x) -> a + CAST(round(x) AS BIGINT))").as("sum_v"))
+          // rt values are integers to <1e-10, never near .5, so
+          // floor(x + 0.5) (the scale-1 kernel) == round(x)
+          call_function("arr_sum_q", col("rt"), lit(1L)).as("sum_v"))
     }),
 
     // Legendre-family round-trip (the second polynomial family,
@@ -106,7 +114,7 @@ object CodecQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn(
           "rt",
           expr("precond_reverse(precond_forward(vals, 3, 'legendre'), 3, 'legendre')"))
@@ -114,7 +122,9 @@ object CodecQueries {
           col("doc_id"),
           col("source"),
           size(col("rt")).as("n"),
-          expr("aggregate(rt, 0L, (a, x) -> a + CAST(round(x) AS BIGINT))").as("sum_v"))
+          // rt values are integers to <1e-10, never near .5, so
+          // floor(x + 0.5) (the scale-1 kernel) == round(x)
+          call_function("arr_sum_q", col("rt"), lit(1L)).as("sum_v"))
     }),
 
     // Forward preconditioning checked value-by-value against a LAG-based
@@ -125,13 +135,12 @@ object CodecQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
         .select(
           col("doc_id"),
           col("source"),
-          expr("aggregate(f, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-            .as("sum_q"))
+          call_function("arr_sum_q", col("f"), lit(1000L)).as("sum_q"))
     }),
 
     // Tier payload compression (FIXTURES.md §2 schema): per (source, bucket)
@@ -145,15 +154,16 @@ object CodecQueries {
         col("source"),
         col("bucket"),
         col("n_windows"),
-        expr("aggregate(dod_decode(payload_ts), 0L, (a, x) -> a + x)").as("ts_sum_check"),
-        expr(
-          "aggregate(gorilla_decode(payload_values), 0L, " +
-            "(a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-          .as("values_q_sum"),
-        expr(
-          "aggregate(chimp_decode(payload_values_chimp), 0L, " +
-            "(a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-          .as("values_q_sum_chimp"))),
+        call_function("arr_sum", call_function("dod_decode", col("payload_ts")))
+          .as("ts_sum_check"),
+        call_function(
+          "arr_sum_q",
+          call_function("gorilla_decode", col("payload_values")),
+          lit(1000L)).as("values_q_sum"),
+        call_function(
+          "arr_sum_q",
+          call_function("chimp_decode", col("payload_values_chimp")),
+          lit(1000L)).as("values_q_sum_chimp"))),
 
     // Decode-with-context window round-trip (precondition.py:436-524
     // `context` param; the REVERSAL_CONTEXT_BUG_FIX.md scenario): recode
@@ -168,7 +178,7 @@ object CodecQueries {
       TokenTable
         .raw(s, dir)
         .filter(col("n_tok") >= 32)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
         .withColumn("fs", expr("CAST(n_tok DIV 2 AS INT)")) // >= 4, fs+16 <= n_tok
         .withColumn("win", expr("slice(f, fs + 1, 16)"))
@@ -180,8 +190,7 @@ object CodecQueries {
           col("source"),
           col("fs"),
           size(col("dec")).as("w_len"),
-          expr("aggregate(dec, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-            .as("win_sum_q"))
+          call_function("arr_sum_q", col("dec"), lit(1000L)).as("win_sum_q"))
     }),
 
     // Engine-specific payload geometry (blob sizes, compression ratio

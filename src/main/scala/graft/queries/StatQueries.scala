@@ -28,7 +28,7 @@ object StatQueries {
         col("tokens"),
         explode(sequence(lit(0), expr("(n_tok - 1) DIV 64"))).as("patch_idx"))
       .withColumn("patch", expr("slice(tokens, patch_idx * 64 + 1, 64)"))
-      .withColumn("vals", expr("transform(patch, x -> CAST(x AS DOUBLE))"))
+      .withColumn("vals", expr("CAST(patch AS array<double>)"))
   }
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,13 +123,12 @@ object StatQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn("vals", expr("transform(tokens, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vals", expr("CAST(tokens AS array<double>)"))
         .withColumn("f", expr("precond_forward(vals, 4, 'chebyshev')"))
         .select(
           col("doc_id"),
           col("source"),
-          expr("aggregate(f, 0L, (a, x) -> a + CAST(floor(abs(x) * 1000 + 0.5) AS BIGINT))")
-            .as("absq"),
+          call_function("arr_abs_sum_q", col("f"), lit(1000L)).as("absq"),
           size(col("f")).as("n"))
         .withColumn("abs_mean", expr("CAST(absq AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)"))
     }),
@@ -158,8 +157,7 @@ object StatQueries {
           col("doc_id"),
           col("patch_idx"),
           size(col("f")).as("patch_len"),
-          expr("aggregate(f, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-            .as("sum_q"))),
+          call_function("arr_sum_q", col("f"), lit(1000L)).as("sum_q"))),
 
     // Per-patch REVERSE precondition round-trip (PatchReversePrecondition,
     // transform/patch_precondition.py:222-305): forward-then-reverse inside
@@ -176,8 +174,7 @@ object StatQueries {
           col("doc_id"),
           col("patch_idx"),
           size(col("r")).as("patch_len"),
-          expr("aggregate(r, 0L, (a, x) -> a + CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-            .as("sum_q"))),
+          call_function("arr_sum_q", col("r"), lit(1000L)).as("sum_q"))),
 
     // PackFields / FlatPackCollection / SequencifyField
     // (transform/reshape.py:26-123): patches flattened back to the token
