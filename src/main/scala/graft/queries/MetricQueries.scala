@@ -358,6 +358,51 @@ object MetricQueries {
           "median_mse",
           expr("CAST(med_se_sum AS DOUBLE) / CAST(n_points AS DOUBLE)"))),
 
+    // PackedNLLLoss (loss/packed/distribution.py:23-33) with a GAUSSIAN
+    // head whose parameters come from the context moments — the reference
+    // evaluates -log_prob under the model's predicted distribution; this
+    // engine has no neural heads (SURVEY §0), so the deterministic
+    // stand-in is the moment-matched normal (mu = context mean, sigma^2 =
+    // context SAMPLE variance, the PackedStdScaler correction=1
+    // convention), which exercises the identical packed doubly-normalized
+    // reduction. Exactness: mu and sigma^2 derive from exact integer
+    // context sums; ln is bit-identical across the JVM and DuckDB libm
+    // (verified on this host), and every per-point term is quantized at
+    // 1e-6 before the cross-row sum.
+    "q_eval_nll" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .transform(d => { graft.functions.GraftFunctions.register(s); d })
+        .withColumn("ctx_sum", call_function("arr_sum", col("ctx")))
+        // scale-1 squared-error sum against 0 == exact integer sum of x^2
+        .withColumn("ctx_sumsq", call_function("arr_sq_err_q_sum", col("ctx"), lit(0.0), lit(1L)))
+        .withColumn("mu", col("ctx_sum").cast("double") / Ctx.toDouble)
+        .withColumn("var_num", lit(Ctx.toLong) * col("ctx_sumsq") - col("ctx_sum") * col("ctx_sum"))
+        .withColumn(
+          "v",
+          expr(s"CASE WHEN var_num = 0 THEN 1.0 " +
+            s"ELSE CAST(var_num AS DOUBLE) / ${Ctx * (Ctx - 1)}.0 END"))
+        .withColumn("halflog", expr("0.5 * ln(2 * pi() * v)"))
+        .select(
+          col("source"),
+          col("mu"),
+          col("v"),
+          col("halflog"),
+          posexplode(col("hor")).as(Seq("i", "y")))
+        .withColumn(
+          "term",
+          expr(
+            "halflog + (CAST(y AS DOUBLE) - mu) * (CAST(y AS DOUBLE) - mu) / (2 * v)"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(expr("CAST(CAST(floor((term) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("nll_q_sum"))
+        .withColumn("nll_q_sum", decToLong("nll_q_sum"))
+        .withColumn(
+          "nll",
+          expr("CAST(nll_q_sum AS DOUBLE) / 1000000.0 / CAST(n_points AS DOUBLE)"))),
+
     // MaskedPrediction / EvalMaskedPrediction (task.py:27-166): the full
     // 80-token frame of each window with explicit prediction/observed mask
     // columns — context positions carry prediction_mask=false, horizon
@@ -535,6 +580,33 @@ object MetricQueries {
          |       CAST(sum(CAST(floor(mase_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS mase
          |FROM wvals GROUP BY 1, 2""".stripMargin,
+    "q_eval_nll" ->
+      s"""$HorPtsCte,
+         |sq AS (
+         |  SELECT w.doc_id, w.w,
+         |         CAST(sum(CAST(p.tok AS BIGINT) * p.tok) AS BIGINT) AS ctx_sumsq
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - $Ctx AND p.pos < w.fs
+         |  GROUP BY 1, 2),
+         |wv AS (
+         |  SELECT c.doc_id, c.w,
+         |         CAST(c.ctx_sum AS DOUBLE) / $Ctx.0 AS mu,
+         |         CASE WHEN $Ctx * s.ctx_sumsq - c.ctx_sum * c.ctx_sum = 0 THEN 1.0
+         |              ELSE CAST($Ctx * s.ctx_sumsq - c.ctx_sum * c.ctx_sum AS DOUBLE)
+         |                   / ${Ctx * (Ctx - 1)}.0 END AS v
+         |  FROM ctxagg c JOIN sq s ON s.doc_id = c.doc_id AND s.w = c.w),
+         |terms AS (
+         |  SELECT hp.source,
+         |         0.5 * ln(2 * pi() * wv.v)
+         |           + (CAST(hp.y AS DOUBLE) - wv.mu) * (CAST(hp.y AS DOUBLE) - wv.mu)
+         |             / (2 * wv.v) AS term
+         |  FROM hp JOIN wv ON wv.doc_id = hp.doc_id AND wv.w = hp.w)
+         |SELECT source, count(*) AS n_points,
+         |       CAST(sum(CAST(floor((term) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS nll_q_sum,
+         |       CAST(sum(CAST(floor((term) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |         / 1000000.0 / CAST(count(*) AS DOUBLE) AS nll
+         |FROM terms GROUP BY 1""".stripMargin,
     "q_eval_msis" ->
       s"""${EvalQueries.WinCte},
          |cr AS (
