@@ -41,6 +41,9 @@ object GraftFunctions {
     "arr_seasonal_abs_sum" -> (args => ArrSeasonalAbsSum(args.head, foldInt(args(1)))),
     "arr_interval_penalty_sum" -> (args =>
       ArrIntervalPenaltySum(args.head, args(1), args(2), foldLong(args(3)))),
+    "affine_mod_seq" -> (args =>
+      AffineModSeq(args.head, args(1), foldLong(args(2)), foldLong(args(3)), foldLong(args(4)))),
+    "arr_chunk" -> (args => ArrChunk(args.head, foldInt(args(1)))),
     "arr_every_kth" -> (args => ArrEveryKth(args.head, foldInt(args(1)))),
     "arr_blur4_every_kth" -> (args => ArrBlur4EveryKth(args.head, foldInt(args(1)))),
     "arr_repeat_each" -> (args => ArrRepeatEach(args.head, foldInt(args(1)))),

@@ -188,6 +188,43 @@ object ArrayKernels {
     s
   }
 
+  /** Affine-mod integer sequence: out(p) = ((d+1)*mulA + p*mulB) mod m for
+   * p in [0, n) — the deterministic dataset builder's token formula as one
+   * JVM loop (the `transform(sequence(...))` SQL formulation evaluates an
+   * interpreted lambda per TOKEN, i.e. per point of the corpus). */
+  def affineModSeq(d: Long, n: Int, mulA: Long, mulB: Long, mod: Long): ArrayData = {
+    val out = new Array[Int](math.max(n, 0))
+    val base = (d + 1) * mulA
+    var p = 0
+    while (p < out.length) {
+      out(p) = ((base + p * mulB) % mod).toInt
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Consecutive width-k chunks (last ragged) — Patchify's reshape as one
+   * kernel instead of a per-chunk slice lambda. */
+  def chunk(a: ArrayData, k: Int, elem: DataType): ArrayData = {
+    val n = a.numElements()
+    val nChunks = if (n == 0) 0 else (n + k - 1) / k
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val len = math.min(k, n - c * k)
+      val chunk = new Array[Any](len)
+      var i = 0
+      while (i < len) {
+        val j = c * k + i
+        chunk(i) = if (a.isNullAt(j)) null else a.get(j, elem)
+        i += 1
+      }
+      out(c) = new GenericArrayData(chunk)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Elements at 0-based positions 0, k, 2k, … (Subsample). */
   def everyKth(a: ArrayData, k: Int, elem: DataType): ArrayData = {
     val n = a.numElements()
@@ -534,6 +571,60 @@ case class ArrIntervalPenaltySum(
       newSecond: Expression,
       newThird: Expression): ArrIntervalPenaltySum =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `affine_mod_seq(d bigint, n int, mulA, mulB, mod) -> array<int>`: the
+ * deterministic builder's token formula as one codegen'd kernel. */
+case class AffineModSeq(
+    left: Expression,
+    right: Expression,
+    mulA: Long,
+    mulB: Long,
+    mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(mod >= 2 && mod <= Int.MaxValue, s"mod must fit int, got $mod")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires (bigint, int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "affine_mod_seq"
+  override protected def nullSafeEval(d: Any, n: Any): Any =
+    ArrayKernels.affineModSeq(
+      d.asInstanceOf[Long],
+      n.asInstanceOf[Int],
+      mulA,
+      mulB,
+      mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (d, n) =>
+        s"${ev.value} = ${ArrayKernelExpression.K}.affineModSeq($d, $n, ${mulA}L, ${mulB}L, ${mod}L);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): AffineModSeq = copy(left = newLeft, right = newRight)
+}
+
+/** `arr_chunk(array<T>, k) -> array<array<T>>`: consecutive width-k
+ * chunks, last ragged (Patchify, transform/patch.py:123-159). */
+case class ArrChunk(child: Expression, k: Int) extends ArrayKernelExpression {
+  require(k >= 1, s"arr_chunk requires k >= 1, got $k")
+  override protected def elemOk(e: DataType): Boolean = true
+  override protected def expects: String = "array<any>"
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "arr_chunk"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.chunk(input.asInstanceOf[ArrayData], k, elemType)
+  override protected def genCall(ctx: CodegenContext, c: String): String = {
+    val et = ctx.addReferenceObj("elemType", elemType, classOf[DataType].getName)
+    s"${ArrayKernelExpression.K}.chunk($c, $k, $et)"
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArrChunk =
+    copy(child = newChild)
 }
 
 /** `arr_repeat_each(array<T>, k) -> array<T>`: each element repeated k

@@ -165,7 +165,12 @@ object Dedup {
 
   /** LSH candidate pairs from banded signatures, verified with exact
    * Jaccard over the distinct shingle-hash sets (row-local array_intersect
-   * on the candidate pairs only). */
+   * on the candidate pairs only). Band bucket ids are SplitMix64 chains
+   * over the band's signature longs, computed in a typed JVM map — the
+   * previous formulation built a comma-joined STRING per band and ran an
+   * interpreted `transform` lambda per doc (~2 µs per string plus the
+   * interpreted-lambda tax); bucket ids are engine-internal, so only the
+   * LSH == exact invariant (PipelineSpec) is the contract. */
   def minHashLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -176,18 +181,27 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
-    val banded = sigs.select(
-      col("_id"),
-      explode(
-        expr(
-          s"transform(sequence(0, ${bands - 1}), " +
-            s"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b) AS bh))"))
-        .as("bb"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = minHashSignatures(docs, idCol, textCol, n, numHashes)
+      .as[(Long, Array[Long])]
+      .map { case (id, sig) =>
+        val bh = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var h = mix64(0x9e3779b97f4a7c15L * (b + 1))
+          var r = 0
+          while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+          bh(b) = h
+          b += 1
+        }
+        (id, bh)
+      }
+      .toDF("_id", "bhs")
+      .select(col("_id"), posexplode(col("bhs")).as(Seq("band", "bh")))
     val candidates = banded
-      .select(col("_id"), col("bb.band"), col("bb.bh"))
       .join(
-        banded.select(col("_id").as("_idb"), col("bb.band").as("bandb"), col("bb.bh").as("bhb")),
+        banded.select(col("_id").as("_idb"), col("band").as("bandb"), col("bh").as("bhb")),
         col("band") === col("bandb") && col("bh") === col("bhb") && col("_id") < col("_idb"))
       .select(col("_id"), col("_idb"))
       .distinct()

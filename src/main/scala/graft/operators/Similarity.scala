@@ -136,7 +136,7 @@ object Similarity {
       .withColumn("m", expr("CAST(sq AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)"))
       .groupBy(col("c_id"))
       .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
-      .select(col("c_id"), expr("transform(dm, e -> e.m)").as("cv"))
+      .select(col("c_id"), expr("dm.m").as("cv"))
     GraftFunctions.register(moved.sparkSession)
     moved.withColumn("cn", call_function("dot_q", col("cv"), col("cv")))
   }

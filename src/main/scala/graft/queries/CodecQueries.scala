@@ -227,13 +227,13 @@ object CodecQueries {
         size(col("series")).as("n_windows"),
         call_function(
           "dod_encode",
-          expr("transform(series, s -> CAST(s.window_start AS BIGINT))")).as("payload_ts"),
+          expr("CAST(series.window_start AS array<bigint>)")).as("payload_ts"),
         call_function(
           "gorilla_encode",
-          expr("transform(series, s -> s.avg_tok)")).as("payload_values"),
+          expr("series.avg_tok")).as("payload_values"),
         call_function(
           "chimp_encode",
-          expr("transform(series, s -> s.avg_tok)")).as("payload_values_chimp"))
+          expr("series.avg_tok")).as("payload_values_chimp"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -184,9 +184,7 @@ object StatQueries {
       GraftFunctions.register(s)
       TokenTable
         .raw(s, dir)
-        .withColumn(
-          "patches",
-          expr("transform(sequence(0, (n_tok - 1) DIV 64), i -> slice(tokens, i * 64 + 1, 64))"))
+        .withColumn("patches", call_function("arr_chunk", col("tokens"), lit(64)))
         .transform(d => graft.operators.Reshape.flatPack(d, "patches", "flat"))
         // AddTimeIndex's position field is just the integer range — no
         // identity lambda needed (sequence() is a codegen'd builtin)
