@@ -294,6 +294,42 @@ object MetricQueries {
           "msis",
           expr("CAST(msis_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
 
+    // MSIS with the seasonality m derived from each source's frequency —
+    // the same eval-time seasonal_error resolution as q_eval_mase_freq
+    // (the reference scales MASE and MSIS by the SAME freq-derived
+    // seasonal error, eval_util/evaluation.py:73-88).
+    "q_eval_msis_freq" -> ((s, dir) =>
+      EvalQueries
+        .rollingWindows(s, dir)
+        .transform(d => { graft.functions.GraftFunctions.register(s); d })
+        .withColumn("m", expr(s"CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END"))
+        .withColumn("sctx", array_sort(col("ctx")))
+        .withColumn("lo", expr("element_at(sctx, 2)"))
+        .withColumn("hi", expr("element_at(sctx, 63)"))
+        .withColumn(
+          "terms",
+          call_function("arr_interval_penalty_sum", col("hor"), col("lo"), col("hi"), lit(40L)))
+        .withColumn(
+          "se_num",
+          when(
+            col("m") === MEven,
+            call_function("arr_seasonal_abs_sum", col("ctx"), lit(MEven)))
+            .otherwise(call_function("arr_seasonal_abs_sum", col("ctx"), lit(MOdd))))
+        .withColumn(
+          "msis_w",
+          expr(
+            s"(CAST(terms AS DOUBLE) / $Hor.0) / " +
+              s"CASE WHEN se_num = 0 THEN 1.0 ELSE CAST(se_num AS DOUBLE) / CAST($Ctx - m AS DOUBLE) END"))
+        .groupBy(col("source"), col("m"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(expr("CAST(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("msis_q_sum"))
+        .withColumn("msis_q_sum", decToLong("msis_q_sum"))
+        .withColumn(
+          "msis",
+          expr("CAST(msis_q_sum AS DOUBLE) / 1000000.0 / CAST(n_windows AS DOUBLE)"))),
+
     // ND, mean weighted quantile loss, and MedianMSE — completing the
     // reference's evaluator list (evaluation.py:131-167, metrics.py:10-21):
     //   ND        = sum|e| / sum|y|  (normalized deviation, global)
@@ -648,6 +684,53 @@ object MetricQueries {
          |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
          |         / CAST(count(*) AS DOUBLE) AS msis
          |FROM wv GROUP BY 1""".stripMargin,
+    "q_eval_msis_freq" ->
+      s"""${EvalQueries.WinCte},
+         |srcm AS (
+         |  SELECT DISTINCT source,
+         |         CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END AS m
+         |  FROM pts),
+         |cr AS (
+         |  SELECT w.doc_id, w.w, p.tok,
+         |         row_number() OVER (PARTITION BY w.doc_id, w.w ORDER BY p.tok) AS rn
+         |  FROM wins w JOIN pts p
+         |    ON p.doc_id = w.doc_id AND p.pos >= w.fs - $Ctx AND p.pos < w.fs),
+         |iv AS (
+         |  SELECT doc_id, w,
+         |         max(CASE WHEN rn = 2 THEN tok END) AS lo,
+         |         max(CASE WHEN rn = 63 THEN tok END) AS hi
+         |  FROM cr GROUP BY 1, 2),
+         |sen AS (
+         |  SELECT w.doc_id, w.w, sm.m,
+         |         CAST(sum(abs(p1.tok - p2.tok)) AS BIGINT) AS se_num
+         |  FROM wins w
+         |  JOIN srcm sm ON sm.source = w.source
+         |  JOIN pts p1 ON p1.doc_id = w.doc_id
+         |              AND p1.pos >= w.fs - ($Ctx - sm.m) AND p1.pos < w.fs
+         |  JOIN pts p2 ON p2.doc_id = w.doc_id AND p2.pos = p1.pos - sm.m
+         |  GROUP BY 1, 2, 3),
+         |pw AS (
+         |  SELECT w.source, w.doc_id, w.w,
+         |         CAST(sum((i.hi - i.lo)
+         |           + CASE WHEN p.tok < i.lo THEN 40 * (i.lo - p.tok) ELSE 0 END
+         |           + CASE WHEN p.tok > i.hi THEN 40 * (p.tok - i.hi) ELSE 0 END) AS BIGINT)
+         |           AS terms
+         |  FROM wins w
+         |  JOIN iv i ON i.doc_id = w.doc_id AND i.w = w.w
+         |  JOIN pts p ON p.doc_id = w.doc_id
+         |             AND p.pos >= w.fs AND p.pos < w.fs + $Hor
+         |  GROUP BY 1, 2, 3),
+         |wv AS (
+         |  SELECT pw.source, s.m,
+         |         (CAST(pw.terms AS DOUBLE) / $Hor.0)
+         |           / (CASE WHEN s.se_num = 0 THEN 1.0
+         |                   ELSE CAST(s.se_num AS DOUBLE) / CAST($Ctx - s.m AS DOUBLE) END) AS msis_w
+         |  FROM pw JOIN sen s ON s.doc_id = pw.doc_id AND s.w = pw.w)
+         |SELECT source, CAST(m AS INT) AS m, count(*) AS n_windows,
+         |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS msis_q_sum,
+         |       CAST(sum(CAST(floor(msis_w * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |         / CAST(count(*) AS DOUBLE) AS msis
+         |FROM wv GROUP BY 1, 2""".stripMargin,
     "q_eval_extra" ->
       s"""$HorPtsCte,
          |cr AS (
