@@ -200,7 +200,7 @@ class PlanSpec extends SparkSpec {
     // row-local; only the final per-source reduction may shuffle — at
     // 100 TB the exchange carries one partial-agg row per (source x task)
     for (q <- Seq("q_eval_mape", "q_eval_normalized", "q_eval_mase",
-        "q_eval_mase_freq", "q_eval_msis", "q_eval_nll")) {
+        "q_eval_mase_freq", "q_eval_msis", "q_eval_msis_freq", "q_eval_nll")) {
       val df = graft.queries.MetricQueries.q(q)(spark, sf("sf0.001"))
       val plan = planOf(df)
       val exchanges = "Exchange".r.findAllIn(plan).size
