@@ -41,6 +41,26 @@ object GraftFunctions {
     "arr_seasonal_abs_sum" -> (args => ArrSeasonalAbsSum(args.head, foldInt(args(1)))),
     "arr_interval_penalty_sum" -> (args =>
       ArrIntervalPenaltySum(args.head, args(1), args(2), foldLong(args(3)))),
+    // ranged twins: evaluate over arr[start, start+len) in place (no
+    // slice materialization in the rolling-window hot path)
+    "arr_sum_range" -> (args => ArrSumRange(args.head, args(1), args(2))),
+    "arr_abs_sum_range" -> (args => ArrAbsSumRange(args.head, args(1), args(2))),
+    "arr_seasonal_abs_sum_range" -> (args =>
+      ArrSeasonalAbsSumRange(args.head, args(1), args(2), foldInt(args(3)))),
+    "arr_abs_err_q_sum_range" -> (args =>
+      ArrErrQSumRange(args.head, args(1), args(2), args(3), foldLong(args(4)), squared = false)),
+    "arr_sq_err_q_sum_range" -> (args =>
+      ArrErrQSumRange(args.head, args(1), args(2), args(3), foldLong(args(4)), squared = true)),
+    // eval_window_stats(tokens, m, ctx, hor, stride, scale): fused window
+    // enumeration + packed reductions, one compact struct per window
+    "eval_window_stats" -> (args =>
+      EvalWindowStats(
+        args.head,
+        args(1),
+        foldInt(args(2)),
+        foldInt(args(3)),
+        foldInt(args(4)),
+        foldLong(args(5)))),
     "affine_mod_seq" -> (args =>
       AffineModSeq(args.head, args(1), foldLong(args(2)), foldLong(args(3)), foldLong(args(4)))),
     "arr_chunk" -> (args => ArrChunk(args.head, foldInt(args(1)))),

@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
 /**
  * Array kernels replacing the SQL higher-order-function lambdas
  * (`aggregate`/`filter`/`transform`/`zip_with`) that previously sat in the
- * pad/resample operators and their checksum queries. HOF lambdas evaluate
- * INTERPRETED per element (~100 µs/element measured in this environment —
- * BENCH.md round-1 lesson, the same trap that cost dot_q its round-1
- * plans); each kernel here is one expression eval per ROW containing a
- * tight JVM loop, with a real `doGenCode` (the DotQ/CodecKernels pattern)
- * so the surrounding projection stays inside one whole-stage-codegen span.
+ * pad/resample operators and their checksum queries. Each kernel is one
+ * expression eval per ROW containing a tight JVM loop, with a real
+ * `doGenCode` (the DotQ/CodecKernels pattern) so the surrounding
+ * projection stays inside one whole-stage-codegen span. Measured honestly
+ * (BENCH.md "Kernel vs interpreted-lambda"): simple HOF lambdas cost only
+ * ~1-2 ns/element in Spark 4.1, so the win per op is a real-but-modest
+ * 10-25% plus span preservation — the big wins are structural: no
+ * per-element strings, no CodegenFallback in hot projections, and the
+ * RANGED variants below that eliminate window-slice materialization.
  *
  * Semantics copied exactly from the SQL they replace (reference:
  * uni2ts/src/uni2ts/transform/pad.py, resample.py — see
@@ -186,6 +189,139 @@ object ArrayKernels {
       i += 1
     }
     s
+  }
+
+  // ---- Ranged variants: evaluate over arr[start, start+len) IN PLACE ----
+  // The rolling-window evaluation grid reads a (ctx | horizon) WINDOW of
+  // each series per enumerated position; materializing those windows as
+  // slice() arrays costs ~(ctx+hor) element copies per window — at the
+  // eval grid's density that is more memory traffic than the metric math
+  // itself (measured: the slice-based chain scales at 0.65 wall efficiency
+  // 4->16 threads vs 0.84-0.92 for the rollup — memory-bandwidth-bound).
+  // The ranged kernels read the ORIGINAL array in place; ranges clamp to
+  // the array bounds (slice() truncation semantics).
+
+  private def clampRange(n: Int, start: Int, len: Int): (Int, Int) = {
+    val lo = math.max(start, 0)
+    val hi = math.min(math.max(len, 0).toLong + start, n.toLong).toInt
+    (lo, hi)
+  }
+
+  def sumRange(a: ArrayData, isInt: Boolean, start: Int, len: Int): Long = {
+    val (lo, hi) = clampRange(a.numElements(), start, len)
+    var s = 0L
+    var i = lo
+    while (i < hi) {
+      if (!a.isNullAt(i)) s += getLong(a, i, isInt)
+      i += 1
+    }
+    s
+  }
+
+  def absSumRange(a: ArrayData, isInt: Boolean, start: Int, len: Int): Long = {
+    val (lo, hi) = clampRange(a.numElements(), start, len)
+    var s = 0L
+    var i = lo
+    while (i < hi) {
+      if (!a.isNullAt(i)) s += math.abs(getLong(a, i, isInt))
+      i += 1
+    }
+    s
+  }
+
+  def errQSumRange(
+      a: ArrayData,
+      isInt: Boolean,
+      start: Int,
+      len: Int,
+      center: Double,
+      scale: Long,
+      squared: Boolean): Long = {
+    val (lo, hi) = clampRange(a.numElements(), start, len)
+    var s = 0L
+    var i = lo
+    while (i < hi) {
+      if (!a.isNullAt(i)) {
+        val d = getLong(a, i, isInt).toDouble - center
+        val t = if (squared) d * d else math.abs(d)
+        s += math.floor(t * scale + 0.5).toLong
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Seasonal numerator over arr[start, start+len): sum |a[t] - a[t-m]|
+   * for t in [start+m, start+len), all indices inside the range. */
+  def seasonalAbsSumRange(a: ArrayData, isInt: Boolean, start: Int, len: Int, m: Int): Long = {
+    val (lo, hi) = clampRange(a.numElements(), start, len)
+    var s = 0L
+    var t = lo + m
+    while (t < hi) {
+      s += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
+      t += 1
+    }
+    s
+  }
+
+  /** Fused rolling-window evaluation stats: one pass over the series
+   * emits ONE COMPACT STRUCT PER WINDOW — {w, fs, ctx_sum, ctx_sumsq,
+   * habs, sum_eq, sum_e2q, se_num} — instead of exploding window rows
+   * that each carry a full copy of the token array (the explode output
+   * materializes `tokens` into every window row: at (ctx,hor,stride) =
+   * (64,16,32) that is ~n/32 copies of an n-element array per doc, a
+   * 10-30x write amplification that caps thread scaling long before the
+   * metric math does). Semantics per window are bit-identical to the
+   * ranged kernels: naive = ctx_sum/ctx as double, quantized error sums
+   * at `scale`, seasonal numerator at lag m. */
+  def evalWindowStats(
+      a: ArrayData,
+      isInt: Boolean,
+      ctx: Int,
+      hor: Int,
+      stride: Int,
+      m: Int,
+      scale: Long): ArrayData = {
+    val n = a.numElements()
+    if (n < ctx + hor) return new GenericArrayData(Array.empty[Any])
+    val nW = (n - (ctx + hor)) / stride + 1
+    val out = new Array[Any](nW)
+    var w = 0
+    while (w < nW) {
+      val fs = ctx + w * stride
+      var ctxSum = 0L
+      var ctxSumsq = 0L
+      var i = fs - ctx
+      while (i < fs) {
+        val x = getLong(a, i, isInt)
+        ctxSum += x
+        ctxSumsq += x * x
+        i += 1
+      }
+      val naive = ctxSum.toDouble / ctx
+      var habs = 0L
+      var sumEq = 0L
+      var sumE2q = 0L
+      i = fs
+      while (i < fs + hor) {
+        val x = getLong(a, i, isInt)
+        habs += math.abs(x)
+        val d = x.toDouble - naive
+        sumEq += math.floor(math.abs(d) * scale + 0.5).toLong
+        sumE2q += math.floor(d * d * scale + 0.5).toLong
+        i += 1
+      }
+      var seNum = 0L
+      var t = fs - ctx + m
+      while (t < fs) {
+        seNum += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
+        t += 1
+      }
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](w, fs, ctxSum, ctxSumsq, habs, sumEq, sumE2q, seNum))
+      w += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Affine-mod integer sequence: out(p) = ((d+1)*mulA + p*mulB) mod m for
@@ -573,6 +709,66 @@ case class ArrIntervalPenaltySum(
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `eval_window_stats(tokens, m) -> array<struct<w, fs, ctx_sum,
+ * ctx_sumsq, habs, sum_eq, sum_e2q, se_num>>`: the fused rolling-window
+ * evaluation generator (see [[ArrayKernels.evalWindowStats]]) — the
+ * EvalDataset window enumeration and the packed per-window reductions in
+ * one pass, emitting compact stat structs instead of window rows carrying
+ * full series copies. `m` is a per-row CHILD (the freq-derived seasonal
+ * lag differs by source); geometry and quantization scale are literals. */
+case class EvalWindowStats(
+    left: Expression,
+    right: Expression,
+    ctx: Int,
+    hor: Int,
+    stride: Int,
+    scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(ctx >= 1 && hor >= 0 && stride >= 1, s"bad geometry ($ctx, $hor, $stride)")
+  private def elemIsInt = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType | LongType, _), IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, m) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int|bigint>, int m), got ($a, $m)")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("fs", IntegerType, nullable = false),
+      StructField("ctx_sum", LongType, nullable = false),
+      StructField("ctx_sumsq", LongType, nullable = false),
+      StructField("habs", LongType, nullable = false),
+      StructField("sum_eq", LongType, nullable = false),
+      StructField("sum_e2q", LongType, nullable = false),
+      StructField("se_num", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "eval_window_stats"
+  override protected def nullSafeEval(a: Any, m: Any): Any =
+    ArrayKernels.evalWindowStats(
+      a.asInstanceOf[ArrayData],
+      elemIsInt,
+      ctx,
+      hor,
+      stride,
+      m.asInstanceOf[Number].intValue(),
+      scale)
+  override protected def doGenCode(ctx0: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx0,
+      ev,
+      (a, m) =>
+        s"${ev.value} = ${ArrayKernelExpression.K}.evalWindowStats($a, $elemIsInt, $ctx, $hor, $stride, (int) $m, ${scale}L);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): EvalWindowStats = copy(left = newLeft, right = newRight)
+}
+
 /** `affine_mod_seq(d bigint, n int, mulA, mulB, mod) -> array<int>`: the
  * deterministic builder's token formula as one codegen'd kernel. */
 case class AffineModSeq(
@@ -625,6 +821,136 @@ case class ArrChunk(child: Expression, k: Int) extends ArrayKernelExpression {
   }
   override protected def withNewChildInternal(newChild: Expression): ArrChunk =
     copy(child = newChild)
+}
+
+/** Base for the (arr, start, len) ranged kernels: in-place window
+ * evaluation without materializing slice() arrays. */
+abstract class RangedKernelExpression
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  def first: Expression
+  def second: Expression
+  def third: Expression
+  protected def elemIsInt: Boolean = first.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (
+            ArrayType(IntegerType | LongType, _),
+            IntegerType | LongType,
+            IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, s, l) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int|bigint>, int|bigint, int|bigint), got ($a, $s, $l)")
+    }
+  override def dataType: DataType = LongType
+  protected def asInt(v: Any): Int = v match {
+    case i: java.lang.Integer => i.intValue()
+    case l: java.lang.Long => l.intValue()
+    case other => other.asInstanceOf[Number].intValue()
+  }
+  /** Java expression from (arr, start, len) variables (already int-cast). */
+  protected def genCall(a: String, s: String, l: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s, l) => s"${ev.value} = ${genCall(a, s"(int) $s", s"(int) $l")};")
+}
+
+/** `arr_sum_range(arr, start, len) -> bigint` (0-based start, clamped). */
+case class ArrSumRange(first: Expression, second: Expression, third: Expression)
+    extends RangedKernelExpression {
+  override def prettyName: String = "arr_sum_range"
+  override protected def nullSafeEval(a: Any, s: Any, l: Any): Any =
+    ArrayKernels.sumRange(
+      a.asInstanceOf[ArrayData], elemIsInt, asInt(s), asInt(l))
+  override protected def genCall(a: String, s: String, l: String): String =
+    s"${ArrayKernelExpression.K}.sumRange($a, $elemIsInt, $s, $l)"
+  override protected def withNewChildrenInternal(
+      f: Expression, se: Expression, t: Expression): ArrSumRange =
+    copy(first = f, second = se, third = t)
+}
+
+/** `arr_abs_sum_range(arr, start, len) -> bigint`. */
+case class ArrAbsSumRange(first: Expression, second: Expression, third: Expression)
+    extends RangedKernelExpression {
+  override def prettyName: String = "arr_abs_sum_range"
+  override protected def nullSafeEval(a: Any, s: Any, l: Any): Any =
+    ArrayKernels.absSumRange(
+      a.asInstanceOf[ArrayData], elemIsInt, asInt(s), asInt(l))
+  override protected def genCall(a: String, s: String, l: String): String =
+    s"${ArrayKernelExpression.K}.absSumRange($a, $elemIsInt, $s, $l)"
+  override protected def withNewChildrenInternal(
+      f: Expression, se: Expression, t: Expression): ArrAbsSumRange =
+    copy(first = f, second = se, third = t)
+}
+
+/** `arr_seasonal_abs_sum_range(arr, start, len, m) -> bigint`. */
+case class ArrSeasonalAbsSumRange(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    m: Int)
+    extends RangedKernelExpression {
+  require(m >= 1, s"arr_seasonal_abs_sum_range requires m >= 1, got $m")
+  override def prettyName: String = "arr_seasonal_abs_sum_range"
+  override protected def nullSafeEval(a: Any, s: Any, l: Any): Any =
+    ArrayKernels.seasonalAbsSumRange(
+      a.asInstanceOf[ArrayData], elemIsInt, asInt(s), asInt(l), m)
+  override protected def genCall(a: String, s: String, l: String): String =
+    s"${ArrayKernelExpression.K}.seasonalAbsSumRange($a, $elemIsInt, $s, $l, $m)"
+  override protected def withNewChildrenInternal(
+      f: Expression, se: Expression, t: Expression): ArrSeasonalAbsSumRange =
+    copy(first = f, second = se, third = t)
+}
+
+/** `arr_{abs|sq}_err_q_sum_range(arr, start, len, center) -> bigint`:
+ * ranged twin of ArrErrQSum (the packed-loss numerator read in place). */
+case class ArrErrQSumRange(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    fourth: Expression,
+    scale: Long,
+    squared: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  private def elemIsInt = first.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (
+            ArrayType(IntegerType | LongType, _),
+            IntegerType | LongType,
+            IntegerType | LongType,
+            DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, s, l, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int|bigint>, int|bigint, int|bigint, double), got ($a, $s, $l, $c)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String =
+    if (squared) "arr_sq_err_q_sum_range" else "arr_abs_err_q_sum_range"
+  override protected def nullSafeEval(a: Any, s: Any, l: Any, c: Any): Any =
+    ArrayKernels.errQSumRange(
+      a.asInstanceOf[ArrayData],
+      elemIsInt,
+      s.asInstanceOf[Number].intValue(),
+      l.asInstanceOf[Number].intValue(),
+      c.asInstanceOf[Double],
+      scale,
+      squared)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, s, l, c) =>
+        s"${ev.value} = ${ArrayKernelExpression.K}.errQSumRange($a, $elemIsInt, (int) $s, (int) $l, $c, ${scale}L, $squared);")
+  override protected def withNewChildrenInternal(
+      f: Expression, se: Expression, t: Expression, fo: Expression): ArrErrQSumRange =
+    copy(first = f, second = se, third = t, fourth = fo)
 }
 
 /** `arr_repeat_each(array<T>, k) -> array<T>`: each element repeated k

@@ -21,11 +21,13 @@ object EvalQueries {
   private[queries] val Hor = 16
   private[queries] val Stride = 32
 
-  /** Window grammar with explicit geometry — the reference parameterizes
-   * (windows, distance, prediction_length, context_length) per dataset
-   * (eval_util/data.py:263-402); the defaults above are this engine's
-   * standard grid, and q_rolling_eval_alt proves the grammar is general. */
-  private[queries] def rollingWindows(
+  /** Window grid WITHOUT slice materialization: (doc_id, source, tokens,
+   * w, fs). The ranged kernels (arr_*_range) evaluate context/horizon
+   * windows against `tokens` in place — at the eval grid's density the
+   * per-window slice copies are more memory traffic than the metric math
+   * itself, and the traffic is what caps thread scaling (BENCH.md
+   * "in-place window evaluation"). */
+  private[queries] def rollingWindowsRaw(
       s: SparkSession,
       dir: String,
       ctx: Int = Ctx,
@@ -40,6 +42,20 @@ object EvalQueries {
         col("tokens"),
         explode(sequence(lit(0), expr(s"(n_tok - ${ctx + hor}) DIV $stride"))).as("w"))
       .withColumn("fs", lit(ctx) + col("w") * stride)
+
+  /** Window grammar with explicit geometry — the reference parameterizes
+   * (windows, distance, prediction_length, context_length) per dataset
+   * (eval_util/data.py:263-402); the defaults above are this engine's
+   * standard grid, and q_rolling_eval_alt proves the grammar is general.
+   * Materializes the ctx/hor window ARRAYS — use [[rollingWindowsRaw]] +
+   * ranged kernels when only window reductions are needed. */
+  private[queries] def rollingWindows(
+      s: SparkSession,
+      dir: String,
+      ctx: Int = Ctx,
+      hor: Int = Hor,
+      stride: Int = Stride): DataFrame =
+    rollingWindowsRaw(s, dir, ctx, hor, stride)
       .withColumn("ctx", expr(s"slice(tokens, fs - $ctx + 1, $ctx)"))
       .withColumn("hor", expr(s"slice(tokens, fs + 1, $hor)"))
 
@@ -113,17 +129,26 @@ object EvalQueries {
     // doubly-normalized reduction shape, loss/packed/_base.py:76-106).
     "q_eval_metrics" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      rollingWindows(s, dir)
-        .withColumn(
-          "naive",
-          call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble)
-        .withColumn(
-          "mae_q",
-          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(1000L)))
+      // the FUSED window generator: enumeration + per-window reduction in
+      // one kernel pass per doc; window rows carry 8 longs, not a copy of
+      // the token array
+      TokenTable
+        .raw(s, dir)
+        .select(
+          col("source"),
+          explode(
+            call_function(
+              "eval_window_stats",
+              col("tokens"),
+              lit(1),
+              lit(Ctx),
+              lit(Hor),
+              lit(Stride),
+              lit(1000L))).as("st"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_windows"),
-          sum(col("mae_q")).as("mae_q_sum"))
+          sum(col("st.sum_eq")).as("mae_q_sum"))
         .withColumn(
           "mae",
           col("mae_q_sum").cast("double") / 1000.0 /

@@ -68,17 +68,51 @@ object MetricQueries {
         s"CAST(raise_error(concat('$c overflows BIGINT: ', CAST($c AS STRING))) AS BIGINT) " +
         s"ELSE CAST($c AS BIGINT) END")
 
-  /** The context-mean naive forecast via the arr_sum kernel (not an
-   * interpreted `aggregate` lambda — ArrayExpressions.scala). */
+  /** The context-mean naive forecast via the RANGED sum kernel — reads
+   * the context window of `tokens` in place (no slice materialization;
+   * ArrayExpressions.scala "in-place window evaluation"). */
   private def naiveCol =
-    call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble
+    call_function("arr_sum_range", col("tokens"), col("fs") - Ctx, lit(Ctx))
+      .cast("double") / Ctx.toDouble
 
-  /** Per-horizon-point view: (doc_id, source, w, naive, i, y). */
+  /** One row per (doc, window) carrying the FUSED stat struct `st` —
+   * window enumeration and the packed reductions happen inside
+   * `eval_window_stats` in one pass per doc, so exploded window rows are
+   * 8 longs each instead of a full copy of the token array (the explode
+   * write-amplification note in ArrayExpressions.scala). */
+  private def windowStats(
+      s: SparkSession,
+      dir: String,
+      scale: Long,
+      mCol: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.sources.TokenTable
+      .raw(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          call_function(
+            "eval_window_stats",
+            col("tokens"),
+            mCol,
+            lit(Ctx),
+            lit(Hor),
+            lit(Stride),
+            lit(scale))).as("st"))
+  }
+
+  private val Stride = EvalQueries.Stride
+
+  /** Per-horizon-point view: (doc_id, source, w, naive, i, y). Only the
+   * 16-element horizon is materialized (posexplode needs an array); the
+   * 64-element context is consumed in place by [[naiveCol]]. */
   private def horPoints(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     EvalQueries
-      .rollingWindows(s, dir)
+      .rollingWindowsRaw(s, dir)
       .withColumn("naive", naiveCol)
+      .withColumn("hor", expr(s"slice(tokens, fs + 1, $Hor)"))
       .select(
         col("doc_id"),
         col("source"),
@@ -162,17 +196,10 @@ object MetricQueries {
     //   NRMSE = sqrt(mean(e^2))/D
     // then averaged per source over windows.
     "q_eval_normalized" -> ((s, dir) =>
-      EvalQueries
-        .rollingWindows(s, dir)
-        .transform(d => { graft.functions.GraftFunctions.register(s); d })
-        .withColumn("naive", naiveCol)
-        .withColumn(
-          "sum_eq",
-          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(10000L)))
-        .withColumn(
-          "sum_e2q",
-          call_function("arr_sq_err_q_sum", col("hor"), col("naive"), lit(10000L)))
-        .withColumn("habs", call_function("arr_abs_sum", col("hor")))
+      windowStats(s, dir, 10000L, lit(1))
+        .withColumn("sum_eq", col("st.sum_eq"))
+        .withColumn("sum_e2q", col("st.sum_e2q"))
+        .withColumn("habs", col("st.habs"))
         .withColumn(
           "d",
           expr(s"CASE WHEN habs = 0 THEN 1.0 ELSE CAST(habs AS DOUBLE) / $Hor.0 END"))
@@ -200,16 +227,9 @@ object MetricQueries {
     // (eval_util/evaluation.py:73-88; gluonts seasonal_error semantics:
     // mean |y_t - y_{t-m}| over the input window).
     "q_eval_mase" -> ((s, dir) =>
-      EvalQueries
-        .rollingWindows(s, dir)
-        .transform(d => { graft.functions.GraftFunctions.register(s); d })
-        .withColumn("naive", naiveCol)
-        .withColumn(
-          "sum_eq",
-          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(10000L)))
-        .withColumn(
-          "se_num",
-          call_function("arr_seasonal_abs_sum", col("ctx"), lit(Season)))
+      windowStats(s, dir, 10000L, lit(Season))
+        .withColumn("sum_eq", col("st.sum_eq"))
+        .withColumn("se_num", col("st.se_num"))
         .withColumn(
           "mase_w",
           expr(
@@ -231,20 +251,16 @@ object MetricQueries {
     // two different m values (hourly m=24, business-daily m=5) flow through
     // the same query, per the fixture's source-parity freq convention.
     "q_eval_mase_freq" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      EvalQueries
-        .rollingWindows(s, dir)
+      // the freq-derived lag rides the generator's m CHILD — per-source m
+      // without duplicating the window pass
+      windowStats(
+        s,
+        dir,
+        10000L,
+        expr(s"CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END"))
         .withColumn("m", expr(s"CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END"))
-        .withColumn("naive", naiveCol)
-        .withColumn(
-          "sum_eq",
-          call_function("arr_abs_err_q_sum", col("hor"), col("naive"), lit(10000L)))
-        .withColumn(
-          "se_num",
-          when(
-            col("m") === MEven,
-            call_function("arr_seasonal_abs_sum", col("ctx"), lit(MEven)))
-            .otherwise(call_function("arr_seasonal_abs_sum", col("ctx"), lit(MOdd))))
+        .withColumn("sum_eq", col("st.sum_eq"))
+        .withColumn("se_num", col("st.se_num"))
         .withColumn(
           "mase_w",
           expr(
@@ -407,11 +423,18 @@ object MetricQueries {
     // 1e-6 before the cross-row sum.
     "q_eval_nll" -> ((s, dir) =>
       EvalQueries
-        .rollingWindows(s, dir)
+        .rollingWindowsRaw(s, dir)
         .transform(d => { graft.functions.GraftFunctions.register(s); d })
-        .withColumn("ctx_sum", call_function("arr_sum", col("ctx")))
+        .withColumn("hor", expr(s"slice(tokens, fs + 1, $Hor)"))
+        .withColumn(
+          "ctx_sum",
+          call_function("arr_sum_range", col("tokens"), col("fs") - Ctx, lit(Ctx)))
         // scale-1 squared-error sum against 0 == exact integer sum of x^2
-        .withColumn("ctx_sumsq", call_function("arr_sq_err_q_sum", col("ctx"), lit(0.0), lit(1L)))
+        .withColumn(
+          "ctx_sumsq",
+          call_function(
+            "arr_sq_err_q_sum_range",
+            col("tokens"), col("fs") - Ctx, lit(Ctx), lit(0.0), lit(1L)))
         .withColumn("mu", col("ctx_sum").cast("double") / Ctx.toDouble)
         .withColumn("var_num", lit(Ctx.toLong) * col("ctx_sumsq") - col("ctx_sum") * col("ctx_sum"))
         .withColumn(
