@@ -159,12 +159,21 @@ class PlanSpec extends SparkSpec {
         "arr_sq_err_q_sum(a, CAST(3.7 AS DOUBLE), 10000) = aggregate(a, 0L, (acc, x) -> acc + CAST(floor((CAST(x AS DOUBLE) - 3.7) * (CAST(x AS DOUBLE) - 3.7) * 10000 + 0.5) AS BIGINT)) AS m3",
         "arr_seasonal_abs_sum(a, 7) = aggregate(sequence(7, size(a) - 1), 0L, (acc, t) -> acc + abs(CAST(element_at(a, t + 1) AS BIGINT) - element_at(a, t - 6))) AS m4",
         "arr_interval_penalty_sum(a, 5, 30, 40) = aggregate(a, 0L, (acc, y) -> acc + (30 - 5) + CASE WHEN y < 5 THEN 40L * (5 - y) ELSE 0L END + CASE WHEN y > 30 THEN 40L * (y - 30) ELSE 0L END) AS m5",
+        // ranged twins == full kernels over the equivalent slice (slice()
+        // is 1-based; the ranged start is 0-based)
+        "arr_sum_range(a, 2, 5) = arr_sum(slice(a, 3, 5)) AS r1",
+        "arr_abs_sum_range(a, 2, 5) = arr_abs_sum(slice(a, 3, 5)) AS r2",
+        "arr_abs_err_q_sum_range(a, 2, 5, CAST(3.7 AS DOUBLE), 10000) = arr_abs_err_q_sum(slice(a, 3, 5), CAST(3.7 AS DOUBLE), 10000) AS r3",
+        "arr_sq_err_q_sum_range(a, 2, 5, CAST(3.7 AS DOUBLE), 10000) = arr_sq_err_q_sum(slice(a, 3, 5), CAST(3.7 AS DOUBLE), 10000) AS r4",
+        "arr_seasonal_abs_sum_range(a, 2, 12, 3) = arr_seasonal_abs_sum(slice(a, 3, 12), 3) AS r5",
+        // the fused generator's per-window stats == the slice formulation
+        "aggregate(transform(eval_window_stats(a, 3, 8, 4, 4, 10000), st -> CAST(st.ctx_sum = arr_sum_range(a, st.fs - 8, 8) AND st.ctx_sumsq = arr_sq_err_q_sum_range(a, st.fs - 8, 8, CAST(0.0 AS DOUBLE), 1) AND st.habs = arr_abs_sum_range(a, st.fs, 4) AND st.sum_eq = arr_abs_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.sum_e2q = arr_sq_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.se_num = arr_seasonal_abs_sum_range(a, st.fs - 8, 8, 3) AS INT)), 0L, (acc, x) -> acc + x) = size(eval_window_stats(a, 3, 8, 4, 4, 10000)) AS r6",
         "arr_blur4_every_kth(a, 3) = filter(transform(a, (x, i) -> CAST(element_at(a, CAST(greatest(i, 1) AS INT)) AS BIGINT) + 2L * x + element_at(a, CAST(least(i + 2, size(a)) AS INT))), (x, i) -> i % 3 = 0) AS c6",
         "arr_repeat_each(a, 2) = flatten(transform(a, x -> array_repeat(x, 2))) AS c7",
         "arr_null_count(a) = size(filter(a, x -> x IS NULL)) AS c8",
         "arr_first_data_pos(a) = CAST(array_position(transform(a, x -> x IS NOT NULL), true) AS BIGINT) AS c9")
       .where("NOT (c1 AND c2 AND c3 AND c4 AND c5 AND c6 AND c7 AND c8 AND c9 " +
-        "AND m1 AND m2 AND m3 AND m4 AND m5)")
+        "AND m1 AND m2 AND m3 AND m4 AND m5 AND r1 AND r2 AND r3 AND r4 AND r5 AND r6)")
       .count()
     assert(wrong == 0, "array kernel disagrees with its HOF-SQL formulation")
     // null-handling twins: sums skip nulls, counts/positions see them
