@@ -266,7 +266,7 @@ object ArrayKernels {
 
   /** Fused rolling-window evaluation stats: one pass over the series
    * emits ONE COMPACT STRUCT PER WINDOW — {w, fs, ctx_sum, ctx_sumsq,
-   * habs, sum_eq, sum_e2q, se_num} — instead of exploding window rows
+   * ctx_min, ctx_max, hor_sum, habs, sum_eq, sum_e2q, se_num} — instead of exploding window rows
    * that each carry a full copy of the token array (the explode output
    * materializes `tokens` into every window row: at (ctx,hor,stride) =
    * (64,16,32) that is ~n/32 copies of an n-element array per doc, a
@@ -291,20 +291,26 @@ object ArrayKernels {
       val fs = ctx + w * stride
       var ctxSum = 0L
       var ctxSumsq = 0L
+      var ctxMin = Long.MaxValue
+      var ctxMax = Long.MinValue
       var i = fs - ctx
       while (i < fs) {
         val x = getLong(a, i, isInt)
         ctxSum += x
         ctxSumsq += x * x
+        if (x < ctxMin) ctxMin = x
+        if (x > ctxMax) ctxMax = x
         i += 1
       }
       val naive = ctxSum.toDouble / ctx
+      var horSum = 0L
       var habs = 0L
       var sumEq = 0L
       var sumE2q = 0L
       i = fs
       while (i < fs + hor) {
         val x = getLong(a, i, isInt)
+        horSum += x
         habs += math.abs(x)
         val d = x.toDouble - naive
         sumEq += math.floor(math.abs(d) * scale + 0.5).toLong
@@ -318,7 +324,7 @@ object ArrayKernels {
         t += 1
       }
       out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](w, fs, ctxSum, ctxSumsq, habs, sumEq, sumE2q, seNum))
+        Array[Any](w, fs, ctxSum, ctxSumsq, ctxMin, ctxMax, horSum, habs, sumEq, sumE2q, seNum))
       w += 1
     }
     new GenericArrayData(out)
@@ -710,7 +716,8 @@ case class ArrIntervalPenaltySum(
 }
 
 /** `eval_window_stats(tokens, m) -> array<struct<w, fs, ctx_sum,
- * ctx_sumsq, habs, sum_eq, sum_e2q, se_num>>`: the fused rolling-window
+ * ctx_sumsq, ctx_min, ctx_max, hor_sum, habs, sum_eq, sum_e2q,
+ * se_num>>`: the fused rolling-window
  * evaluation generator (see [[ArrayKernels.evalWindowStats]]) — the
  * EvalDataset window enumeration and the packed per-window reductions in
  * one pass, emitting compact stat structs instead of window rows carrying
@@ -743,6 +750,9 @@ case class EvalWindowStats(
       StructField("fs", IntegerType, nullable = false),
       StructField("ctx_sum", LongType, nullable = false),
       StructField("ctx_sumsq", LongType, nullable = false),
+      StructField("ctx_min", LongType, nullable = false),
+      StructField("ctx_max", LongType, nullable = false),
+      StructField("hor_sum", LongType, nullable = false),
       StructField("habs", LongType, nullable = false),
       StructField("sum_eq", LongType, nullable = false),
       StructField("sum_e2q", LongType, nullable = false),

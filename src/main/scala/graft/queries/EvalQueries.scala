@@ -64,18 +64,32 @@ object EvalQueries {
   // lambdas evaluate interpreted per element, and the eval grid touches
   // every (window x element) pair; at 100 TB the constant IS the cost.
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Window enumeration + per-window context/horizon statistics.
+    // Window enumeration + per-window context/horizon statistics — all
+    // from the fused generator's compact structs (no window arrays).
     "q_rolling_eval" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      rollingWindows(s, dir)
+      TokenTable
+        .raw(s, dir)
         .select(
           col("doc_id"),
           col("source"),
-          col("w"),
-          expr("array_min(ctx)").as("ctx_min"),
-          expr("array_max(ctx)").as("ctx_max"),
-          call_function("arr_sum", col("ctx")).as("ctx_sum"),
-          call_function("arr_sum", col("hor")).as("hor_sum"))
+          explode(
+            call_function(
+              "eval_window_stats",
+              col("tokens"),
+              lit(1),
+              lit(Ctx),
+              lit(Hor),
+              lit(Stride),
+              lit(1L))).as("st"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("st.w").as("w"),
+          col("st.ctx_min").cast("int").as("ctx_min"),
+          col("st.ctx_max").cast("int").as("ctx_max"),
+          col("st.ctx_sum").as("ctx_sum"),
+          col("st.hor_sum").as("hor_sum"))
     }),
 
     // EvalCrop with a NEGATIVE offset (crop.py:111-147): the reference's

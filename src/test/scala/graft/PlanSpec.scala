@@ -167,7 +167,7 @@ class PlanSpec extends SparkSpec {
         "arr_sq_err_q_sum_range(a, 2, 5, CAST(3.7 AS DOUBLE), 10000) = arr_sq_err_q_sum(slice(a, 3, 5), CAST(3.7 AS DOUBLE), 10000) AS r4",
         "arr_seasonal_abs_sum_range(a, 2, 12, 3) = arr_seasonal_abs_sum(slice(a, 3, 12), 3) AS r5",
         // the fused generator's per-window stats == the slice formulation
-        "aggregate(transform(eval_window_stats(a, 3, 8, 4, 4, 10000), st -> CAST(st.ctx_sum = arr_sum_range(a, st.fs - 8, 8) AND st.ctx_sumsq = arr_sq_err_q_sum_range(a, st.fs - 8, 8, CAST(0.0 AS DOUBLE), 1) AND st.habs = arr_abs_sum_range(a, st.fs, 4) AND st.sum_eq = arr_abs_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.sum_e2q = arr_sq_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.se_num = arr_seasonal_abs_sum_range(a, st.fs - 8, 8, 3) AS INT)), 0L, (acc, x) -> acc + x) = size(eval_window_stats(a, 3, 8, 4, 4, 10000)) AS r6",
+        "aggregate(transform(eval_window_stats(a, 3, 8, 4, 4, 10000), st -> CAST(st.ctx_sum = arr_sum_range(a, st.fs - 8, 8) AND st.ctx_sumsq = arr_sq_err_q_sum_range(a, st.fs - 8, 8, CAST(0.0 AS DOUBLE), 1) AND st.ctx_min = CAST(array_min(slice(a, st.fs - 7, 8)) AS BIGINT) AND st.ctx_max = CAST(array_max(slice(a, st.fs - 7, 8)) AS BIGINT) AND st.hor_sum = arr_sum_range(a, st.fs, 4) AND st.habs = arr_abs_sum_range(a, st.fs, 4) AND st.sum_eq = arr_abs_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.sum_e2q = arr_sq_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.se_num = arr_seasonal_abs_sum_range(a, st.fs - 8, 8, 3) AS INT)), 0L, (acc, x) -> acc + x) = size(eval_window_stats(a, 3, 8, 4, 4, 10000)) AS r6",
         "arr_blur4_every_kth(a, 3) = filter(transform(a, (x, i) -> CAST(element_at(a, CAST(greatest(i, 1) AS INT)) AS BIGINT) + 2L * x + element_at(a, CAST(least(i + 2, size(a)) AS INT))), (x, i) -> i % 3 = 0) AS c6",
         "arr_repeat_each(a, 2) = flatten(transform(a, x -> array_repeat(x, 2))) AS c7",
         "arr_null_count(a) = size(filter(a, x -> x IS NULL)) AS c8",
