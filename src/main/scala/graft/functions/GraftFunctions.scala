@@ -53,6 +53,8 @@ object GraftFunctions {
       ArrErrQSumRange(args.head, args(1), args(2), args(3), foldLong(args(4)), squared = true)),
     // eval_window_stats(tokens, m, ctx, hor, stride, scale): fused window
     // enumeration + packed reductions, one compact struct per window
+    "window_slices" -> (args =>
+      WindowSlices(args.head, foldInt(args(1)), foldInt(args(2)), foldInt(args(3)))),
     "eval_window_stats" -> (args =>
       EvalWindowStats(
         args.head,

@@ -330,6 +330,39 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Window SLICES generator: one struct {w, fs, ctx, hor} per window,
+   * carrying only that window's context/horizon arrays — for the queries
+   * that genuinely need window element ACCESS (order statistics, per-point
+   * explode). An `explode` over the raw series would copy the FULL token
+   * array into every window row (~n/stride copies per doc); here each row
+   * carries ctx+hor elements only. */
+  def windowSlices(a: ArrayData, isInt: Boolean, ctx: Int, hor: Int, stride: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < ctx + hor) return new GenericArrayData(Array.empty[Any])
+    val nW = (n - (ctx + hor)) / stride + 1
+    val out = new Array[Any](nW)
+    var w = 0
+    while (w < nW) {
+      val fs = ctx + w * stride
+      val c = new Array[Any](ctx)
+      var i = 0
+      while (i < ctx) {
+        c(i) = if (isInt) Int.box(a.getInt(fs - ctx + i)) else Long.box(a.getLong(fs - ctx + i))
+        i += 1
+      }
+      val h = new Array[Any](hor)
+      i = 0
+      while (i < hor) {
+        h(i) = if (isInt) Int.box(a.getInt(fs + i)) else Long.box(a.getLong(fs + i))
+        i += 1
+      }
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](w, fs, new GenericArrayData(c), new GenericArrayData(h)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Affine-mod integer sequence: out(p) = ((d+1)*mulA + p*mulB) mod m for
    * p in [0, n) — the deterministic dataset builder's token formula as one
    * JVM loop (the `transform(sequence(...))` SQL formulation evaluates an
@@ -777,6 +810,30 @@ case class EvalWindowStats(
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): EvalWindowStats = copy(left = newLeft, right = newRight)
+}
+
+/** `window_slices(tokens, ctx, hor, stride) -> array<struct<w, fs,
+ * ctx array, hor array>>` — see [[ArrayKernels.windowSlices]]. */
+case class WindowSlices(child: Expression, ctx: Int, hor: Int, stride: Int)
+    extends ArrayKernelExpression {
+  require(ctx >= 1 && hor >= 0 && stride >= 1, s"bad geometry ($ctx, $hor, $stride)")
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("fs", IntegerType, nullable = false),
+      StructField("ctx", ArrayType(elemType, containsNull = false), nullable = false),
+      StructField("hor", ArrayType(elemType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "window_slices"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.windowSlices(input.asInstanceOf[ArrayData], elemIsInt, ctx, hor, stride)
+  override protected def genCall(ctx0: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.windowSlices($c, $elemIsInt, $ctx, $hor, $stride)"
+  override protected def withNewChildInternal(newChild: Expression): WindowSlices =
+    copy(child = newChild)
 }
 
 /** `affine_mod_seq(d bigint, n int, mulA, mulB, mod) -> array<int>`: the

@@ -47,17 +47,35 @@ object EvalQueries {
    * (windows, distance, prediction_length, context_length) per dataset
    * (eval_util/data.py:263-402); the defaults above are this engine's
    * standard grid, and q_rolling_eval_alt proves the grammar is general.
-   * Materializes the ctx/hor window ARRAYS — use [[rollingWindowsRaw]] +
-   * ranged kernels when only window reductions are needed. */
+   * Materializes the ctx/hor window ARRAYS via the `window_slices`
+   * generator, so each window row carries ONLY its own ctx+hor elements
+   * (an explode over the raw series would copy the full token array into
+   * every window row — ~n/stride copies per doc). Use
+   * [[rollingWindowsRaw]] + ranged kernels, or `eval_window_stats`, when
+   * only window reductions are needed. */
   private[queries] def rollingWindows(
       s: SparkSession,
       dir: String,
       ctx: Int = Ctx,
       hor: Int = Hor,
-      stride: Int = Stride): DataFrame =
-    rollingWindowsRaw(s, dir, ctx, hor, stride)
-      .withColumn("ctx", expr(s"slice(tokens, fs - $ctx + 1, $ctx)"))
-      .withColumn("hor", expr(s"slice(tokens, fs + 1, $hor)"))
+      stride: Int = Stride): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TokenTable
+      .raw(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          call_function("window_slices", col("tokens"), lit(ctx), lit(hor), lit(stride)))
+          .as("_ws"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("_ws.w").as("w"),
+        col("_ws.fs").as("fs"),
+        col("_ws.ctx").as("ctx"),
+        col("_ws.hor").as("hor"))
+  }
 
   // All per-window reductions run through the typed array kernels
   // (ArrayExpressions.scala) rather than SQL `aggregate` lambdas — the

@@ -358,7 +358,9 @@ object MetricQueries {
         .rollingWindows(s, dir)
         .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("sctx", array_sort(col("ctx")))
-        .withColumn("naive", naiveCol)
+        // this query carries the ctx array anyway (order statistics), so
+        // the naive mean comes from it rather than the ranged kernel
+        .withColumn("naive", call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble)
         .withColumn("med", expr(s"element_at(sctx, ${Ctx / 2})"))
         .select(
           col("source"),
