@@ -168,12 +168,16 @@ class PlanSpec extends SparkSpec {
         "arr_seasonal_abs_sum_range(a, 2, 12, 3) = arr_seasonal_abs_sum(slice(a, 3, 12), 3) AS r5",
         // the fused generator's per-window stats == the slice formulation
         "aggregate(transform(eval_window_stats(a, 3, 8, 4, 4, 10000), st -> CAST(st.ctx_sum = arr_sum_range(a, st.fs - 8, 8) AND st.ctx_sumsq = arr_sq_err_q_sum_range(a, st.fs - 8, 8, CAST(0.0 AS DOUBLE), 1) AND st.ctx_min = CAST(array_min(slice(a, st.fs - 7, 8)) AS BIGINT) AND st.ctx_max = CAST(array_max(slice(a, st.fs - 7, 8)) AS BIGINT) AND st.hor_sum = arr_sum_range(a, st.fs, 4) AND st.habs = arr_abs_sum_range(a, st.fs, 4) AND st.sum_eq = arr_abs_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.sum_e2q = arr_sq_err_q_sum_range(a, st.fs, 4, CAST(st.ctx_sum AS DOUBLE) / 8.0, 10000) AND st.se_num = arr_seasonal_abs_sum_range(a, st.fs - 8, 8, 3) AS INT)), 0L, (acc, x) -> acc + x) = size(eval_window_stats(a, 3, 8, 4, 4, 10000)) AS r6",
+        // the slice generator's windows == the slice() formulation
+        "aggregate(transform(window_slices(a, 8, 4, 4), ws -> CAST(ws.ctx = slice(a, ws.fs - 7, 8) AND ws.hor = slice(a, ws.fs + 1, 4) AND ws.fs = 8 + ws.w * 4 AS INT)), 0L, (acc, x) -> acc + x) = size(window_slices(a, 8, 4, 4)) AS r7",
+        "size(window_slices(a, 8, 4, 4)) = size(eval_window_stats(a, 3, 8, 4, 4, 10000)) AS r8",
         "arr_blur4_every_kth(a, 3) = filter(transform(a, (x, i) -> CAST(element_at(a, CAST(greatest(i, 1) AS INT)) AS BIGINT) + 2L * x + element_at(a, CAST(least(i + 2, size(a)) AS INT))), (x, i) -> i % 3 = 0) AS c6",
         "arr_repeat_each(a, 2) = flatten(transform(a, x -> array_repeat(x, 2))) AS c7",
         "arr_null_count(a) = size(filter(a, x -> x IS NULL)) AS c8",
         "arr_first_data_pos(a) = CAST(array_position(transform(a, x -> x IS NOT NULL), true) AS BIGINT) AS c9")
       .where("NOT (c1 AND c2 AND c3 AND c4 AND c5 AND c6 AND c7 AND c8 AND c9 " +
-        "AND m1 AND m2 AND m3 AND m4 AND m5 AND r1 AND r2 AND r3 AND r4 AND r5 AND r6)")
+        "AND m1 AND m2 AND m3 AND m4 AND m5 AND r1 AND r2 AND r3 AND r4 AND r5 " +
+        "AND r6 AND r7 AND r8)")
       .count()
     assert(wrong == 0, "array kernel disagrees with its HOF-SQL formulation")
     // null-handling twins: sums skip nulls, counts/positions see them
