@@ -85,12 +85,13 @@ object PatchSizing {
     // calendar series (months vary 28-31 days, quarters 90-92, years
     // 365-366). EQUAL-delta runs are calendar evidence only for the spans
     // two ADJACENT periods can share: months 31 (Jul-Aug, Dec-Jan),
-    // quarters 92 (Q3-Q4), years 365 (consecutive non-leap). A constant
-    // 29- or 30-day grid is a true k-day series — no two adjacent calendar
-    // months are both 29 or both 30 days long, so pd.infer_freq reads it
-    // as '30D', not monthly (round-3 ADVICE). Exactly 28 days falls
-    // through to "4W" (indistinguishable, and the week reading keeps the
-    // multiple exact); 91 days to "13W"; 90/366 to "90D"/"366D".
+    // quarters 91 (leap-year Q1-Q2: 31+29+31 and 30+31+30) or 92 (Q3-Q4),
+    // years 365 (consecutive non-leap). A constant 29- or 30-day grid is a
+    // true k-day series — no two adjacent calendar months are both 29 or
+    // both 30 days long, so pd.infer_freq reads it as '30D', not monthly
+    // (round-3 ADVICE). Exactly 28 days falls through to "4W"
+    // (indistinguishable, and the week reading keeps the multiple exact);
+    // 90/366 to "90D"/"366D" (no two adjacent quarters/years share them).
     val (lo, hi) = (deltas.min, deltas.max)
     if (distinct.size > 1) {
       if (lo >= 28 * Day && hi <= 31 * Day) return Some("M")
@@ -99,7 +100,7 @@ object PatchSizing {
       return None
     }
     if (lo == 31 * Day) return Some("M")
-    if (lo == 92 * Day) return Some("Q")
+    if (lo == 91 * Day || lo == 92 * Day) return Some("Q")
     if (lo == 365 * Day) return Some("A")
     if (distinct.size == 1) {
       val d = distinct.head

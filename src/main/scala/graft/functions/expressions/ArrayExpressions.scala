@@ -32,6 +32,17 @@ object ArrayKernels {
   private def getLong(a: ArrayData, i: Int, isInt: Boolean): Long =
     if (isInt) a.getInt(i).toLong else a.getLong(i)
 
+  /** Element read for the kernels whose semantics have no meaning for a
+   * null slot (seasonal diffs, interval penalties, blurs, window
+   * generators): a descriptive error instead of an NPE (GenericArrayData)
+   * or a SILENT 0 (UnsafeArrayData reads a null slot as 0). */
+  private def getLongStrict(a: ArrayData, i: Int, isInt: Boolean, fn: String): Long = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$fn: null element at index $i — this kernel requires non-null elements")
+    getLong(a, i, isInt)
+  }
+
   /** Null-skipping exact sum of an integral array. */
   def sumLong(a: ArrayData, isInt: Boolean): Long = {
     val n = a.numElements()
@@ -168,7 +179,9 @@ object ArrayKernels {
     var s = 0L
     var t = m
     while (t < n) {
-      s += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
+      s += math.abs(
+        getLongStrict(a, t, isInt, "arr_seasonal_abs_sum") -
+          getLongStrict(a, t - m, isInt, "arr_seasonal_abs_sum"))
       t += 1
     }
     s
@@ -182,7 +195,7 @@ object ArrayKernels {
     var s = 0L
     var i = 0
     while (i < n) {
-      val y = getLong(a, i, isInt)
+      val y = getLongStrict(a, i, isInt, "arr_interval_penalty_sum")
       s += (hi - lo) +
         (if (y < lo) mult * (lo - y) else 0L) +
         (if (y > hi) mult * (y - hi) else 0L)
@@ -258,7 +271,9 @@ object ArrayKernels {
     var s = 0L
     var t = lo + m
     while (t < hi) {
-      s += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
+      s += math.abs(
+        getLongStrict(a, t, isInt, "arr_seasonal_abs_sum_range") -
+          getLongStrict(a, t - m, isInt, "arr_seasonal_abs_sum_range"))
       t += 1
     }
     s
@@ -295,7 +310,7 @@ object ArrayKernels {
       var ctxMax = Long.MinValue
       var i = fs - ctx
       while (i < fs) {
-        val x = getLong(a, i, isInt)
+        val x = getLongStrict(a, i, isInt, "eval_window_stats")
         ctxSum += x
         ctxSumsq += x * x
         if (x < ctxMin) ctxMin = x
@@ -309,7 +324,7 @@ object ArrayKernels {
       var sumE2q = 0L
       i = fs
       while (i < fs + hor) {
-        val x = getLong(a, i, isInt)
+        val x = getLongStrict(a, i, isInt, "eval_window_stats")
         horSum += x
         habs += math.abs(x)
         val d = x.toDouble - naive
@@ -320,7 +335,9 @@ object ArrayKernels {
       var seNum = 0L
       var t = fs - ctx + m
       while (t < fs) {
-        seNum += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
+        seNum += math.abs(
+          getLongStrict(a, t, isInt, "eval_window_stats") -
+            getLongStrict(a, t - m, isInt, "eval_window_stats"))
         t += 1
       }
       out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -341,23 +358,33 @@ object ArrayKernels {
     if (n < ctx + hor) return new GenericArrayData(Array.empty[Any])
     val nW = (n - (ctx + hor)) / stride + 1
     val out = new Array[Any](nW)
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // window elements must be non-null (null slots would read as 0 from
+    // unsafe arrays); probe once per input array, not per element copy
+    var chk = 0
+    while (chk < n) {
+      if (a.isNullAt(chk))
+        throw new IllegalArgumentException(
+          s"window_slices: null element at index $chk — windows require non-null elements")
+      chk += 1
+    }
+    def sliceOf(start: Int, len: Int): ArrayData =
+      if (isInt) {
+        val arr = new Array[Int](len)
+        var i = 0
+        while (i < len) { arr(i) = a.getInt(start + i); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      } else {
+        val arr = new Array[Long](len)
+        var i = 0
+        while (i < len) { arr(i) = a.getLong(start + i); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      }
     var w = 0
     while (w < nW) {
       val fs = ctx + w * stride
-      val c = new Array[Any](ctx)
-      var i = 0
-      while (i < ctx) {
-        c(i) = if (isInt) Int.box(a.getInt(fs - ctx + i)) else Long.box(a.getLong(fs - ctx + i))
-        i += 1
-      }
-      val h = new Array[Any](hor)
-      i = 0
-      while (i < hor) {
-        h(i) = if (isInt) Int.box(a.getInt(fs + i)) else Long.box(a.getLong(fs + i))
-        i += 1
-      }
       out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](w, fs, new GenericArrayData(c), new GenericArrayData(h)))
+        Array[Any](w, fs, sliceOf(fs - ctx, ctx), sliceOf(fs, hor)))
       w += 1
     }
     new GenericArrayData(out)
@@ -375,7 +402,9 @@ object ArrayKernels {
       out(p) = ((base + p * mulB) % mod).toInt
       p += 1
     }
-    new GenericArrayData(out)
+    // UNBOXED: GenericArrayData(Array[Int]) would box every token of the
+    // corpus; fromPrimitiveArray keeps the flat int layout
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Consecutive width-k chunks (last ragged) — Patchify's reshape as one
@@ -423,9 +452,9 @@ object ArrayKernels {
     var i = 0
     var j = 0
     while (i < n) {
-      val prev = getLong(a, if (i > 0) i - 1 else 0, isInt)
-      val next = getLong(a, if (i + 1 < n) i + 1 else n - 1, isInt)
-      out(j) = prev + 2L * getLong(a, i, isInt) + next
+      val prev = getLongStrict(a, if (i > 0) i - 1 else 0, isInt, "arr_blur4_every_kth")
+      val next = getLongStrict(a, if (i + 1 < n) i + 1 else n - 1, isInt, "arr_blur4_every_kth")
+      out(j) = prev + 2L * getLongStrict(a, i, isInt, "arr_blur4_every_kth") + next
       i += k
       j += 1
     }

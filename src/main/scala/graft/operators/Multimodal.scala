@@ -46,6 +46,12 @@ object Multimodal {
     val W = 16
     val H = 16
 
+    // ImageIO defaults to DISK-cached streams: every encode/decode would
+    // create+delete a temp file in the executor hot path. These images are
+    // tiny; memory caching is strictly better (and works on read-only
+    // /tmp executors).
+    javax.imageio.ImageIO.setUseCache(false)
+
     def encodeGray(pixels: Array[Byte]): Array[Byte] = {
       require(pixels.length == W * H, s"expected ${W * H} pixels, got ${pixels.length}")
       val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)

@@ -188,6 +188,11 @@ object StreamingOps {
             } else {
               val v = st match {
                 case null => None
+                // out-of-contract LATE left row: the carried right state is
+                // from the FUTURE relative to it — emitting the carry would
+                // violate at-or-before (the batch operator yields None for
+                // this row), so refuse the match rather than lie
+                case s if s.rightTs > r.ts => None
                 case s if tolerance.exists(tol => r.ts - s.rightTs > tol) => None
                 case s => Some(s.rightValue)
               }

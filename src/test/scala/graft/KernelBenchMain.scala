@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** One-off micro-benchmark quantifying the round-4 kernel-ization claim:
  * the same per-window reductions as interpreted SQL `aggregate` lambdas
  * vs the typed array kernels (ArrayExpressions.scala), on a synthesized
- * frame of 2M 64-element arrays (128M elements). Prints one JSON line;
+ * frame of KERNEL_BENCH_ARRAYS (default 20M) 64-element arrays — 1.28B
+ * elements at the default, the scale recorded in BENCH.md. Prints one
+ * JSON line;
  * results are recorded in BENCH.md ("Kernel vs interpreted-lambda"
  * section). Run: `sbt "Test/runMain graft.KernelBenchMain"` (foreground —
  * see the background-task trap in BENCH.md). */

@@ -92,10 +92,15 @@ class OperatorExtrasSpec extends SparkSpec {
     // pd.infer_freq reads '30D' (round-3 ADVICE fix)
     assert(inferFreq(grid(30 * Day, 5)) == Some("30D"))
     assert(inferFreq(grid(29 * Day, 5)) == Some("29D"))
-    // constant 92-day spans CAN be quarterly (Q3->Q4); constant 365-day
-    // spans CAN be annual (consecutive non-leap years)
+    // constant 91/92-day spans CAN be quarterly (leap-year Q1->Q2 are both
+    // 91 days — 2024-01-01/04-01/07-01; Q3->Q4 are both 92); constant
+    // 365-day spans CAN be annual (consecutive non-leap years)
     assert(inferFreq(grid(92 * Day, 3)) == Some("Q"))
+    assert(inferFreq(Seq(0L, 91, 182).map(d => 1704067200L + d * Day)) == Some("Q"))
     assert(inferFreq(grid(365 * Day, 3)) == Some("A"))
+    // constant 90-day grids are NOT quarterly (no adjacent quarter pair
+    // shares 90 days)
+    assert(inferFreq(grid(90 * Day, 3)) == Some("90D"))
     val quarters = Seq(0L, 91, 182, 274, 366).map(d => 1704067200L + d * Day)
     assert(inferFreq(quarters) == Some("Q"))
     val years = Seq(0L, 366, 731, 1096).map(d => 1704067200L + d * Day)

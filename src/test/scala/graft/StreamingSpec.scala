@@ -213,6 +213,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("m", 10L, None)), "no right row -> None")
   }
 
+  test("streaming as-of join refuses a future carry for late left rows") {
+    // out-of-contract LATE left row: the carried right state (ts=100) is
+    // from the future relative to it — the batch operator yields None for
+    // that row, and the stream must not fabricate an at-or-before match
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.AsOfIn]
+    val q = StreamingOps
+      .asOfStream(in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("asof_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(StreamingOps.AsOfIn("k", 100, is_right = true, 2.0))
+    q.processAllAvailable()
+    in.addData(StreamingOps.AsOfIn("k", 60, is_right = false, 0.0))
+    q.processAllAvailable()
+    val rows = spark
+      .sql("SELECT ts, asof_value FROM asof_late")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+      .toSeq
+    q.stop()
+    assert(rows == Seq((60L, None)))
+  }
+
   test("streaming as-of join honors tolerance (stale carry -> None)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
