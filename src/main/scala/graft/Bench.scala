@@ -227,9 +227,13 @@ object Bench {
     // bench_out.json is the durable complete copy.
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json","sf":"$sfDir"$rollupJson$ladderJson}"""
-    Files.write(
-      Paths.get("bench_out.json"),
-      (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+    // Only a SUITE run may overwrite the durable per-query artifact — a
+    // scaling-only run (SPARK_GRAFT_SUITE=0) would otherwise clobber the
+    // complete query map with an empty one.
+    if (runSuite)
+      Files.write(
+        Paths.get("bench_out.json"),
+        (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     println(compactLine)
 
     // -- Scaling evidence into BENCH.md (north-rule reporting) -----------

@@ -95,12 +95,24 @@ object PatchSizing {
     val (lo, hi) = (deltas.min, deltas.max)
     if (distinct.size > 1) {
       if (lo >= 28 * Day && hi <= 31 * Day) return Some("M")
-      if (lo >= 89 * Day && hi <= 92 * Day) return Some("Q")
+      // real quarters span 90-92 days (non-leap Q1 is the 90 floor; an
+      // 89-day delta cannot separate adjacent quarter starts)
+      if (lo >= 90 * Day && hi <= 92 * Day) return Some("Q")
       if (lo >= 365 * Day && hi <= 366 * Day) return Some("A")
       return None
     }
-    if (lo == 31 * Day) return Some("M")
-    if (lo == 91 * Day || lo == 92 * Day) return Some("Q")
+    // Adjacency caps for equal-delta runs: at most TWO consecutive months
+    // are 31 days (Jul-Aug, Dec-Jan) and at most TWO consecutive quarters
+    // share a span (leap Q1-Q2 at 91, Q3-Q4 at 92) — so THREE or more
+    // equal deltas at these spans cannot be calendar periods and fall
+    // through to the fixed-grid reading ('31D', '13W', '92D'), which is
+    // what pd.infer_freq returns for them. Years: up to three consecutive
+    // non-leap years (and longer runs at non-leap centuries) keep constant
+    // 365-day runs annual at any length.
+    if (deltas.length <= 2) {
+      if (lo == 31 * Day) return Some("M")
+      if (lo == 91 * Day || lo == 92 * Day) return Some("Q")
+    }
     if (lo == 365 * Day) return Some("A")
     if (distinct.size == 1) {
       val d = distinct.head

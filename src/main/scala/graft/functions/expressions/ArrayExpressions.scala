@@ -32,6 +32,36 @@ object ArrayKernels {
   private def getLong(a: ArrayData, i: Int, isInt: Boolean): Long =
     if (isInt) a.getInt(i).toLong else a.getLong(i)
 
+  /** Null probe over exactly the elements the window grid READS — window
+   * w covers [fs-ctx, fs+hor) with fs = ctx + w*stride; consecutive
+   * covered ranges are walked with a monotone pointer so every covered
+   * element is probed ONCE (overlaps not re-probed, stride gaps and the
+   * tail beyond the last window not probed at all — those positions may
+   * legitimately be null). */
+  private def probeCovered(
+      a: ArrayData,
+      ctx: Int,
+      hor: Int,
+      stride: Int,
+      nW: Int,
+      fn: String): Unit = {
+    var probed = 0
+    var w = 0
+    while (w < nW) {
+      val fs = ctx + w * stride
+      var i = math.max(fs - ctx, probed)
+      val end = fs + hor
+      while (i < end) {
+        if (a.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"$fn: null element at index $i — windows require non-null elements")
+        i += 1
+      }
+      probed = end
+      w += 1
+    }
+  }
+
   /** Element read for the kernels whose semantics have no meaning for a
    * null slot (seasonal diffs, interval penalties, blurs, window
    * generators): a descriptive error instead of an NPE (GenericArrayData)
@@ -300,6 +330,10 @@ object ArrayKernels {
     val n = a.numElements()
     if (n < ctx + hor) return new GenericArrayData(Array.empty[Any])
     val nW = (n - (ctx + hor)) / stride + 1
+    // one null probe per covered element (see probeCovered) so the hot
+    // loops below use plain unchecked reads — at (64,16,32) geometry the
+    // per-read strict check would re-test every element 4-6 times
+    probeCovered(a, ctx, hor, stride, nW, "eval_window_stats")
     val out = new Array[Any](nW)
     var w = 0
     while (w < nW) {
@@ -310,7 +344,7 @@ object ArrayKernels {
       var ctxMax = Long.MinValue
       var i = fs - ctx
       while (i < fs) {
-        val x = getLongStrict(a, i, isInt, "eval_window_stats")
+        val x = getLong(a, i, isInt)
         ctxSum += x
         ctxSumsq += x * x
         if (x < ctxMin) ctxMin = x
@@ -324,7 +358,7 @@ object ArrayKernels {
       var sumE2q = 0L
       i = fs
       while (i < fs + hor) {
-        val x = getLongStrict(a, i, isInt, "eval_window_stats")
+        val x = getLong(a, i, isInt)
         horSum += x
         habs += math.abs(x)
         val d = x.toDouble - naive
@@ -335,9 +369,7 @@ object ArrayKernels {
       var seNum = 0L
       var t = fs - ctx + m
       while (t < fs) {
-        seNum += math.abs(
-          getLongStrict(a, t, isInt, "eval_window_stats") -
-            getLongStrict(a, t - m, isInt, "eval_window_stats"))
+        seNum += math.abs(getLong(a, t, isInt) - getLong(a, t - m, isInt))
         t += 1
       }
       out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -359,15 +391,12 @@ object ArrayKernels {
     val nW = (n - (ctx + hor)) / stride + 1
     val out = new Array[Any](nW)
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-    // window elements must be non-null (null slots would read as 0 from
-    // unsafe arrays); probe once per input array, not per element copy
-    var chk = 0
-    while (chk < n) {
-      if (a.isNullAt(chk))
-        throw new IllegalArgumentException(
-          s"window_slices: null element at index $chk — windows require non-null elements")
-      chk += 1
-    }
+    // window elements must be non-null (null slots would silently read as
+    // 0 from unsafe arrays). Probe each COVERED element exactly once —
+    // not the whole array (positions no window reads may legitimately be
+    // null: stride gaps, the tail beyond the last window), and not once
+    // per overlapping window.
+    probeCovered(a, ctx, hor, stride, nW, "window_slices")
     def sliceOf(start: Int, len: Int): ArrayData =
       if (isInt) {
         val arr = new Array[Int](len)

@@ -101,6 +101,14 @@ class OperatorExtrasSpec extends SparkSpec {
     // constant 90-day grids are NOT quarterly (no adjacent quarter pair
     // shares 90 days)
     assert(inferFreq(grid(90 * Day, 3)) == Some("90D"))
+    // adjacency caps: at most TWO consecutive periods share these spans,
+    // so three-or-more equal deltas are fixed grids, not calendar units
+    assert(inferFreq(grid(31 * Day, 5)) == Some("31D"))
+    assert(inferFreq(grid(91 * Day, 5)) == Some("13W"))
+    assert(inferFreq(grid(92 * Day, 5)) == Some("92D"))
+    // ...but constant 365-day runs stay annual (three consecutive
+    // non-leap years exist in every leap cycle)
+    assert(inferFreq(grid(365 * Day, 4)) == Some("A"))
     val quarters = Seq(0L, 91, 182, 274, 366).map(d => 1704067200L + d * Day)
     assert(inferFreq(quarters) == Some("Q"))
     val years = Seq(0L, 366, 731, 1096).map(d => 1704067200L + d * Day)
