@@ -21,28 +21,6 @@ object EvalQueries {
   private[queries] val Hor = 16
   private[queries] val Stride = 32
 
-  /** Window grid WITHOUT slice materialization: (doc_id, source, tokens,
-   * w, fs). The ranged kernels (arr_*_range) evaluate context/horizon
-   * windows against `tokens` in place — at the eval grid's density the
-   * per-window slice copies are more memory traffic than the metric math
-   * itself, and the traffic is what caps thread scaling (BENCH.md
-   * "in-place window evaluation"). */
-  private[queries] def rollingWindowsRaw(
-      s: SparkSession,
-      dir: String,
-      ctx: Int = Ctx,
-      hor: Int = Hor,
-      stride: Int = Stride): DataFrame =
-    TokenTable
-      .raw(s, dir)
-      .filter(col("n_tok") >= ctx + hor)
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("tokens"),
-        explode(sequence(lit(0), expr(s"(n_tok - ${ctx + hor}) DIV $stride"))).as("w"))
-      .withColumn("fs", lit(ctx) + col("w") * stride)
-
   /** Window grammar with explicit geometry — the reference parameterizes
    * (windows, distance, prediction_length, context_length) per dataset
    * (eval_util/data.py:263-402); the defaults above are this engine's
@@ -50,9 +28,8 @@ object EvalQueries {
    * Materializes the ctx/hor window ARRAYS via the `window_slices`
    * generator, so each window row carries ONLY its own ctx+hor elements
    * (an explode over the raw series would copy the full token array into
-   * every window row — ~n/stride copies per doc). Use
-   * [[rollingWindowsRaw]] + ranged kernels, or `eval_window_stats`, when
-   * only window reductions are needed. */
+   * every window row — ~n/stride copies per doc). Use `eval_window_stats`
+   * when only window reductions are needed (no arrays at all). */
   private[queries] def rollingWindows(
       s: SparkSession,
       dir: String,

@@ -68,13 +68,6 @@ object MetricQueries {
         s"CAST(raise_error(concat('$c overflows BIGINT: ', CAST($c AS STRING))) AS BIGINT) " +
         s"ELSE CAST($c AS BIGINT) END")
 
-  /** The context-mean naive forecast via the RANGED sum kernel — reads
-   * the context window of `tokens` in place (no slice materialization;
-   * ArrayExpressions.scala "in-place window evaluation"). */
-  private def naiveCol =
-    call_function("arr_sum_range", col("tokens"), col("fs") - Ctx, lit(Ctx))
-      .cast("double") / Ctx.toDouble
-
   /** One row per (doc, window) carrying the FUSED stat struct `st` —
    * window enumeration and the packed reductions happen inside
    * `eval_window_stats` in one pass per doc, so exploded window rows are
@@ -104,15 +97,17 @@ object MetricQueries {
 
   private val Stride = EvalQueries.Stride
 
-  /** Per-horizon-point view: (doc_id, source, w, naive, i, y). Only the
-   * 16-element horizon is materialized (posexplode needs an array); the
-   * 64-element context is consumed in place by [[naiveCol]]. */
+  /** Per-horizon-point view: (doc_id, source, w, naive, i, y) — built on
+   * the bounded window_slices generator (each window row carries its own
+   * ctx+hor elements, never the whole series), naive from the ctx slice
+   * via the arr_sum kernel. */
   private def horPoints(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     EvalQueries
-      .rollingWindowsRaw(s, dir)
-      .withColumn("naive", naiveCol)
-      .withColumn("hor", expr(s"slice(tokens, fs + 1, $Hor)"))
+      .rollingWindows(s, dir)
+      .withColumn(
+        "naive",
+        call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble)
       .select(
         col("doc_id"),
         col("source"),
@@ -425,18 +420,13 @@ object MetricQueries {
     // 1e-6 before the cross-row sum.
     "q_eval_nll" -> ((s, dir) =>
       EvalQueries
-        .rollingWindowsRaw(s, dir)
+        .rollingWindows(s, dir)
         .transform(d => { graft.functions.GraftFunctions.register(s); d })
-        .withColumn("hor", expr(s"slice(tokens, fs + 1, $Hor)"))
-        .withColumn(
-          "ctx_sum",
-          call_function("arr_sum_range", col("tokens"), col("fs") - Ctx, lit(Ctx)))
+        .withColumn("ctx_sum", call_function("arr_sum", col("ctx")))
         // scale-1 squared-error sum against 0 == exact integer sum of x^2
         .withColumn(
           "ctx_sumsq",
-          call_function(
-            "arr_sq_err_q_sum_range",
-            col("tokens"), col("fs") - Ctx, lit(Ctx), lit(0.0), lit(1L)))
+          call_function("arr_sq_err_q_sum", col("ctx"), lit(0.0), lit(1L)))
         .withColumn("mu", col("ctx_sum").cast("double") / Ctx.toDouble)
         .withColumn("var_num", lit(Ctx.toLong) * col("ctx_sumsq") - col("ctx_sum") * col("ctx_sum"))
         .withColumn(
