@@ -102,7 +102,6 @@ object MetricQueries {
    * ctx+hor elements, never the whole series), naive from the ctx slice
    * via the arr_sum kernel. */
   private def horPoints(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     EvalQueries
       .rollingWindows(s, dir)
       .withColumn(
@@ -280,7 +279,6 @@ object MetricQueries {
     "q_eval_msis" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
-        .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("sctx", array_sort(col("ctx")))
         .withColumn("lo", expr("element_at(sctx, 2)")) // ceil(64*0.025)
         .withColumn("hi", expr("element_at(sctx, 63)")) // ceil(64*0.975)
@@ -312,7 +310,6 @@ object MetricQueries {
     "q_eval_msis_freq" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
-        .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("m", expr(s"CASE WHEN $SrcParitySql THEN $MEven ELSE $MOdd END"))
         .withColumn("sctx", array_sort(col("ctx")))
         .withColumn("lo", expr("element_at(sctx, 2)"))
@@ -351,7 +348,6 @@ object MetricQueries {
     "q_eval_extra" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
-        .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("sctx", array_sort(col("ctx")))
         // this query carries the ctx array anyway (order statistics), so
         // the naive mean comes from it rather than the ranged kernel
@@ -421,7 +417,6 @@ object MetricQueries {
     "q_eval_nll" -> ((s, dir) =>
       EvalQueries
         .rollingWindows(s, dir)
-        .transform(d => { graft.functions.GraftFunctions.register(s); d })
         .withColumn("ctx_sum", call_function("arr_sum", col("ctx")))
         // scale-1 squared-error sum against 0 == exact integer sum of x^2
         .withColumn(
