@@ -55,6 +55,14 @@ object GraftFunctions {
     // enumeration + packed reductions, one compact struct per window
     "window_slices" -> (args =>
       WindowSlices(args.head, foldInt(args(1)), foldInt(args(2)), foldInt(args(3)))),
+    "window_slices_end" -> (args =>
+      WindowSlicesEnd(
+        args.head,
+        foldInt(args(1)),
+        foldInt(args(2)),
+        foldInt(args(3)),
+        foldInt(args(4)),
+        foldInt(args(5)))),
     "eval_window_stats" -> (args =>
       EvalWindowStats(
         args.head,

@@ -419,6 +419,56 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** END-anchored window slices (EvalCrop's negative-offset grammar,
+   * crop.py:111-147): fs = n - endOffset + w*distance for w in
+   * [0, nWindows), each window carrying its own [fs-ctx, fs) context and
+   * [fs, fs+hor) horizon. Returns EMPTY when the first window would
+   * underrun the series start (the caller's min-length filter), matching
+   * the start-anchored generator's short-series behavior. */
+  def windowSlicesEnd(
+      a: ArrayData,
+      isInt: Boolean,
+      ctx: Int,
+      hor: Int,
+      distance: Int,
+      nWindows: Int,
+      endOffset: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val n = a.numElements()
+    val fs0 = n - endOffset
+    val fsLast = fs0 + (nWindows - 1) * distance
+    if (fs0 - ctx < 0 || fsLast + hor > n) return new GenericArrayData(Array.empty[Any])
+    // probe exactly the covered span [fs0-ctx, fsLast+hor) once
+    var i = fs0 - ctx
+    while (i < fsLast + hor) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"window_slices_end: null element at index $i — windows require non-null elements")
+      i += 1
+    }
+    def sliceOf(start: Int, len: Int): ArrayData =
+      if (isInt) {
+        val arr = new Array[Int](len)
+        var j = 0
+        while (j < len) { arr(j) = a.getInt(start + j); j += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      } else {
+        val arr = new Array[Long](len)
+        var j = 0
+        while (j < len) { arr(j) = a.getLong(start + j); j += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      }
+    val out = new Array[Any](nWindows)
+    var w = 0
+    while (w < nWindows) {
+      val fs = fs0 + w * distance
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](w, fs, sliceOf(fs - ctx, ctx), sliceOf(fs, hor)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Affine-mod integer sequence: out(p) = ((d+1)*mulA + p*mulB) mod m for
    * p in [0, n) — the deterministic dataset builder's token formula as one
    * JVM loop (the `transform(sequence(...))` SQL formulation evaluates an
@@ -868,6 +918,40 @@ case class EvalWindowStats(
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): EvalWindowStats = copy(left = newLeft, right = newRight)
+}
+
+/** `window_slices_end(tokens, ctx, hor, distance, nWindows, endOffset) ->
+ * array<struct<w, fs, ctx array, hor array>>` — the END-anchored twin
+ * (see [[ArrayKernels.windowSlicesEnd]]). */
+case class WindowSlicesEnd(
+    child: Expression,
+    ctx: Int,
+    hor: Int,
+    distance: Int,
+    nWindows: Int,
+    endOffset: Int)
+    extends ArrayKernelExpression {
+  require(
+    ctx >= 1 && hor >= 0 && distance >= 1 && nWindows >= 1 && endOffset >= 1,
+    s"bad geometry ($ctx, $hor, $distance, $nWindows, $endOffset)")
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("fs", IntegerType, nullable = false),
+      StructField("ctx", ArrayType(elemType, containsNull = false), nullable = false),
+      StructField("hor", ArrayType(elemType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "window_slices_end"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.windowSlicesEnd(
+      input.asInstanceOf[ArrayData], elemIsInt, ctx, hor, distance, nWindows, endOffset)
+  override protected def genCall(ctx0: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.windowSlicesEnd($c, $elemIsInt, $ctx, $hor, $distance, $nWindows, $endOffset)"
+  override protected def withNewChildInternal(newChild: Expression): WindowSlicesEnd =
+    copy(child = newChild)
 }
 
 /** `window_slices(tokens, ctx, hor, stride) -> array<struct<w, fs,

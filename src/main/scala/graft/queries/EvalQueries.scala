@@ -95,25 +95,30 @@ object EvalQueries {
     // whose fcst_start = context + window*distance is exactly that grid).
     "q_eval_crop" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // end-anchored generator: fs = n_tok - 64 + w*16, 3 windows of
+      // ctx 32 / hor 16; the kernel returns EMPTY for series shorter than
+      // 96 (the old filter), and window rows carry only their own slices
       TokenTable
         .raw(s, dir)
-        .filter(col("n_tok") >= 96) // a >= 0 at w=0: n_tok - 64 - 32 >= 0
         .select(
           col("doc_id"),
           col("source"),
-          col("n_tok"),
-          col("tokens"),
-          explode(sequence(lit(0), lit(2))).as("w"))
-        .withColumn("fs", col("n_tok") - 64 + col("w") * 16)
-        .withColumn("ctx", expr("slice(tokens, fs - 32 + 1, 32)"))
-        .withColumn("hor", expr("slice(tokens, fs + 1, 16)"))
+          explode(
+            call_function(
+              "window_slices_end",
+              col("tokens"),
+              lit(32),
+              lit(16),
+              lit(16),
+              lit(3),
+              lit(64))).as("_we"))
         .select(
           col("doc_id"),
           col("source"),
-          col("w"),
-          col("fs").cast("int").as("fs"),
-          call_function("arr_sum", col("ctx")).as("ctx_sum"),
-          call_function("arr_sum", col("hor")).as("hor_sum"))
+          col("_we.w").as("w"),
+          col("_we.fs").as("fs"),
+          call_function("arr_sum", col("_we.ctx")).as("ctx_sum"),
+          call_function("arr_sum", col("_we.hor")).as("hor_sum"))
     }),
 
     // Same grammar at a NON-default geometry (context 48, horizon 24,
