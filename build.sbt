@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bare stdout for forked runMain (no sbt "[info] " prefix): the bench
+// driver tail-parses the one compact JSON line Bench prints, and the
+// logger prefix made BENCH_r0{1..4}.json parse as null.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

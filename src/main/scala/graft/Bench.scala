@@ -96,13 +96,20 @@ object Bench {
     }
     val suite = if (runSuite) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty
     val best = scala.collection.mutable.LinkedHashMap(suite.map(_._1 -> Double.MaxValue): _*)
+    // a failed pass must NOT feed math.min — a query that dies quickly
+    // would otherwise report an artificially fast best time with the
+    // failure visible only on stderr (round-4 ADVICE); failures are
+    // carried into the JSON artifact instead
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to passes; (name, fn) <- suite) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+      else failed += name
     }
-    val results = suite.map { case (name, _) => name -> best(name) }
+    val results = suite.collect { case (name, _) if best(name) != Double.MaxValue => name -> best(name) }
     spark.stop()
 
     // -- Part 2: primary metric at two cluster sizes ---------------------
@@ -205,6 +212,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // failures surface in the artifact, not only on stderr
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val rollupJson = scaling
       .map { sc =>
         // short (<1B-point) runs inflate the CPU ratio with fixed per-run
@@ -218,7 +229,7 @@ object Bench {
       }
       .getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qs,"sf":"$sfDir"$rollupJson$ladderJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qs$failedJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
     // Compact stdout line: same shape, but "queries" carries only the 8
     // slowest (min-of-passes) timings plus a pointer to the full map. The
     // driver's stdout tail-capture truncates long lines from the HEAD
@@ -226,7 +237,7 @@ object Bench {
     // null); keeping the one stdout JSON line short is the fix, and
     // bench_out.json is the durable complete copy.
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json","sf":"$sfDir"$rollupJson$ladderJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json"$failedJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
     // Only a SUITE run may overwrite the durable per-query artifact — a
     // scaling-only run (SPARK_GRAFT_SUITE=0) would otherwise clobber the
     // complete query map with an empty one.
@@ -234,6 +245,11 @@ object Bench {
       Files.write(
         Paths.get("bench_out.json"),
         (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+    // the stdout line is also persisted verbatim so the round artifact is
+    // reconstructable even if the driver's stdout capture mangles it
+    Files.write(
+      Paths.get("bench_summary.json"),
+      (compactLine + "\n").getBytes(StandardCharsets.UTF_8))
     println(compactLine)
 
     // -- Scaling evidence into BENCH.md (north-rule reporting) -----------

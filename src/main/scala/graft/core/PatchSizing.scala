@@ -60,6 +60,18 @@ object PatchSizing {
    * calendar units (M/Q/A, whose spans vary by month length / leap years)
    * are recognized by their span envelope; business-daily ("B") by the
    * 1-day-steps-with-3-day-weekend signature. */
+  /** Annual series must be calendar-anchored: every stamp falls on the
+   * same (month, day-of-month) — pandas' AS-JAN/A-MAR/... anchor family.
+   * Equal 365-day runs keep the anchor only while no leap February is
+   * crossed, so this one check covers both anchor and leap drift. */
+  private def annualAnchored(epochSeconds: Seq[Long]): Boolean = {
+    val md = epochSeconds.map { t =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(t, 86400L))
+      (d.getMonthValue, d.getDayOfMonth)
+    }
+    md.distinct.size == 1
+  }
+
   def inferFreq(epochSeconds: Seq[Long]): Option[String] = {
     if (epochSeconds.length < 3) return None // pd.infer_freq needs >= 3 stamps
     val deltas = epochSeconds.iterator.sliding(2).map(p => p(1) - p(0)).toVector
@@ -98,7 +110,8 @@ object PatchSizing {
       // real quarters span 90-92 days (non-leap Q1 is the 90 floor; an
       // 89-day delta cannot separate adjacent quarter starts)
       if (lo >= 90 * Day && hi <= 92 * Day) return Some("Q")
-      if (lo >= 365 * Day && hi <= 366 * Day) return Some("A")
+      if (lo >= 365 * Day && hi <= 366 * Day)
+        return if (annualAnchored(epochSeconds)) Some("A") else None
       return None
     }
     // Adjacency caps for equal-delta runs: at most TWO consecutive months
@@ -108,12 +121,16 @@ object PatchSizing {
     // through to the fixed-grid reading ('31D', '13W', '92D'), which is
     // what pd.infer_freq returns for them. Years: up to three consecutive
     // non-leap years (and longer runs at non-leap centuries) keep constant
-    // 365-day runs annual at any length.
+    // 365-day runs annual at any length — but only when the stamps are
+    // calendar-ANCHORED (every date shares the same month/day, pandas'
+    // 'AS-JAN'/'A-MAR' anchoring; round-4 ADVICE): an unanchored fixed
+    // 365-day grid, or one whose dates drift across a leap February, is a
+    // plain '365D' series to pd.infer_freq.
     if (deltas.length <= 2) {
       if (lo == 31 * Day) return Some("M")
       if (lo == 91 * Day || lo == 92 * Day) return Some("Q")
     }
-    if (lo == 365 * Day) return Some("A")
+    if (lo == 365 * Day && annualAnchored(epochSeconds)) return Some("A")
     if (distinct.size == 1) {
       val d = distinct.head
       def of(unitSec: Long, alias: String): Option[String] = {

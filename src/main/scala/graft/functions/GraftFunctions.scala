@@ -26,7 +26,10 @@ object GraftFunctions {
     // array kernels (typed JVM loops replacing interpreted HOF lambdas —
     // see ArrayExpressions.scala)
     "arr_sum" -> (args => ArrSum(args.head)),
+    "arr_sum_mod" -> (args => ArrSumMod(args.head, foldLong(args(1)))),
     "arr_sum_q" -> (args => ArrSumQ(args.head, foldLong(args(1)))),
+    "bin_frame_sample" -> (args =>
+      BinFrameSample(args.head, foldInt(args(1)), foldInt(args(2)))),
     "arr_null_count" -> (args => ArrNullCount(args.head)),
     "arr_first_data_pos" -> (args => ArrFirstDataPos(args.head)),
     "arr_pos_weighted_sum" -> (args => ArrPosWeightedSum(args.head, foldLong(args(1)))),

@@ -187,18 +187,16 @@ object Multimodal {
    * byte-chunk stand-in for real frame boundaries. (Callers should apply
    * this to the audio/video modalities; byte-chunking a compressed image
    * container is meaningless.) */
-  def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
+  def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
     media.select(
       col("doc_id"),
       col("modality"),
-      // the CASE guards empty payloads: sequence(0, -1) yields the
-      // DESCENDING array [0,-1], not [], so an empty blob would otherwise
-      // produce one bogus zero-length frame
-      expr(
-        s"""CASE WHEN octet_length(media) < 1
-           |  THEN CAST(array() AS array<struct<frame_idx:int,frame:binary>>)
-           |  ELSE filter(
-           |    transform(sequence(0, CAST(ceil(octet_length(media) / $frameBytes.0) AS INT) - 1),
-           |              i -> struct(i AS frame_idx, substring(media, i * $frameBytes + 1, $frameBytes) AS frame)),
-           |    f -> f.frame_idx % $everyN = 0) END""".stripMargin).as("frames"))
+      // one codegen'd kernel call per row (frame enumeration + every-Nth
+      // selection fused; empty payloads -> empty array) — replaces the
+      // former transform-over-sequence + filter lambda pair so the
+      // projection stays in one whole-stage-codegen span
+      call_function("bin_frame_sample", col("media"), lit(frameBytes), lit(everyN))
+        .as("frames"))
+  }
 }

@@ -81,7 +81,7 @@ object CodecQueries {
           size(col("decoded")).as("n_ts"),
           expr("element_at(decoded, 1)").as("first_us"),
           expr("element_at(decoded, -1)").as("last_us"),
-          expr("aggregate(decoded, 0L, (a, x) -> a + x % 1000000007L)").as("sum_mod"))
+          call_function("arr_sum_mod", col("decoded"), lit(1000000007L)).as("sum_mod"))
     }),
 
     // Polynomial preconditioning round-trip (the reference's signature

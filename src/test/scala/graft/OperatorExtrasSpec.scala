@@ -97,7 +97,13 @@ class OperatorExtrasSpec extends SparkSpec {
     // 365-day spans CAN be annual (consecutive non-leap years)
     assert(inferFreq(grid(92 * Day, 3)) == Some("Q"))
     assert(inferFreq(Seq(0L, 91, 182).map(d => 1704067200L + d * Day)) == Some("Q"))
-    assert(inferFreq(grid(365 * Day, 3)) == Some("A"))
+    // annual needs calendar ANCHORING (round-4 ADVICE): equal 365-day runs
+    // are "A" only when every stamp shares the same month/day (here Jan 1,
+    // 2025-2027, no leap February crossed)...
+    assert(inferFreq(grid(365 * Day, 3, start = 1735689600L)) == Some("A"))
+    // ...while the same grid from an unanchored mid-November base drifts
+    // across leap-2024 and reads as a plain fixed 365-day series
+    assert(inferFreq(grid(365 * Day, 3)) == Some("365D"))
     // constant 90-day grids are NOT quarterly (no adjacent quarter pair
     // shares 90 days)
     assert(inferFreq(grid(90 * Day, 3)) == Some("90D"))
@@ -106,13 +112,16 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(inferFreq(grid(31 * Day, 5)) == Some("31D"))
     assert(inferFreq(grid(91 * Day, 5)) == Some("13W"))
     assert(inferFreq(grid(92 * Day, 5)) == Some("92D"))
-    // ...but constant 365-day runs stay annual (three consecutive
-    // non-leap years exist in every leap cycle)
-    assert(inferFreq(grid(365 * Day, 4)) == Some("A"))
+    // ...but constant ANCHORED 365-day runs stay annual at any length
+    // (three consecutive non-leap years exist in every leap cycle)
+    assert(inferFreq(grid(365 * Day, 4, start = 1735689600L)) == Some("A"))
     val quarters = Seq(0L, 91, 182, 274, 366).map(d => 1704067200L + d * Day)
     assert(inferFreq(quarters) == Some("Q"))
     val years = Seq(0L, 366, 731, 1096).map(d => 1704067200L + d * Day)
     assert(inferFreq(years) == Some("A"))
+    // mixed 365/366 deltas WITHOUT a common month/day anchor are not
+    // annual (2023-03-01 / 2024-02-29 / 2025-03-01): irregular -> None
+    assert(inferFreq(Seq(0L, 365, 731).map(d => 1677628800L + d * Day)).isEmpty)
     // irregular / degenerate -> None (caller falls back to its default)
     assert(inferFreq(Seq(0L, 10, 15, 100)).isEmpty)
     assert(inferFreq(Seq(0L, 60)).isEmpty) // < 3 stamps
