@@ -22,6 +22,18 @@ object PipelineQueries {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)),
 
+    // Pairs -> clusters -> keep-list (ConnectedComponents.scala): the
+    // transitive closure of the verified Jaccard near-dup pairs via
+    // alternating large-star/small-star rounds, with the component MINIMUM
+    // as the deterministic representative. Every document gets a verdict
+    // (singletons keep themselves). Oracle: DuckDB WITH RECURSIVE closure
+    // over the identical pair set.
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.keepList(
+        docs(s, dir),
+        "doc_id",
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5))),
+
     // MinHash+LSH: 64 hashes × 16 bands of 4 (s-curve threshold ≈ 0.5).
     // No SQL oracle (SplitMix64 signature family is not SQL-reproducible);
     // PipelineSpec asserts the LSH pair set equals the exact-Jaccard pair
@@ -188,6 +200,33 @@ object PipelineQueries {
          |  JOIN cnt ca ON p.doc_a = ca.doc_id
          |  JOIN cnt cb ON p.doc_b = cb.doc_id)
          |WHERE jaccard >= 0.5""".stripMargin,
+    // transitive closure of the Jaccard pair set: min reachable id per
+    // node via a recursive label walk, singletons keep themselves
+    "q_dedup_clusters" ->
+      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+         |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2) p
+         |    JOIN cnt ca ON p.doc_a = ca.doc_id
+         |    JOIN cnt cb ON p.doc_b = cb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION SELECT doc_b, doc_a FROM jp),
+         |walk(node, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, wk.r FROM walk wk JOIN edges e ON e.u = wk.node),
+         |comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
+         |       (d.doc_id = COALESCE(c.rep, d.doc_id)) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
     "q_embed_neardup" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(t.i AS INT) AS i,

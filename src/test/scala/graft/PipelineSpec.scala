@@ -245,4 +245,88 @@ class PipelineSpec extends SparkSpec {
     val sumGroups = kept.agg(sum("group_size")).collect()(0).getLong(0)
     assert(sumGroups == total)
   }
+
+  /** Reference closure: naive driver-side union-find (path-halving),
+   * valid at test scale only. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        parent(r) = parent.getOrElse(parent(r), parent(r))
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .componentsWithRounds(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("connected components == naive union-find on generated graphs") {
+    // deterministic graph family: cliques, paths, stars, cross-links,
+    // duplicate and reversed edges, plus SplitMix64-pseudorandom graphs
+    val fixed = Seq(
+      Seq((1L, 2L)),
+      Seq((2L, 1L), (1L, 2L), (2L, 2L)), // dup + reversed + self-loop
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L)), // two components
+      (1L to 9L).map(i => (i, i + 1)), // path
+      (2L to 8L).map(i => (1L, i)), // star rooted at min
+      (2L to 8L).map(i => (9L, i)) // star rooted at MAX (forces rewrites)
+    )
+    val random = (1 to 4).map { seed =>
+      val n = 40
+      (0 until 60).map { k =>
+        val h = graft.core.Hash.mix64(seed * 1000003L + k)
+        val a = Math.floorMod(h, n).toLong
+        val b = Math.floorMod(h >>> 17, n).toLong
+        (a + 1, b + 1)
+      }.filter { case (a, b) => a != b }
+    }
+    for (edges <- fixed ++ random) {
+      val expected = unionFind(edges)
+      val (got, _) = ccOf(edges)
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
+  test("connected components: a long chain needs (and survives) >= 3 rounds") {
+    // a 64-node path has diameter 63; star-contraction needs multiple
+    // rounds, exercising the iterative fixed-point loop (a single-pass
+    // formulation would return wrong labels here)
+    val chain = (1L to 63L).map(i => (i, i + 1))
+    val expected = (1L to 64L).map(_ -> 1L).toMap
+    val (got, rounds) = ccOf(chain)
+    assert(got == expected)
+    assert(rounds >= 3, s"chain converged suspiciously fast ($rounds rounds)")
+  }
+
+  test("keep-list: representatives are component minima; singletons keep themselves") {
+    import spark.implicits._
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("doc_a", "doc_b")
+    val allDocs = Seq(10L, 20L, 30L, 40L, 50L, 60L).toDF("doc_id")
+    val kl = graft.operators.ConnectedComponents
+      .keepList(allDocs, "doc_id", pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(
+      kl == Set(
+        (10L, 10L, true),
+        (20L, 10L, false),
+        (30L, 10L, false),
+        (40L, 40L, true),
+        (50L, 40L, false),
+        (60L, 60L, true)))
+  }
 }
