@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
  *
  * The IMAGE path is a REAL decode: payloads are genuine PNG containers and
  * `decode` parses them back to grayscale pixels via `javax.imageio`
- * (ships with the JDK — no external dependency). Audio/video decode
- * remains a clearly-marked STUB (`decodeStub`, identity on bytes) because
- * no audio/video codec libraries exist in this container — a production
- * deployment swaps `decodeStub` for a real codec with the same signature,
- * and nothing else changes.
+ * (ships with the JDK — no external dependency). The AUDIO path is a REAL
+ * decode too: payloads are genuine RIFF/WAVE 16-bit PCM containers parsed
+ * by a pure-JVM chunk walk ([[Wav]] — public spec, no library needed).
+ * Only VIDEO decode remains a clearly-marked STUB (`decodeStub`, identity
+ * on bytes) because no video codec library exists in this container — a
+ * production deployment swaps `decodeStub` for a real codec with the same
+ * signature, and nothing else changes.
  *
  * Batch shape: rows are processed through `mapPartitions` in fixed-size
  * batches (`BatchSize`), the Scala analogue of `mapInPandas` Arrow batches
@@ -93,10 +95,106 @@ object Multimodal {
     }
   }
 
+  /** Real RIFF/WAVE PCM codec for the audio modality — 16-bit mono
+   * little-endian, the public container spec (RIFF chunks: fmt + data).
+   * PCM is UNCOMPRESSED, so the decoded sample byte stream is bit-equal to
+   * what was encoded — which is what lets the decoded-audio statistics
+   * stay SQL-oracle-able: the oracle reproduces every sample byte from
+   * doc_id arithmetic without touching the container. Pure JVM (ByteBuffer
+   * walk), no external codec library. */
+  object Wav {
+    val SampleRate = 8000
+    val NumSamples = 200
+
+    /** Deterministic synthetic 16-bit samples for doc `id` — the corpus
+     * token formula reduced mod 2^16, mirroring [[Png.pixelsOf]]. */
+    def samplesOf(id: Long): Array[Short] = {
+      import graft.sources.TokenTable.{MulA, MulB}
+      val out = new Array[Short](NumSamples)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (((id + 1) * MulA + i * MulB) % 65536L).toShort
+        i += 1
+      }
+      out
+    }
+
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Canonical 44-byte RIFF/WAVE header + the little-endian PCM stream. */
+    def encodePcm16(samples: Array[Short], sampleRate: Int = SampleRate): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(Ascii)).putInt(36 + dataLen).put("WAVE".getBytes(Ascii))
+      bb.put("fmt ".getBytes(Ascii)).putInt(16)
+      bb.putShort(1).putShort(1) // PCM, mono
+      bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate * block
+      bb.putShort(2).putShort(16) // block align, bits/sample
+      bb.put("data".getBytes(Ascii)).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** Decode by WALKING the chunk list (not a fixed 44-byte skip — RIFF
+     * permits extra chunks like LIST/INFO before data; odd-sized chunks
+     * are word-padded per spec). Returns the raw little-endian sample
+     * byte stream of the data chunk; rejects non-PCM / non-16-bit. */
+    def decodePcm16Bytes(wav: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourCC(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, Ascii)
+      }
+      require(wav.length >= 44 && fourCC() == "RIFF", "not a RIFF container")
+      bb.getInt() // riff size (unvalidated: streams may understate it)
+      require(fourCC() == "WAVE", "not a WAVE form")
+      var pcmOk = false
+      var data: Array[Byte] = null
+      while (bb.remaining() >= 8 && data == null) {
+        val id = fourCC()
+        val size = bb.getInt()
+        require(size >= 0 && size <= bb.remaining(), s"truncated chunk $id")
+        id match {
+          case "fmt " =>
+            val fmtPos = bb.position()
+            val audioFormat = bb.getShort()
+            bb.getShort() // channels (mono written; any accepted for decode)
+            bb.getInt(); bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            require(audioFormat == 1 && bits == 16, s"not 16-bit PCM (fmt=$audioFormat bits=$bits)")
+            pcmOk = true
+            bb.position(fmtPos + size + (size & 1))
+          case "data" =>
+            require(pcmOk, "data chunk before fmt")
+            data = new Array[Byte](size)
+            bb.get(data)
+          case _ =>
+            bb.position(bb.position() + size + (size & 1)) // skip + word pad
+        }
+      }
+      require(data != null, "no data chunk")
+      data
+    }
+
+    /** Sample view of [[decodePcm16Bytes]] (tests / downstream DSP). */
+    def decodePcm16(wav: Array[Byte]): Array[Short] = {
+      val bytes = decodePcm16Bytes(wav)
+      val out = new Array[Short](bytes.length / 2)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      out
+    }
+  }
+
   /** Synthesize the media table from documents: modality round-robins over
    * the three media kinds; IMAGE rows carry a real PNG encoding of the
-   * deterministic pixel pattern, audio/video rows an opaque blob (the
-   * utf-8 text bytes). Row-local typed map — zero shuffle. */
+   * deterministic pixel pattern, AUDIO rows a real RIFF/WAVE PCM container
+   * of the deterministic sample pattern, video rows an opaque blob (the
+   * utf-8 text bytes — the one remaining documented stub). Row-local typed
+   * map — zero shuffle. */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read
@@ -109,24 +207,32 @@ object Multimodal {
           case 1 => "audio"
           case _ => "video"
         }
-        val media =
-          if (modality == "image") Png.encodeGray(Png.pixelsOf(id))
-          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media = modality match {
+          case "image" => Png.encodeGray(Png.pixelsOf(id))
+          case "audio" => Wav.encodePcm16(Wav.samplesOf(id))
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
         MediaRow(id, modality, media)
       })
       .toDF()
   }
 
-  /** STUB decode for audio/video: a real implementation would parse the
-   * container format and return samples/frames. Here: identity on bytes
-   * (no audio/video codec libraries in this container). The surrounding
-   * batching, schema and checksum plumbing is production shaped. */
+  /** STUB decode for video only: a real implementation would parse the
+   * container and return frames. Here: identity on bytes (no video codec
+   * library exists in this container — image and audio decode are real).
+   * The surrounding batching, schema and checksum plumbing is production
+   * shaped. */
   private def decodeStub(media: Array[Byte]): Array[Byte] = media
 
-  /** Modality dispatch: image -> REAL PNG decode to pixels; audio/video ->
-   * the documented stub. */
+  /** Modality dispatch: image -> REAL PNG decode to pixels; audio -> REAL
+   * RIFF/WAVE PCM decode to the sample byte stream; video -> the
+   * documented stub. */
   private def decodeOne(modality: String, media: Array[Byte]): Array[Byte] =
-    if (modality == "image") Png.decodeGray(media) else decodeStub(media)
+    modality match {
+      case "image" => Png.decodeGray(media)
+      case "audio" => Wav.decodePcm16Bytes(media)
+      case _ => decodeStub(media)
+    }
 
   /** THE swap point for a real audio/video decoder: one invocation per
    * BatchSize-row batch (amortizing per-call setup — model load, codec

@@ -321,13 +321,30 @@ object PipelineQueries {
     // pixels equal the deterministic pattern and the oracle recomputes
     // their stats from doc_id arithmetic alone (16x16 = 256 pixels,
     // pixel_i = ((doc_id+1)*2654435761 + i*40503) % 256).
+    // video rows: decoded = the utf-8 text bytes (documented stub).
+    // image rows: decoded = the 256 deterministic pixels (PNG lossless).
+    // audio rows: decoded = the 400-byte little-endian PCM stream of 200
+    // deterministic 16-bit samples v_i = ((id+1)*MulA + i*MulB) % 2^16
+    // (WAV PCM is uncompressed, so each byte is v%256 or v//256).
     "q_multimodal_features" ->
-      s"""SELECT doc_id, $ModalityCase AS modality,
+      s"""SELECT doc_id, 'video' AS modality,
          |       CAST(strlen(text) AS INT) AS n_bytes,
          |       CAST(strlen(text) AS BIGINT) AS hist_sum,
          |       CAST(strlen(text) - strlen(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT)
          |         AS spaces_bin
-         |FROM documents WHERE doc_id % 3 != 0
+         |FROM documents WHERE doc_id % 3 = 2
+         |UNION ALL
+         |SELECT doc_id, 'audio' AS modality,
+         |       CAST(400 AS INT) AS n_bytes,
+         |       CAST(400 AS BIGINT) AS hist_sum,
+         |       CAST(sum(CASE WHEN (v % 256) BETWEEN 32 AND 47 THEN 1 ELSE 0 END)
+         |          + sum(CASE WHEN (v // 256) BETWEEN 32 AND 47 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS spaces_bin
+         |FROM (SELECT d.doc_id,
+         |             ((d.doc_id + 1) * 2654435761 + t.i * 40503) % 65536 AS v
+         |      FROM documents d, LATERAL (SELECT unnest(range(0, 200)) AS i) t
+         |      WHERE d.doc_id % 3 = 1)
+         |GROUP BY 1
          |UNION ALL
          |SELECT d.doc_id, 'image' AS modality,
          |       CAST(256 AS INT) AS n_bytes,
@@ -338,12 +355,19 @@ object PipelineQueries {
          |FROM documents d, LATERAL (SELECT unnest(range(0, 256)) AS i) t
          |WHERE d.doc_id % 3 = 0
          |GROUP BY 1""".stripMargin,
+    // audio containers are a fixed 444 bytes (44-byte canonical header +
+    // 400 PCM bytes): ceil(444/256) = 2 frames, every-2nd keeps frame 0
+    // at the full 256 bytes
     "q_multimodal_frames" ->
-      s"""SELECT doc_id, $ModalityCase AS modality,
+      s"""SELECT doc_id, 'video' AS modality,
          |       CAST(t.i AS INT) AS frame_idx,
          |       CAST(LEAST(256, strlen(text) - t.i * 256) AS INT) AS frame_bytes
          |FROM documents,
          |     LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS INT))) AS i) t
-         |WHERE t.i % 2 = 0 AND doc_id % 3 != 0""".stripMargin
+         |WHERE t.i % 2 = 0 AND doc_id % 3 = 2
+         |UNION ALL
+         |SELECT doc_id, 'audio' AS modality,
+         |       CAST(0 AS INT) AS frame_idx, CAST(256 AS INT) AS frame_bytes
+         |FROM documents WHERE doc_id % 3 = 1""".stripMargin
   )
 }

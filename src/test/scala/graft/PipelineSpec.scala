@@ -239,6 +239,32 @@ class PipelineSpec extends SparkSpec {
     assert(recallRefined >= 0.8, s"refined ivf recall $recallRefined (seed $recallIvf)")
   }
 
+  test("WAV PCM decode: bit-exact round-trip; chunk walk; non-PCM rejected") {
+    import graft.operators.Multimodal.Wav
+    // round-trip over deterministic and extreme sample patterns
+    for (samples <- Seq(
+        Wav.samplesOf(7L),
+        Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue, 12345),
+        Array.empty[Short])) {
+      assert(Wav.decodePcm16(Wav.encodePcm16(samples)).toSeq == samples.toSeq)
+    }
+    // decode must WALK chunks, not skip a fixed 44 bytes: splice a LIST
+    // chunk (odd-sized, so word padding is exercised) between fmt and data
+    val plain = Wav.encodePcm16(Wav.samplesOf(3L))
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 0) // 5 payload bytes + 1 pad byte
+    val spliced = plain.take(36) ++ extra ++ plain.drop(36)
+    // patch the RIFF size field (bytes 4-7, little-endian)
+    val riffSize = spliced.length - 8
+    for (k <- 0 until 4) spliced(4 + k) = ((riffSize >> (8 * k)) & 0xff).toByte
+    assert(Wav.decodePcm16(spliced).toSeq == Wav.samplesOf(3L).toSeq)
+    // a float-format (fmt=3) container must be rejected, not mis-read
+    val bad = plain.clone()
+    bad(20) = 3 // audioFormat lives at offset 20 in the canonical layout
+    intercept[IllegalArgumentException](Wav.decodePcm16Bytes(bad))
+    intercept[IllegalArgumentException](Wav.decodePcm16Bytes("nope".getBytes))
+  }
+
   test("exact dedup keeps one representative per group and covers all docs") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
     val total = docs.count()
