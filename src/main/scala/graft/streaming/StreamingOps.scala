@@ -108,6 +108,65 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming codec-payload sink — the continuous face of the batch
+   * payload table (CodecQueries.tierPayload): each micro-batch takes the
+   * FINALIZED tier windows it received (the append-mode output of a
+   * watermarked tier aggregation upstream in the same query), packs each
+   * (source, bucket) group's windows into ONE Gorilla/Chimp/DoD-encoded
+   * payload SEGMENT row, and commits the whole batch of segments as one
+   * snapshot version fingerprinted by batch id — exactly-once under
+   * replay, like [[sinkToSnapshots]].
+   *
+   * A stream cannot re-encode the full history every batch (that state is
+   * unbounded), so the streamed table is a SEQUENCE of segments per key:
+   * decoding all segments in version order and concatenating recovers
+   * exactly the series the one-shot batch payload encodes — the same
+   * block-per-interval shape the Gorilla paper's production store uses
+   * (VLDB'15, 2-hour blocks). Input schema:
+   * (source string, bucket, window_start long, value double). */
+  def codecPayloadSink(
+      tierWindows: DataFrame,
+      store: graft.jobs.SnapshotStore,
+      table: String,
+      queryName: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tierWindows.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // watermark-only batches carry no finalized windows; committing
+        // them would mint empty snapshot versions
+        if (!batch.isEmpty) {
+          store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {
+            encodePayloadSegments(batch)
+          }
+        }
+        ()
+      }
+
+  /** One payload-segment row per (source, bucket) of a finalized-window
+   * batch: timestamps delta-of-delta encoded, values Gorilla- AND
+   * Chimp-encoded (the batch table's exact column shape). */
+  private def encodePayloadSegments(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    batch
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        sort_array(collect_list(struct(col("window_start"), col("value"))))
+          .as("series"))
+      .select(
+        col("source"),
+        col("bucket"),
+        size(col("series")).as("n_windows"),
+        call_function("dod_encode", expr("CAST(series.window_start AS array<bigint>)"))
+          .as("payload_ts"),
+        call_function("gorilla_encode", expr("CAST(series.value AS array<double>)"))
+          .as("payload_values"),
+        call_function("chimp_encode", expr("CAST(series.value AS array<double>)"))
+          .as("payload_values_chimp"))
+  }
+
   final case class Obs(key: String, window_start: Long, value: Double)
   final case class Filled(key: String, window_start: Long, value: Double, is_gap: Boolean)
   final case class FillState(lastWindow: Long, lastValue: Double)

@@ -171,6 +171,72 @@ class StreamingSpec extends SparkSpec {
     assert(store.snapshots("stream_tier").size == before)
   }
 
+  test("streaming codec-payload sink: decoded segments == finalized tier windows; replay skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.jobs.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-codec-").toString
+    val store = new SnapshotStore(base)
+    val in = MemoryStream[(Timestamp, String, Double)]
+    // the composition under test: watermarked 1m tier agg -> append-mode
+    // finalized windows -> per-batch payload segments into the store
+    val tier = in
+      .toDF()
+      .toDF("ts", "source", "value")
+      .withWatermark("ts", "2 minutes")
+      .groupBy(col("source"), window(col("ts"), "1 minute"))
+      .agg(avg(col("value")).as("value"))
+      .select(
+        col("source"),
+        lit(0).as("bucket"),
+        col("window.start").cast("long").as("window_start"),
+        col("value"))
+    val q = StreamingOps
+      .codecPayloadSink(tier, store, "stream_payload", "codectest", s"$base/_ckpt")
+      .start()
+    def ts(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    in.addData((ts(0, 10), "a", 1.0), (ts(0, 40), "a", 3.0), (ts(1, 10), "a", 5.0), (ts(0, 20), "b", 2.0))
+    q.processAllAvailable()
+    in.addData((ts(5, 0), "a", 7.0)) // watermark -> 00:03, finalizes minutes 0-1
+    q.processAllAvailable()
+    in.addData((ts(9, 0), "a", 9.0)) // watermark -> 00:07, finalizes minute 5
+    q.processAllAvailable()
+    q.stop()
+    val snaps = store.snapshots("stream_payload")
+    assert(snaps.size >= 2, s"expected segments from >= 2 micro-batches, got ${snaps.size}")
+    // decode every segment and concatenate: recovers exactly the finalized
+    // windows (minute 9 never finalizes — no watermark passes it)
+    val decoded = snaps
+      .sortBy(_.version)
+      .map(si => store.read(spark, si))
+      .reduce(_ unionAll _)
+      .select(
+        col("source"),
+        posexplode(call_function("dod_decode", col("payload_ts"))).as(Seq("i", "w")),
+        call_function("gorilla_decode", col("payload_values")).as("gv"),
+        call_function("chimp_decode", col("payload_values_chimp")).as("cv"))
+      .select(col("source"), col("w"), expr("gv[i]").as("gv"), expr("cv[i]").as("cv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val epoch = ts(0, 0).getTime / 1000
+    assert(
+      decoded == Set(
+        ("a", epoch, 2.0, 2.0),
+        ("b", epoch, 2.0, 2.0),
+        ("a", epoch + 60, 5.0, 5.0),
+        ("a", epoch + 300, 7.0, 7.0)))
+    // exactly-once: a replayed batch (same fingerprint) must not re-encode
+    val before = snaps.size
+    val (snap, resumed) =
+      store.getOrCompute("stream_payload", "stream_codectest", snaps.head.fingerprint) {
+        fail("replayed batch must not recompute"); null
+      }
+    assert(resumed && snap.version == snaps.head.version)
+    assert(store.snapshots("stream_payload").size == before)
+  }
+
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
