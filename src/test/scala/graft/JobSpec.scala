@@ -113,4 +113,41 @@ class JobSpec extends SparkSpec {
       .toSet
     assert(salted == plain)
   }
+
+  test("dedup job: observe-collected candidate telemetry lands in the metrics table") {
+    val base = tmpDir().toString
+    val store = new SnapshotStore(base)
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val res = graft.jobs.DedupJob.run(spark, docs, store)
+    val nDocs = docs.count()
+
+    // observed counters match independent recomputation of each stage
+    val truePairs = graft.operators.Dedup
+      .minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .count()
+    assert(res.verifiedPairs == truePairs)
+    assert(res.candidatePairs >= res.verifiedPairs)
+    assert(res.verifiedPairs > 0, "corpus plants near-dups — pairs expected")
+    assert(res.keptDocs + res.droppedDocs == nDocs)
+    assert(store.read(spark, res.pairs).count() == res.verifiedPairs)
+    assert(store.read(spark, res.keep).count() == nDocs)
+
+    // the density bound the banding promises: candidates are ~linear in
+    // docs x bands, never quadratic in docs
+    assert(res.candidatePairs <= nDocs * 16, "candidate blow-up: > docs x bands")
+
+    // the metrics table carries the full counter set
+    val m = store
+      .read(spark, res.metrics)
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(m("input_docs") == nDocs.toDouble)
+    assert(m("candidate_pairs") == res.candidatePairs.toDouble)
+    assert(m("verified_pairs") == res.verifiedPairs.toDouble)
+    assert(m("rejected_pairs") == (res.candidatePairs - res.verifiedPairs).toDouble)
+    assert(m("kept_docs") == res.keptDocs.toDouble)
+    assert(m("dropped_docs") == res.droppedDocs.toDouble)
+    assert(m("candidates_per_doc") == res.candidatePairs.toDouble / nDocs)
+  }
 }
