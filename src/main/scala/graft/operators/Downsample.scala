@@ -26,15 +26,23 @@ object Downsample {
    * last points; selects one point per interior bucket maximizing the
    * triangle area with the previously selected point and the next bucket's
    * centroid. */
-  def lttbCore(points: Array[(Double, Double)], threshold: Int): Array[(Double, Double)] = {
+  def lttbCore(points: Array[(Double, Double)], threshold: Int): Array[(Double, Double)] =
+    lttbCoreIndices(points, threshold).map(points)
+
+  /** The selection itself: indices (into the x-sorted input) of the points
+   * [[lttbCore]] keeps. Exposed so the selection GEOMETRY — anchors,
+   * one-point-per-bucket coverage, in-bucket membership — can be
+   * oracle-checked (q_lttb_anchors) even though the sequential
+   * area-maximization is not SQL-expressible. */
+  def lttbCoreIndices(points: Array[(Double, Double)], threshold: Int): Array[Int] = {
     val n = points.length
     if (threshold >= n || threshold <= 2) {
-      if (threshold >= n) return points
+      if (threshold >= n) return Array.tabulate(n)(identity)
       // threshold <= 2: degenerate — first and last only (or fewer)
-      return if (n <= 2) points else Array(points(0), points(n - 1))
+      return if (n <= 2) Array.tabulate(n)(identity) else Array(0, n - 1)
     }
-    val out = new Array[(Double, Double)](threshold)
-    out(0) = points(0)
+    val out = new Array[Int](threshold)
+    out(0) = 0
     val every = (n - 2).toDouble / (threshold - 2).toDouble
     var a = 0 // index of previously selected point
     var i = 0
@@ -65,11 +73,11 @@ object Downsample {
         if (area > maxArea) { maxArea = area; maxIdx = j } // strict > => earliest tie-break
         j += 1
       }
-      out(i + 1) = points(maxIdx)
+      out(i + 1) = maxIdx
       a = maxIdx
       i += 1
     }
-    out(threshold - 1) = points(n - 1)
+    out(threshold - 1) = n - 1
     out
   }
 
@@ -98,6 +106,37 @@ object Downsample {
         lttbCore(arr, threshold).iterator.map { case (x, y) => (k, x, y) }
       }
       .toDF(keyCol, xCol, yCol)
+  }
+
+  /** [[lttb]] additionally emitting the selection geometry per output
+   * point: `sel_pos` (position in the output; 0 and n_out-1 are the
+   * first/last anchors, interior position p carries bucket p-1's selected
+   * point), `rank` (the point's index in the (x, y)-sorted input) and
+   * `n_in` (series length). These are what q_lttb_anchors' SQL oracle
+   * checks: anchors == the series min/max, every interior bucket covered
+   * exactly once, and each interior rank inside its bucket's range. */
+  def lttbIndexed(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      threshold: Int): DataFrame = {
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("string"),
+        col(xCol).cast("double"),
+        col(yCol).cast("double"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
+        lttbCoreIndices(arr, threshold).iterator.zipWithIndex.map { case (r, p) =>
+          (k, arr(r)._1, arr(r)._2, p, r, arr.length)
+        }
+      }
+      .toDF(keyCol, xCol, yCol, "sel_pos", "rank", "n_in")
   }
 
   /** Two-level LTTB for series whose per-key length is NOT bounded by

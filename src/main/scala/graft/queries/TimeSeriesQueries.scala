@@ -206,6 +206,46 @@ object TimeSeriesQueries {
         yCol = "y",
         threshold = 20)),
 
+    // The SQL-checkable HALF of the LTTB geometry (round-4 VERDICT #8):
+    // the sequential area-argmax is not SQL-expressible, but the selection
+    // grid is — per series: output count, first/last anchors == the series
+    // extremes, every interior bucket covered by EXACTLY one selected
+    // point, and zero in-bucket membership violations (each interior
+    // rank inside [floor(b*every)+1, floor((b+1)*every)+1), the same
+    // IEEE-double boundary arithmetic the core uses).
+    "q_lttb_anchors" -> ((s, dir) => {
+      val t = 20
+      val sel = graft.operators.Downsample.lttbIndexed(
+        s,
+        events(s, dir)
+          .groupBy(
+            col("user_id"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("x"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y")),
+        keyCol = "user_id",
+        xCol = "x",
+        yCol = "y",
+        threshold = t)
+      val every = (col("n_in") - 2).cast("double") / lit((t - 2).toDouble)
+      val bucket = (col("sel_pos") - 1).cast("double")
+      val bStart = floor(bucket * every).cast("long") + 1
+      val bEnd = least(floor((bucket + 1) * every).cast("long") + 1, col("n_in").cast("long"))
+      // buckets only exist when the series actually reduces (n_in > t)
+      val interior = col("n_in") > t && col("sel_pos") > 0 && col("sel_pos") < t - 1
+      val inBucket = col("rank") >= bStart && col("rank") < bEnd
+      sel
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_in")).as("n_in"),
+          count(lit(1)).cast("int").as("n_out"),
+          min(col("x")).as("first_x"),
+          min_by(col("y"), col("x")).as("first_y"),
+          max(col("x")).as("last_x"),
+          max_by(col("y"), col("x")).as("last_y"),
+          countDistinct(when(interior, col("sel_pos"))).as("buckets_covered"),
+          count(when(interior && !inBucket, lit(1))).as("bucket_violations"))
+    }),
+
     // Top-3 events by value per user (deterministic tie-break on event_id;
     // ancestor: per-group argmin patch-size selection,
     // model/moirai/forecast.py:255-333).
@@ -221,6 +261,26 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the geometry invariants of a CORRECT LTTB selection, computed from
+    // the input alone: n_out = min(n, 20); anchors = the series extremes;
+    // 18 interior buckets each covered once (when the series reduces);
+    // zero membership violations
+    "q_lttb_anchors" ->
+      """WITH h AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS x,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM events GROUP BY user_id, epoch(date_trunc('hour', ts)))
+        |SELECT user_id,
+        |       CAST(count(*) AS INT) AS n_in,
+        |       CAST(LEAST(count(*), 20) AS INT) AS n_out,
+        |       CAST(min(x) AS DOUBLE) AS first_x,
+        |       CAST(arg_min(y, x) AS DOUBLE) AS first_y,
+        |       CAST(max(x) AS DOUBLE) AS last_x,
+        |       CAST(arg_max(y, x) AS DOUBLE) AS last_y,
+        |       CAST(CASE WHEN count(*) > 20 THEN 18 ELSE 0 END AS BIGINT)
+        |         AS buckets_covered,
+        |       CAST(0 AS BIGINT) AS bucket_violations
+        |FROM h GROUP BY 1""".stripMargin,
     "q_gapfill_hourly" ->
       """WITH obs AS (
         |  SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
