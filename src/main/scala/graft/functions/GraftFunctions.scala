@@ -25,6 +25,12 @@ object GraftFunctions {
     "lsh_sig" -> (args => LshSig(args.head, foldInt(args(1)))),
     // array kernels (typed JVM loops replacing interpreted HOF lambdas —
     // see ArrayExpressions.scala)
+    // dedup-chain kernels (shingle/signature/band stages as codegen'd
+    // expressions — see DedupExpressions.scala)
+    "shingle_fnv" -> (args => ShingleFnv(args.head, foldInt(args(1)))),
+    "minhash_sig" -> (args => MinHashSig(args.head, foldInt(args(1)))),
+    "lsh_bands" -> (args => LshBands(args.head, foldInt(args(1)))),
+    "arr_sorted_inter_size" -> (args => SortedInterSize(args.head, args(1))),
     "arr_sum" -> (args => ArrSum(args.head)),
     "arr_sum_mod" -> (args => ArrSumMod(args.head, foldLong(args(1)))),
     "arr_sum_q" -> (args => ArrSumQ(args.head, foldLong(args(1)))),

@@ -1,0 +1,213 @@
+package graft.functions.expressions
+
+import graft.core.Hash
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Typed kernels for the MinHash/LSH dedup chain — the shingle, signature
+ * and band stages as Catalyst expressions with real `doGenCode`, replacing
+ * the Dataset `map` formulation.
+ *
+ * Why: a typed Dataset map deserializes EVERY row into Scala objects
+ * (tuples, boxed fields, a copied String) and re-serializes the result —
+ * at 16 threads x millions of docs the encoder round-trip garbage
+ * dominated GC (stage probe: 14 s of GC in a 41 s stage at only 200 k
+ * docs). These kernels read/write UnsafeArrayData in place inside the
+ * projection: the only allocations are one String per doc (UTF-16 view
+ * for hash parity) and the primitive output arrays, and the surrounding
+ * operators stay in one whole-stage-codegen span.
+ *
+ * Hash formulas are bit-identical to the previous formulation (FNV-1a
+ * over words joined by single spaces; SplitMix64 permutations and band
+ * chains), so every downstream contract — LSH == exact (PipelineSpec),
+ * the Jaccard DuckDB oracle — is unchanged.
+ */
+object DedupKernels {
+
+  /** Distinct word-n-gram FNV-1a shingle hashes of a single-space-
+   * separated text, sorted. Hashing the contiguous char range of n
+   * consecutive words (single ' ' separators included) is identical to
+   * hashing the words joined by ' ' — the split-on-' ' reconstruction is
+   * lossless, including empty words from consecutive spaces. */
+  def shingleFnv(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    var words = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') words += 1; i += 1 }
+    val nSh = math.max(words - n + 1, 0)
+    if (nSh == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // starts(w) = first char index of word w; sentinel starts(words) = len+1
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = len + 1
+    val out = new Array[Long](nSh)
+    var sh = 0
+    while (sh < nSh) {
+      var h = 0xcbf29ce484222325L
+      var c = starts(sh)
+      val end = starts(sh + n) - 2 // last char of word sh+n-1
+      while (c <= end) { h ^= s.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+      out(sh) = h
+      sh += 1
+    }
+    // distinct via sort+squash (allocation-free beyond the output array)
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < nSh) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of the i-seeded
+   * SplitMix64 permutation (the [[Hash.mix64]] family). */
+  def minhashSig(hs: ArrayData, numHashes: Int): ArrayData = {
+    val k = hs.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < k) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = Hash.mix64(h ^ (i * 0x9e3779b97f4a7c15L))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Intersection size of two SORTED long arrays by a single merge walk —
+   * zero allocation, unlike array_intersect's per-call hash set. Callers
+   * guarantee sortedness ([[shingleFnv]] output is sorted-distinct). */
+  def sortedInterSize(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** Band bucket ids: one SplitMix64 chain over each band's signature
+   * rows. */
+  def lshBands(sig: ArrayData, bands: Int): ArrayData = {
+    val nh = sig.numElements()
+    require(nh % bands == 0, s"signature length $nh not divisible into $bands bands")
+    val rows = nh / bands
+    val bh = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Hash.mix64(0x9e3779b97f4a7c15L * (b + 1))
+      var r = 0
+      while (r < rows) { h = Hash.mix64(h ^ sig.getLong(b * rows + r)); r += 1 }
+      bh(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bh)
+  }
+}
+
+private object DedupKernelRef {
+  final val K = "graft.functions.expressions.DedupKernels$.MODULE$"
+}
+
+/** `shingle_fnv(text, n) -> array<bigint>`: distinct sorted word-n-gram
+ * FNV-1a shingle hashes. */
+case class ShingleFnv(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle_fnv requires n >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"shingle_fnv requires string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_fnv"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.shingleFnv(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.shingleFnv($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleFnv =
+    copy(child = newChild)
+}
+
+/** `arr_sorted_inter_size(array<bigint>, array<bigint>) -> int`:
+ * merge-walk intersection size of two sorted-distinct arrays. */
+case class SortedInterSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"arr_sorted_inter_size requires two array<bigint>, got $l, $r")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "arr_sorted_inter_size"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.sortedInterSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = ${DedupKernelRef.K}.sortedInterSize($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): SortedInterSize = copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_sig(array<bigint>, k) -> array<bigint>`: k-hash MinHash
+ * signature (SplitMix64 permutation family). Callers must filter empty
+ * shingle sets first — an all-sentinel signature would band-collide
+ * every empty doc with every other. */
+case class MinHashSig(child: Expression, numHashes: Int) extends ArrayKernelExpression {
+  require(numHashes >= 1, s"minhash_sig requires numHashes >= 1, got $numHashes")
+  override protected def elemOk(e: DataType): Boolean = e == LongType
+  override protected def expects: String = "array<bigint>"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${DedupKernelRef.K}.minhashSig($c, $numHashes)"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `lsh_bands(array<bigint>, bands) -> array<bigint>`: per-band SplitMix64
+ * chain bucket ids over a MinHash signature. */
+case class LshBands(child: Expression, bands: Int) extends ArrayKernelExpression {
+  require(bands >= 1, s"lsh_bands requires bands >= 1, got $bands")
+  override protected def elemOk(e: DataType): Boolean = e == LongType
+  override protected def expects: String = "array<bigint>"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bands"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.lshBands(input.asInstanceOf[ArrayData], bands)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${DedupKernelRef.K}.lshBands($c, $bands)"
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+}

@@ -29,47 +29,22 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Distinct word-n-gram shingle hashes per doc, computed in one typed
-   * `map` pass: `(_id: long, _blk: string, hs: array<long>)`. */
+  /** Distinct word-n-gram shingle hashes per doc as one codegen'd kernel
+   * call per row (`shingle_fnv` — see DedupExpressions.scala; the former
+   * typed-map formulation paid the Dataset encoder round-trip per doc,
+   * which dominated GC at 16 threads): `(_id: long, _blk: string,
+   * hs: array<long>)`. */
   def shingleHashes(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
       n: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(blockCol).cast("string"), col(textCol))
-      .as[(Long, String, String)]
-      .map { case (id, blk, text) =>
-        // split with limit -1: Java's default drops TRAILING empty tokens,
-        // but the DuckDB oracle's string_split keeps them — a doc ending
-        // in a space must tokenize identically on both engines
-        val ws = text.split(" ", -1)
-        val set = new java.util.HashSet[java.lang.Long]()
-        var i = 0
-        while (i + n <= ws.length) {
-          // FNV-1a over the n words joined by a single space
-          var h = 0xcbf29ce484222325L
-          var k = 0
-          while (k < n) {
-            if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-            val w = ws(i + k)
-            var c = 0
-            while (c < w.length) { h ^= w.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
-            k += 1
-          }
-          set.add(h)
-          i += 1
-        }
-        val arr = new Array[Long](set.size())
-        val it = set.iterator()
-        var j = 0
-        while (it.hasNext) { arr(j) = it.next(); j += 1 }
-        (id, blk, arr)
-      }
-      .toDF("_id", "_blk", "hs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(
+      col(idCol).cast("long").as("_id"),
+      col(blockCol).cast("string").as("_blk"),
+      call_function("shingle_fnv", col(textCol).cast("string"), lit(n)).as("hs"))
   }
 
   /** Exact dedup: group identical texts by md5, keep the smallest id as the
@@ -137,30 +112,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      numHashes: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sets = shingleHashes(docs, idCol, textCol, idCol, n)
+      numHashes: Int): DataFrame =
+    signaturesFromSets(shingleHashes(docs, idCol, textCol, idCol, n), numHashes)
+
+  /** Signature derivation from an existing `(_id, hs)` shingle table —
+   * split out so the LSH chain can shingle once and reuse the same table
+   * for verification. One `minhash_sig` kernel call per row. */
+  private def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sets.sparkSession)
     sets
       .filter(size(col("hs")) > 0)
-      .select(col("_id"), col("hs"))
-      .as[(Long, Array[Long])]
-      .map { case (id, hs) =>
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        var j = 0
-        while (j < hs.length) {
-          val h = hs(j)
-          var i = 0
-          while (i < numHashes) {
-            val v = mix64(h ^ (i * 0x9e3779b97f4a7c15L))
-            if (v < sig(i)) sig(i) = v
-            i += 1
-          }
-          j += 1
-        }
-        (id, sig)
-      }
-      .toDF("_id", "sig")
+      .select(
+        col("_id"),
+        call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
   }
 
   /** LSH candidate pairs from banded signatures, verified with exact
@@ -179,13 +143,7 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame =
-    verifyCandidates(
-      docs,
-      idCol,
-      textCol,
-      n,
-      lshCandidatePairs(docs, idCol, textCol, n, numHashes, bands),
-      threshold)
+    lshChain(docs, idCol, textCol, n, numHashes, bands, threshold, obs = None)
 
   /** [[minHashLshPairs]] with candidate-volume telemetry riding
    * `df.observe` (the [[Validity]] pattern): after ANY action on the
@@ -204,42 +162,61 @@ object Dedup {
       threshold: Double): (DataFrame, Observation, Observation) = {
     val obsCand = Observation("lsh_candidates")
     val obsVer = Observation("lsh_verified")
-    val candidates = lshCandidatePairs(docs, idCol, textCol, n, numHashes, bands)
-      .observe(obsCand, count(lit(1)).as("candidate_pairs"))
-    val verified = verifyCandidates(docs, idCol, textCol, n, candidates, threshold)
-      .observe(obsVer, count(lit(1)).as("verified_pairs"))
-    (verified, obsCand, obsVer)
+    val pairs =
+      lshChain(docs, idCol, textCol, n, numHashes, bands, threshold, Some((obsCand, obsVer)))
+    (pairs, obsCand, obsVer)
   }
 
-  /** Distinct band-collision candidate pairs (a < b), linear in
-   * docs x bands. */
-  private def lshCandidatePairs(
+  /** The shared chain: shingle ONCE, derive signatures and verification
+   * sets from the same persisted shingle table. Shingling is the chain's
+   * single most CPU-expensive row-local stage (string walk + FNV per
+   * shingle) and its output feeds two DIFFERENTLY-KEYED shuffles (band
+   * buckets; per-side verification joins), which Spark's exchange reuse
+   * cannot deduplicate — without the persist the whole corpus is re-read
+   * and re-shingled per consumer (measured 3 scans end-to-end). Persist is
+   * MEMORY_AND_DISK: the set table is ~50 longs/doc, far smaller than the
+   * corpus text, and spills rather than OOMs on big blocks. */
+  private def lshChain(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       numHashes: Int,
-      bands: Int): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val banded = minHashSignatures(docs, idCol, textCol, n, numHashes)
-      .as[(Long, Array[Long])]
-      .map { case (id, sig) =>
-        val bh = new Array[Long](bands)
-        var b = 0
-        while (b < bands) {
-          var h = mix64(0x9e3779b97f4a7c15L * (b + 1))
-          var r = 0
-          while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
-          bh(b) = h
-          b += 1
-        }
-        (id, bh)
-      }
-      .toDF("_id", "bhs")
-      .select(col("_id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+      bands: Int,
+      threshold: Double,
+      obs: Option[(Observation, Observation)]): DataFrame = {
+    val sets = shingleHashes(docs, idCol, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands0 = bandCandidates(signaturesFromSets(sets, numHashes), bands)
+    val cands = obs
+      .map { case (c, _) => cands0.observe(c, count(lit(1)).as("candidate_pairs")) }
+      .getOrElse(cands0)
+    val verified0 = verifyAgainstSets(cands, sets, threshold)
+    obs
+      .map { case (_, v) => verified0.observe(v, count(lit(1)).as("verified_pairs")) }
+      .getOrElse(verified0)
+  }
+
+  /** Distinct band-collision candidate pairs (a < b), linear in
+   * docs x bands (kept for the stage-probe benchmark). */
+  private[graft] def lshCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int): DataFrame =
+    bandCandidates(minHashSignatures(docs, idCol, textCol, n, numHashes), bands)
+
+  /** Band-bucket self-join over (_id, sig) signature rows: one SplitMix64
+   * chain bucket id per band (`lsh_bands` kernel), equi-join on
+   * (band, bucket), a < b. */
+  private def bandCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sigs.sparkSession)
+    val banded = sigs
+      .select(
+        col("_id"),
+        posexplode(call_function("lsh_bands", col("sig"), lit(bands))).as(Seq("band", "bh")))
     banded
       .join(
         banded.select(col("_id").as("_idb"), col("band").as("bandb"), col("bh").as("bhb")),
@@ -248,24 +225,25 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate pairs (row-local
-   * array_intersect over the candidate pairs only). */
-  private def verifyCandidates(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int,
+  /** Exact-Jaccard verification of candidate pairs, row-local over the
+   * candidate pairs only. The shingle arrays are sorted-distinct by
+   * construction (shingle_fnv), so |A∩B| is one merge walk
+   * (`arr_sorted_inter_size`) and |A∪B| = |A|+|B|-|A∩B| — no per-pair
+   * hash-set allocation (array_intersect/array_union each build one). */
+  private def verifyAgainstSets(
       candidates: DataFrame,
+      sets0: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = shingleHashes(docs, idCol, textCol, idCol, n).select(col("_id").as("_sid"), col("hs"))
+    val sets = sets0.select(col("_id").as("_sid"), col("hs"))
     candidates
       .join(sets.withColumnRenamed("_sid", "_id_a").withColumnRenamed("hs", "sa"), col("_id") === col("_id_a"))
       .join(sets.withColumnRenamed("_sid", "_id_b").withColumnRenamed("hs", "sb"), col("_idb") === col("_id_b"))
+      .withColumn("_inter", call_function("arr_sorted_inter_size", col("sa"), col("sb")))
       .select(
         col("_id").as("doc_a"),
         col("_idb").as("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+        (col("_inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
