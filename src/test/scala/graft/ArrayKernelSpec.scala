@@ -129,4 +129,87 @@ class ArrayKernelSpec extends AnyFunSuite {
         v.map(x => math.floor(math.abs(x) * 1000 + 0.5).toLong).sum
     })
   }
+
+  test("arr_sum_mod and bin_frame_sample match the Scala reference") {
+    check(Prop.forAll(arrays) { v =>
+      val a = data(v)
+      ArrayKernels.sumModLong(a, isInt = true, 1000000007L) ==
+        v.flatten.map(x => x.toLong % 1000000007L).sum
+    })
+    val bgen = for {
+      n <- Gen.chooseNum(0, 600)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+      fb <- Gen.chooseNum(1, 64)
+      ev <- Gen.chooseNum(1, 5)
+    } yield (bytes, fb, ev)
+    check(Prop.forAll(bgen) { case (bytes, fb, ev) =>
+      val out = ArrayKernels.frameSample(bytes, fb, ev)
+      val expected = bytes.grouped(fb).zipWithIndex.collect {
+        case (chunk, i) if i % ev == 0 => (i, chunk.toSeq)
+      }.toVector
+      val got = (0 until out.numElements()).map { k =>
+        val row = out.getStruct(k, 2)
+        (row.getInt(0), row.getBinary(1).toSeq)
+      }.toVector
+      got == expected
+    })
+  }
+
+  test("dedup kernels match the pre-kernel Scala reference (shingle/sig/band/intersect)") {
+    import graft.functions.expressions.DedupKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // words with empty tokens (consecutive/trailing spaces) included —
+    // split(-1) parity is the subtle part of the contiguous-range hashing
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.containerOfN[Vector, String](
+        n,
+        Gen.frequency(
+          9 -> Gen.chooseNum(0, 99999).map(x => "w" + x.toHexString),
+          1 -> Gen.const("")))
+    } yield ws.mkString(" ")
+    def refShingles(text: String, n: Int): Vector[Long] = {
+      val ws = text.split(" ", -1)
+      (0 to ws.length - n).map { i =>
+        var h = 0xcbf29ce484222325L
+        (0 until n).foreach { k =>
+          if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          ws(i + k).foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+        }
+        h
+      }.toVector.distinct.sorted
+    }
+    check(Prop.forAll(textGen) { text =>
+      val got = DedupKernels.shingleFnv(UTF8String.fromString(text), 3)
+      (0 until got.numElements()).map(got.getLong).toVector == refShingles(text, 3)
+    })
+    val hsGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.containerOfN[Vector, Long](n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    check(Prop.forAll(hsGen) { hs =>
+      val a = new GenericArrayData(hs.map(Long.box).toArray[Any])
+      val sig = DedupKernels.minhashSig(a, 16)
+      val refSig = (0 until 16).map { i =>
+        val perms = hs.map(h => graft.core.Hash.mix64(h ^ (i * 0x9e3779b97f4a7c15L)))
+        if (perms.isEmpty) Long.MaxValue else perms.min
+      }
+      (0 until 16).map(sig.getLong) == refSig && {
+        val bands = DedupKernels.lshBands(sig, 4)
+        val refBands = (0 until 4).map { b =>
+          var h = graft.core.Hash.mix64(0x9e3779b97f4a7c15L * (b + 1))
+          (0 until 4).foreach(r => h = graft.core.Hash.mix64(h ^ sig.getLong(b * 4 + r)))
+          h
+        }
+        (0 until 4).map(bands.getLong) == refBands
+      }
+    })
+    val pairGen = for {
+      a <- Gen.containerOfN[Vector, Long](30, Gen.chooseNum(-100L, 100L))
+      b <- Gen.containerOfN[Vector, Long](30, Gen.chooseNum(-100L, 100L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    check(Prop.forAll(pairGen) { case (a, b) =>
+      val ad = new GenericArrayData(a.map(Long.box).toArray[Any])
+      val bd = new GenericArrayData(b.map(Long.box).toArray[Any])
+      DedupKernels.sortedInterSize(ad, bd) == a.toSet.intersect(b.toSet).size
+    })
+  }
 }

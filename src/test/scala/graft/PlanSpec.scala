@@ -128,13 +128,22 @@ class PlanSpec extends SparkSpec {
         "arr_pos_weighted_sum_q(v, 100, 1) AS pwsq",
         "arr_sum(arr_every_kth(a, 3)) AS sek",
         "arr_sum(arr_blur4_every_kth(a, 3)) AS sbk",
-        "arr_sum(arr_repeat_each(a, 2)) AS sre")
+        "arr_sum(arr_repeat_each(a, 2)) AS sre",
+        // the round-5 dedup-chain + checksum kernels
+        "arr_sum(shingle_fnv(concat_ws(' ', terms), 3)) AS shf",
+        "arr_sum(minhash_sig(shingle_fnv(concat_ws(' ', terms), 3), 16)) AS mhs",
+        "arr_sum(lsh_bands(minhash_sig(shingle_fnv(concat_ws(' ', terms), 3), 16), 4)) AS lbs",
+        "arr_sorted_inter_size(shingle_fnv(concat_ws(' ', terms), 3), shingle_fnv(concat_ws(' ', terms), 3)) AS sis",
+        "arr_sum_mod(a, 97) AS smod",
+        "size(bin_frame_sample(CAST(concat_ws(' ', terms) AS BINARY), 8, 2)) AS bfs")
     val plan = planOf(df)
     val offending = plan
       .linesIterator
       .filter(l =>
         Seq("lsh_sig", "simhash64", "arr_sum", "arr_null_count", "arr_first_data_pos",
-          "arr_pos_weighted", "arr_every_kth", "arr_blur4", "arr_repeat_each")
+          "arr_pos_weighted", "arr_every_kth", "arr_blur4", "arr_repeat_each",
+          "shingle_fnv", "minhash_sig", "lsh_bands", "arr_sorted_inter_size",
+          "arr_sum_mod", "bin_frame_sample")
           .exists(l.contains) && l.contains("Project"))
       .filterNot(_.contains("FileScan"))
       .filterNot(_.replaceAll("^[\\s:+\\-]*", "").startsWith("*("))
