@@ -31,6 +31,7 @@ object GraftFunctions {
     "minhash_sig" -> (args => MinHashSig(args.head, foldInt(args(1)))),
     "lsh_bands" -> (args => LshBands(args.head, foldInt(args(1)))),
     "arr_sorted_inter_size" -> (args => SortedInterSize(args.head, args(1))),
+    "arr_pairs" -> (args => ArrPairs(args.head)),
     "arr_sum" -> (args => ArrSum(args.head)),
     "arr_sum_mod" -> (args => ArrSumMod(args.head, foldLong(args(1)))),
     "arr_sum_q" -> (args => ArrSumQ(args.head, foldLong(args(1)))),

@@ -110,6 +110,39 @@ object DedupKernels {
     inter
   }
 
+  /** All (a < b) pairs of a bucket's doc ids, sorted-ascending — the
+   * in-row replacement for the band-bucket SELF-JOIN (see
+   * Dedup.bandCandidates for why: the 16M-row SMJ sorts were the
+   * chain's GC + wall pathology on this sandbox). Quadratic in bucket
+   * size BY DESIGN (the join materializes the same k^2 rows); the guard
+   * fails loudly on a bucket so hot that its pair set alone would be a
+   * memory bomb — at that density the banding parameters are wrong for
+   * the corpus and silent slowness helps nobody. */
+  def pairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    require(
+      n <= 65536,
+      s"lsh bucket with $n colliding docs — pair explosion; re-band or salt this corpus")
+    val sorted = new Array[Long](n)
+    var i = 0
+    while (i < n) { sorted(i) = ids.getLong(i); i += 1 }
+    java.util.Arrays.sort(sorted)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](sorted(i), sorted(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Band bucket ids: one SplitMix64 chain over each band's signature
    * rows. */
   def lshBands(sig: ArrayData, bands: Int): ArrayData = {
@@ -149,6 +182,26 @@ case class ShingleFnv(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.shingleFnv($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): ShingleFnv =
+    copy(child = newChild)
+}
+
+/** `arr_pairs(array<bigint>) -> array<struct<a:bigint, b:bigint>>`: all
+ * a < b pairs of a bucket's ids. */
+case class ArrPairs(child: Expression) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean = e == LongType
+  override protected def expects: String = "array<bigint>"
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "arr_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.pairs(input.asInstanceOf[ArrayData])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${DedupKernelRef.K}.pairs($c)"
+  override protected def withNewChildInternal(newChild: Expression): ArrPairs =
     copy(child = newChild)
 }
 

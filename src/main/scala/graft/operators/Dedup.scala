@@ -208,20 +208,33 @@ object Dedup {
       bands: Int): DataFrame =
     bandCandidates(minHashSignatures(docs, idCol, textCol, n, numHashes), bands)
 
-  /** Band-bucket self-join over (_id, sig) signature rows: one SplitMix64
-   * chain bucket id per band (`lsh_bands` kernel), equi-join on
-   * (band, bucket), a < b. */
+  /** Band-bucket candidate pairs over (_id, sig) signature rows: one
+   * SplitMix64 chain bucket id per band (`lsh_bands` kernel), then ONE
+   * shuffle — groupBy (band, bucket), collect the bucket's ids, and emit
+   * each bucket's a < b pairs in-row (`arr_pairs` kernel).
+   *
+   * Why not the textbook self-join on (band, bucket): identical output,
+   * but the join shuffles the 16-rows/doc banded table TWICE (no exchange
+   * reuse across the renamed side) and sort-merge-joins it — and the
+   * SMJ's external-sorter pages were this sandbox's GC pathology (64 MB
+   * humongous allocations; measured 7-15x CPU blow-ups run-to-run at 1M
+   * docs, BENCH.md "dedup chain" section). The grouped form shuffles the
+   * banded rows ONCE into a hash aggregate, sorts nothing, and produces
+   * the same pair count the join would (per-bucket k^2 is inherent to
+   * LSH banding; bucket sizes are density-bounded — property-tested in
+   * PipelineSpec and monitored via DedupJob's candidate telemetry, and
+   * arr_pairs fails loudly on a pair-bomb bucket). */
   private def bandCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     graft.functions.GraftFunctions.register(sigs.sparkSession)
-    val banded = sigs
+    sigs
       .select(
         col("_id"),
         posexplode(call_function("lsh_bands", col("sig"), lit(bands))).as(Seq("band", "bh")))
-    banded
-      .join(
-        banded.select(col("_id").as("_idb"), col("band").as("bandb"), col("bh").as("bhb")),
-        col("band") === col("bandb") && col("bh") === col("bhb") && col("_id") < col("_idb"))
-      .select(col("_id"), col("_idb"))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(call_function("arr_pairs", col("ids"))).as("p"))
+      .select(col("p.a").as("_id"), col("p.b").as("_idb"))
       .distinct()
   }
 

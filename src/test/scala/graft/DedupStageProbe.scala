@@ -44,8 +44,35 @@ object DedupStageProbe {
       (id, sb.toString)
     }.toDF("doc_id", "text")
     val t0 = System.nanoTime()
-    val c = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
+    val pairs = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+    val c = pairs.count()
     println(f"[probe] cores=$cores docs=$nDocs total=${(System.nanoTime()-t0)/1e9}%.2f s pairs=$c")
+    if (sys.env.get("PROBE_PLAN").contains("1")) {
+      println("[plan] " + pairs.queryExecution.executedPlan.toString.take(8000))
+      import org.apache.spark.sql.functions.{call_function, col, lit, posexplode}
+      graft.functions.GraftFunctions.register(s)
+      val sigs = graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 3, 64)
+      val banded = sigs.select(
+        col("_id"),
+        posexplode(call_function("lsh_bands", col("sig"), lit(16))).as(Seq("band", "bh")))
+      var t1 = System.nanoTime()
+      val nb = banded.count()
+      println(f"[probe] banded=$nb in ${(System.nanoTime()-t1)/1e9}%.2f s")
+      t1 = System.nanoTime()
+      val other = banded
+        .select(col("_id").as("_idb"), col("band").as("bandb"), col("bh").as("bhb"))
+      val preDistinct = banded
+        .join(
+          other,
+          col("band") === col("bandb") && col("bh") === col("bhb") && col("_id") < col("_idb"))
+        .count()
+      println(f"[probe] pre_distinct=$preDistinct in ${(System.nanoTime()-t1)/1e9}%.2f s")
+      t1 = System.nanoTime()
+      val cand = graft.operators.Dedup
+        .lshCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
+        .count()
+      println(f"[probe] candidates=$cand in ${(System.nanoTime()-t1)/1e9}%.2f s")
+    }
     s.stop()
   }
 }
