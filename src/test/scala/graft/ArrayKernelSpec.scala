@@ -211,5 +211,17 @@ class ArrayKernelSpec extends AnyFunSuite {
       val bd = new GenericArrayData(b.map(Long.box).toArray[Any])
       DedupKernels.sortedInterSize(ad, bd) == a.toSet.intersect(b.toSet).size
     })
+    // arr_pairs == the self-join's (a < b) pair set, ascending
+    val idsGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.containerOfN[Vector, Long](n, Gen.chooseNum(0L, 1000L)).map(_.distinct))
+    check(Prop.forAll(idsGen) { ids =>
+      val a = new GenericArrayData(ids.map(Long.box).toArray[Any])
+      val out = DedupKernels.pairs(a)
+      val got = (0 until out.numElements()).map { k =>
+        val r = out.getStruct(k, 2); (r.getLong(0), r.getLong(1))
+      }.toSet
+      val want = (for { x <- ids; y <- ids if x < y } yield (x, y)).toSet
+      got == want && out.numElements() == want.size
+    })
   }
 }
