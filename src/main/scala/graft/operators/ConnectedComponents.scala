@@ -99,13 +99,16 @@ object ConnectedComponents {
       // neighbors, and u itself, re-point at m(u) = min(N-(u)); m < every
       // emitted source so canonical form is again preserved.
       val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      // lazy checkpoint: materialized by the fingerprint action just
+      // below (one Spark job per round instead of two — the per-round
+      // driver overhead, not the data, dominates small closures)
       val next = large
         .join(smallMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(smallMins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
