@@ -107,7 +107,8 @@ object DedupScalingMain {
       run(s, nDocs / 20) // warmup / JIT
       var bestWall = Double.MaxValue
       var bestCpu = Double.MaxValue
-      for (_ <- 1 to 2) {
+      val runsPerLevel = sys.env.getOrElse("DEDUP_BENCH_RUNS", "2").toInt
+      for (_ <- 1 to runsPerLevel) {
         val c0 = cpuNs.get
         val t0 = System.nanoTime()
         val nPairs = run(s, nDocs)

@@ -6,6 +6,8 @@ object JoinRepro {
     val shm = sys.env.get("REPRO_SHM").contains("1")
     val b = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("REPRO_BC", "10485760"))
       .config("spark.ui.enabled", "false")
     val s = (if (shm) b.config("spark.local.dir", "/dev/shm/graft-shuffle") else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
