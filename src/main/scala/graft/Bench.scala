@@ -100,16 +100,37 @@ object Bench {
     // would otherwise report an artificially fast best time with the
     // failure visible only on stderr (round-4 ADVICE); failures are
     // carried into the JSON artifact instead
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val failedPassNames = scala.collection.mutable.LinkedHashSet[String]()
+    // ~1-2 s host-noise CONTROL bracketing the suite: a fixed-size rollup
+    // (the engine's primary-metric job, small enough to dodge the
+    // minutes-scale frequency troughs documented in BENCH.md) run before
+    // and after the passes. control_pps calibrates what the host was
+    // actually delivering during THIS artifact, so cross-round suite
+    // comparisons can divide out the window (BENCH.md interpretation) —
+    // round 5's 27.7 -> 47.7 s "regression" was exactly such a window.
+    val controlDocs = 200000L
+    val controlTokens = 256
+    def controlRun(): Double =
+      if (!runSuite) Double.NaN else rollupRun(spark, controlDocs, controlTokens)._2
+    val controlBefore = controlRun()
     for (_ <- 1 to passes; (name, fn) <- suite) {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
-      else failed += name
+      else failedPassNames += name
     }
+    val controlAfter = controlRun()
+    val controlSec = math.min(controlBefore, controlAfter)
     val results = suite.collect { case (name, _) if best(name) != Double.MaxValue => name -> best(name) }
+    // "failed" = queries that NEVER produced a timing (absent from the
+    // queries map); a query that failed in one pass but timed in another is
+    // "flaky_passes" — the two were previously conflated in one list
+    val failed = suite.collect {
+      case (name, _) if best(name) == Double.MaxValue && failedPassNames.contains(name) => name
+    }
+    val flaky = failedPassNames.toSeq.filterNot(failed.toSet)
     spark.stop()
 
     // -- Part 2: primary metric at two cluster sizes ---------------------
@@ -213,9 +234,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failures surface in the artifact, not only on stderr
-    val failedJson =
-      if (failed.isEmpty) ""
-      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val failedJson = {
+      val f =
+        if (failed.isEmpty) ""
+        else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val fl =
+        if (flaky.isEmpty) ""
+        else s""","flaky_passes":${flaky.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      f + fl
+    }
+    val controlJson =
+      if (!runSuite || controlSec.isNaN) ""
+      else {
+        val pts = controlDocs * controlTokens
+        f""","control":{"points":$pts,"sec":$controlSec%.3f,"pps":${pts / controlSec}%.0f}"""
+      }
     val rollupJson = scaling
       .map { sc =>
         // short (<1B-point) runs inflate the CPU ratio with fixed per-run
@@ -229,7 +262,7 @@ object Bench {
       }
       .getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qs$failedJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qs$failedJson$controlJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
     // Compact stdout line: same shape, but "queries" carries only the 8
     // slowest (min-of-passes) timings plus a pointer to the full map. The
     // driver's stdout tail-capture truncates long lines from the HEAD
@@ -237,7 +270,7 @@ object Bench {
     // null); keeping the one stdout JSON line short is the fix, and
     // bench_out.json is the durable complete copy.
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json"$failedJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json"$failedJson$controlJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
     // Only a SUITE run may overwrite the durable per-query artifact — a
     // scaling-only run (SPARK_GRAFT_SUITE=0) would otherwise clobber the
     // complete query map with an empty one.

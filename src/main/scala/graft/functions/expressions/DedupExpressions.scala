@@ -110,24 +110,38 @@ object DedupKernels {
     inter
   }
 
+  /** The loud-failure ceiling for [[pairs]]. 4096 ids -> at most
+   * n*(n-1)/2 = 8,386,560 pair rows, ~400 MB of boxed GenericInternalRow
+   * worst case — survivable in one task, so the require below genuinely
+   * FIRES (with a diagnosis) instead of the executor dying of OOM first.
+   * The previous 65536 bound admitted ~2.1 BILLION rows (>100 GB in one
+   * allocation): a guard that cannot fire in its own failure regime. Any
+   * corpus that hits 4096 ids in one (band, bucket) has banding parameters
+   * wrong for its density (DedupJob's candidate telemetry and the
+   * PipelineSpec density property both watch this) and must re-band or
+   * salt — quadratic pair output is inherent to LSH banding, not a knob. */
+  val MaxBucketIds = 4096
+
   /** All (a < b) pairs of a bucket's doc ids, sorted-ascending — the
    * in-row replacement for the band-bucket SELF-JOIN (see
    * Dedup.bandCandidates for why: the 16M-row SMJ sorts were the
    * chain's GC + wall pathology on this sandbox). Quadratic in bucket
    * size BY DESIGN (the join materializes the same k^2 rows); the guard
-   * fails loudly on a bucket so hot that its pair set alone would be a
-   * memory bomb — at that density the banding parameters are wrong for
-   * the corpus and silent slowness helps nobody. */
+   * fails loudly — BEFORE any allocation — on a bucket so hot that its
+   * pair set alone would be a memory bomb ([[MaxBucketIds]]). */
   def pairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
     require(
-      n <= 65536,
-      s"lsh bucket with $n colliding docs — pair explosion; re-band or salt this corpus")
+      n <= MaxBucketIds,
+      s"lsh bucket with $n colliding docs (> $MaxBucketIds: ~${n.toLong * (n - 1) / 2} " +
+        "pairs in one task) — pair explosion; re-band or salt this corpus")
     val sorted = new Array[Long](n)
     var i = 0
     while (i < n) { sorted(i) = ids.getLong(i); i += 1 }
     java.util.Arrays.sort(sorted)
-    val out = new Array[Any](n * (n - 1) / 2)
+    // pair count fits Int by the guard (n <= 4096 -> < 2^23), but compute
+    // in Long first: Int n*(n-1)/2 silently overflows from n = 46341
+    val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
     var k = 0
     i = 0
     while (i < n) {

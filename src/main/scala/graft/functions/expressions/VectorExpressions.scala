@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
 /**
  * Vector kernels for the similarity/ANN operators — tight JVM loops inside
  * single Catalyst expressions, replacing the round-1 SQL higher-order
- * functions (`zip_with`/`aggregate` lambdas), which evaluate INTERPRETED
- * per element (~100 µs/element measured in this environment, BENCH.md
- * round-1 lesson). One expression eval per candidate pair costs one virtual
- * call + an O(dim) primitive loop.
+ * functions (`zip_with`/`aggregate` lambdas). Cost model (measured,
+ * KernelBenchMain round 4): simple HOF lambdas are ~1-2 ns/element in
+ * Spark 4.1 — the round-1 "100 µs/element" was per-element STRING
+ * construction on a codegen-broken span, not lambda evaluation — but the
+ * kernels still win 10-25% per op and keep the projection in one
+ * whole-stage-codegen span. One expression eval per candidate pair costs
+ * one virtual call + an O(dim) primitive loop.
  *
  * Quantization contract (shared with every DuckDB similarity oracle):
  * q(x) = floor(double(x) * 1000 + 0.5) as a Long, so dot products and

@@ -43,9 +43,13 @@ object DedupJob {
     val nDocs = docs.count()
     val params = s"lsh-n$n-h$numHashes-b$bands-t$threshold-docs$nDocs"
 
-    val (pairs, obsCand, obsVer) =
+    val (lsh, obsCand, obsVer) =
       Dedup.minHashLshPairsObserved(docs, "doc_id", "text", n, numHashes, bands, threshold)
-    val pairsSnap = store.commit(pairs, "dedup_pairs", "lsh_pairs", params)
+    val pairsSnap = store.commit(lsh.pairs, "dedup_pairs", "lsh_pairs", params)
+    // the committed snapshot is the durable pair set — release the chain's
+    // internal shingle cache now (a long-lived session would otherwise
+    // accumulate one cached shingle table per distinct corpus run)
+    lsh.release()
     val cand = obsCand.get("candidate_pairs").asInstanceOf[Long]
     val ver = obsVer.get("verified_pairs").asInstanceOf[Long]
 

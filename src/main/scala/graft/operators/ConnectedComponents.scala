@@ -74,6 +74,22 @@ object ConnectedComponents {
       (r.getLong(0), String.valueOf(r.getDecimal(1)))
     }
 
+    // Frees the block-storage copy behind a localCheckpoint'ed edge set.
+    // Each round's checkpoint blocks are dead weight the moment the NEXT
+    // round has materialized (local checkpoints truncate lineage, so the
+    // next round's blocks never re-read the previous round's) — without
+    // this, every round of every closure run in a session accumulates in
+    // the block manager until GC happens to collect the RDD references.
+    // The FINAL edge set is deliberately NOT freed here: the returned
+    // labels read it lazily; its blocks are reclaimed by the
+    // ContextCleaner once the caller drops the labels DataFrame.
+    def unpersistCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = fp._1 == 0L // no edges at all -> nothing to close
@@ -110,6 +126,9 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(eager = false)
       val nfp = fingerprint(next)
+      // `next` is now fully materialized in its own blocks — the previous
+      // round's checkpoint can be freed immediately
+      unpersistCheckpoint(edges)
       converged = nfp == fp
       fp = nfp
       edges = next

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
  * Scale design notes:
  *  - exact dedup is one groupBy on a 128-bit content hash — shuffle volume
  *    is one row per document, never the text;
- *  - shingling runs as a typed `map` (plain JVM string walk, one pass per
- *    document) rather than SQL higher-order functions: HOF lambdas evaluate
- *    interpreted per element (~100 µs/call measured) — 3-4 orders of
- *    magnitude slower than the JVM loop — and shingle JOIN keys are 64-bit
- *    FNV-1a hashes, never strings, so shuffles stay narrow;
+ *  - shingling, signatures and banding run as codegen'd Catalyst kernels
+ *    (DedupExpressions.scala) — one JVM loop per row inside the projection.
+ *    The earlier typed-Dataset-map formulation paid an encoder round-trip
+ *    (row -> Scala objects -> row) per doc, which dominated GC at 16
+ *    threads (stage probe: 14.2 -> 1.4 s GC after kernel-izing, BENCH.md
+ *    "dedup chain"). Shingle JOIN keys are 64-bit FNV-1a hashes, never
+ *    strings, so shuffles stay narrow;
  *  - n-gram Jaccard uses a (shingle-hash -> doc) inverted-list self-join
  *    BLOCKED by `source` (a pair can only match within a block), bounding
  *    the quadratic term by the largest block — standard blocking discipline;
@@ -97,10 +99,11 @@ object Dedup {
   private def mix64(z: Long): Long = graft.core.Hash.mix64(z)
 
   /** MinHash signature per doc: sig[i] = min over shingle hashes of the
-   * i-seeded SplitMix64 permutation. Computed ROW-LOCALLY inside the same
-   * typed map pass that shingles the text — zero shuffle (the previous
-   * formulation exploded every shingle and ran numHashes min-aggregations,
-   * shuffling |shingles| rows for nothing: the minima are per-doc state).
+   * i-seeded SplitMix64 permutation. Computed ROW-LOCALLY by the
+   * `minhash_sig` kernel over the shingle array — zero shuffle (the
+   * round-1 formulation exploded every shingle and ran numHashes
+   * min-aggregations, shuffling |shingles| rows for nothing: the minima
+   * are per-doc state).
    *
    * Docs with ZERO shingles (text shorter than n words) are dropped: the
    * min over an empty set is undefined, and an all-sentinel signature
@@ -128,13 +131,11 @@ object Dedup {
   }
 
   /** LSH candidate pairs from banded signatures, verified with exact
-   * Jaccard over the distinct shingle-hash sets (row-local array_intersect
-   * on the candidate pairs only). Band bucket ids are SplitMix64 chains
-   * over the band's signature longs, computed in a typed JVM map — the
-   * previous formulation built a comma-joined STRING per band and ran an
-   * interpreted `transform` lambda per doc (~2 µs per string plus the
-   * interpreted-lambda tax); bucket ids are engine-internal, so only the
-   * LSH == exact invariant (PipelineSpec) is the contract. */
+   * Jaccard over the distinct shingle-hash sets (row-local merge-walk
+   * intersection on the candidate pairs only). Band bucket ids are
+   * SplitMix64 chains over the band's signature longs (`lsh_bands`
+   * kernel); bucket ids are engine-internal, so only the LSH == exact
+   * invariant (PipelineSpec) is the contract. */
   def minHashLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -143,7 +144,31 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame =
-    lshChain(docs, idCol, textCol, n, numHashes, bands, threshold, obs = None)
+    lshChain(docs, idCol, textCol, n, numHashes, bands, threshold, obs = None)._1
+
+  /** The returned-pairs + release-hook view of the LSH chain.
+   * [[LshPairs.release]] unpersists the chain's internal shingle cache; call
+   * it once the pairs have been materialized (written / collected). Without
+   * it the cache lives for the SESSION — bounded, because Spark's
+   * CacheManager keys entries by canonicalized plan so re-invoking the
+   * chain on the same input reuses one entry rather than stacking copies,
+   * but a long-lived session running many DIFFERENT corpora through the
+   * chain should release each when done ([[graft.jobs.DedupJob]] does). */
+  final case class LshPairs(pairs: DataFrame, release: () => Unit)
+
+  /** [[minHashLshPairs]] returning the explicit cache-release hook. */
+  def minHashLshPairsReleasable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): LshPairs = {
+    val (pairs, release) =
+      lshChain(docs, idCol, textCol, n, numHashes, bands, threshold, obs = None)
+    LshPairs(pairs, release)
+  }
 
   /** [[minHashLshPairs]] with candidate-volume telemetry riding
    * `df.observe` (the [[Validity]] pattern): after ANY action on the
@@ -159,12 +184,12 @@ object Dedup {
       n: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double): (DataFrame, Observation, Observation) = {
+      threshold: Double): (LshPairs, Observation, Observation) = {
     val obsCand = Observation("lsh_candidates")
     val obsVer = Observation("lsh_verified")
-    val pairs =
+    val (pairs, release) =
       lshChain(docs, idCol, textCol, n, numHashes, bands, threshold, Some((obsCand, obsVer)))
-    (pairs, obsCand, obsVer)
+    (LshPairs(pairs, release), obsCand, obsVer)
   }
 
   /** The shared chain: shingle ONCE, derive signatures and verification
@@ -175,7 +200,11 @@ object Dedup {
    * cannot deduplicate — without the persist the whole corpus is re-read
    * and re-shingled per consumer (measured 3 scans end-to-end). Persist is
    * MEMORY_AND_DISK: the set table is ~50 longs/doc, far smaller than the
-   * corpus text, and spills rather than OOMs on big blocks. */
+   * corpus text, and spills rather than OOMs on big blocks.
+   *
+   * Returns the verified pairs plus the shingle-cache release hook (see
+   * [[LshPairs]] for the lifetime contract — the hook is safe to call any
+   * time after the pairs are materialized, and idempotent). */
   private def lshChain(
       docs: DataFrame,
       idCol: String,
@@ -184,7 +213,7 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      obs: Option[(Observation, Observation)]): DataFrame = {
+      obs: Option[(Observation, Observation)]): (DataFrame, () => Unit) = {
     val sets = shingleHashes(docs, idCol, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands0 = bandCandidates(signaturesFromSets(sets, numHashes), bands)
@@ -192,9 +221,10 @@ object Dedup {
       .map { case (c, _) => cands0.observe(c, count(lit(1)).as("candidate_pairs")) }
       .getOrElse(cands0)
     val verified0 = verifyAgainstSets(cands, sets, threshold)
-    obs
+    val verified = obs
       .map { case (_, v) => verified0.observe(v, count(lit(1)).as("verified_pairs")) }
       .getOrElse(verified0)
+    (verified, () => { sets.unpersist(blocking = false); () })
   }
 
   /** Distinct band-collision candidate pairs (a < b), linear in

@@ -66,10 +66,11 @@ object PadResample {
   }
 
   // The three rate-resamplers are single Catalyst kernel expressions
-  // (ArrayExpressions.scala) rather than SQL higher-order functions: HOF
-  // lambdas evaluate interpreted at ~100 µs/element (BENCH.md round-1
-  // lesson), a 10-100× constant factor on what is otherwise a linear
-  // shuffle-free pass — at 100 TB the constant IS the cost.
+  // (ArrayExpressions.scala) rather than SQL higher-order functions.
+  // Measured cost model (KernelBenchMain, round 4): simple HOF lambdas run
+  // at ~1-2 ns/element in Spark 4.1 — the kernels' win here is the 10-25%
+  // per-op constant plus keeping this linear shuffle-free pass inside one
+  // whole-stage-codegen span; at 100 TB the constant IS the cost.
 
   private def withFn(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

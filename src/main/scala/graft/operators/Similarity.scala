@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
  * deterministic double expression. Quantization is also the realistic
  * at-scale choice (int8/int16 quantized ANN).
  *
- * Kernel discipline (round-2 fix): dot products, norms and LSH signatures
- * run inside single Catalyst expressions with tight JVM loops
+ * Kernel discipline (round-2 fix, cost model corrected by round-4's
+ * KernelBenchMain): dot products, norms and LSH signatures run inside
+ * single Catalyst expressions with tight JVM loops
  * ([[graft.functions.expressions.DotQ]]/[[graft.functions.expressions.LshSig]])
- * — NOT SQL higher-order functions, whose lambdas evaluate interpreted per
- * element (~100 µs/element measured; BENCH.md round-1 lesson). Every
- * candidate pair costs one O(dim) primitive loop.
+ * — NOT SQL higher-order functions. Simple HOF lambdas cost ~1-2
+ * ns/element in Spark 4.1 (not the round-1 "100 µs" lore, which was
+ * per-element string construction on a codegen-broken span); the kernels
+ * still win 10-25% per op and keep the surrounding projection in one
+ * whole-stage-codegen span. Every candidate pair costs one O(dim)
+ * primitive loop.
  */
 object Similarity {
 

@@ -224,4 +224,22 @@ class ArrayKernelSpec extends AnyFunSuite {
       got == want && out.numElements() == want.size
     })
   }
+
+  test("arr_pairs pair-bomb guard FIRES (before allocation) on an over-dense bucket") {
+    import graft.functions.expressions.DedupKernels
+    // a dense (but sane) bucket stays allowed — 1000 ids = 499,500 pairs
+    val dense = new GenericArrayData(
+      Array.tabulate(1000)(i => Long.box(i.toLong)).asInstanceOf[Array[Any]])
+    assert(DedupKernels.pairs(dense).numElements() == 1000 * 999 / 2)
+    // one past the ceiling: the require must fire with the diagnostic
+    // message — NOT an OOM, NOT a NegativeArraySizeException (the old
+    // 65536 bound overflowed Int pair counts from n = 46341 and would OOM
+    // executors long before its own require could trigger)
+    val overCap = new GenericArrayData(
+      Array.tabulate(DedupKernels.MaxBucketIds + 1)(i => Long.box(i.toLong))
+        .asInstanceOf[Array[Any]])
+    val e = intercept[IllegalArgumentException](DedupKernels.pairs(overCap))
+    assert(e.getMessage.contains("pair explosion"))
+    assert(e.getMessage.contains((DedupKernels.MaxBucketIds + 1).toString))
+  }
 }
