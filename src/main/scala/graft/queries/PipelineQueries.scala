@@ -93,10 +93,11 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
 
-    // Multimodal: batched decode+feature plumbing over binary media; image
-    // rows carry REAL PNGs and their stats are over the DECODED pixels
-    // (javax.imageio round-trip; the oracle reproduces the pixels from
-    // doc_id arithmetic because PNG is lossless).
+    // Multimodal: batched decode+feature plumbing over binary media. ALL
+    // THREE modalities are real container decodes (PNG / RIFF-WAVE PCM /
+    // RIFF-AVI DIB) and their stats are over the DECODED payloads; every
+    // container is lossless, so the oracle reproduces the decoded bytes
+    // from doc_id arithmetic alone.
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal
         .features(s, Multimodal.mediaTable(s, dir))
@@ -105,7 +106,9 @@ object PipelineQueries {
 
     // Frame sampling: 256-byte frames, every 2nd kept — an audio/video
     // operation (byte-chunking a compressed PNG container is meaningless,
-    // and its deflate length is not SQL-reproducible).
+    // and its deflate length is not SQL-reproducible). Operates on the
+    // CONTAINER bytes; both containers are fixed-size (audio 444 B,
+    // video 2304 B) so the chunk geometry is SQL-reproducible.
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal
         .frameSample(
@@ -117,8 +120,16 @@ object PipelineQueries {
           col("doc_id"),
           col("modality"),
           col("f.frame_idx").as("frame_idx"),
-          octet_length(col("f.frame")).as("frame_bytes")))
-  ,
+          octet_length(col("f.frame")).as("frame_bytes"))),
+
+    // REAL video-frame decode surface: every '00db' DIB frame of each AVI
+    // container, with its unsigned-byte checksum — uncompressed DIB is
+    // lossless, so the oracle recomputes each frame's sum from the
+    // deterministic pattern without touching the container.
+    "q_video_frames" -> ((s, dir) =>
+      Multimodal
+        .videoFrames(s, Multimodal.mediaTable(s, dir))
+        .toDF()),
 
     // The CANONICAL §3.1 training chain composed end-to-end (SURVEY §3.1:
     // ImputeTimeSeries(0) -> Patchify -> AddVariateIndex -> AddTimeIndex ->
@@ -313,26 +324,27 @@ object PipelineQueries {
         |         AS fingerprint,
         |       count(*) AS n_words
         |FROM w GROUP BY 1""".stripMargin,
-    // byte-exact oracle. Audio/video (stub decode = identity): strlen() is
-    // BYTE length (len() is chars) and the bin-2 count is the full
-    // 0x20..0x2f class, so it stays green for any punctuation and for
-    // multi-byte text (UTF-8 continuation bytes never fall in 0x20..0x2f).
-    // Image: the REAL decode is a lossless PNG round-trip, so the decoded
-    // pixels equal the deterministic pattern and the oracle recomputes
-    // their stats from doc_id arithmetic alone (16x16 = 256 pixels,
-    // pixel_i = ((doc_id+1)*2654435761 + i*40503) % 256).
-    // video rows: decoded = the utf-8 text bytes (documented stub).
-    // image rows: decoded = the 256 deterministic pixels (PNG lossless).
-    // audio rows: decoded = the 400-byte little-endian PCM stream of 200
-    // deterministic 16-bit samples v_i = ((id+1)*MulA + i*MulB) % 2^16
-    // (WAV PCM is uncompressed, so each byte is v%256 or v//256).
+    // byte-exact oracle — every modality a lossless REAL decode, so the
+    // oracle recomputes the decoded bytes from doc_id arithmetic alone:
+    // image rows: the 256 deterministic pixels (PNG lossless),
+    //   pixel_i = ((doc_id+1)*2654435761 + i*40503) % 256.
+    // audio rows: the 400-byte little-endian PCM stream of 200
+    //   deterministic 16-bit samples v_i = ((id+1)*MulA + i*MulB) % 2^16
+    //   (WAV PCM is uncompressed, so each byte is v%256 or v//256).
+    // video rows: the 4x256 = 1024 concatenated DIB frame bytes,
+    //   byte_j = ((doc_id+1)*2654435761 + j*40503) % 256 (AVI '00db'
+    //   frames are uncompressed, so decode == pattern).
+    // The bin-2 count is the full 0x20..0x2f byte class.
     "q_multimodal_features" ->
-      s"""SELECT doc_id, 'video' AS modality,
-         |       CAST(strlen(text) AS INT) AS n_bytes,
-         |       CAST(strlen(text) AS BIGINT) AS hist_sum,
-         |       CAST(strlen(text) - strlen(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT)
+      s"""SELECT d.doc_id, 'video' AS modality,
+         |       CAST(1024 AS INT) AS n_bytes,
+         |       CAST(1024 AS BIGINT) AS hist_sum,
+         |       CAST(sum(CASE WHEN ((d.doc_id + 1) * 2654435761 + t.j * 40503) % 256
+         |                          BETWEEN 32 AND 47 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS spaces_bin
-         |FROM documents WHERE doc_id % 3 = 2
+         |FROM documents d, LATERAL (SELECT unnest(range(0, 1024)) AS j) t
+         |WHERE d.doc_id % 3 = 2
+         |GROUP BY 1
          |UNION ALL
          |SELECT doc_id, 'audio' AS modality,
          |       CAST(400 AS INT) AS n_bytes,
@@ -355,19 +367,33 @@ object PipelineQueries {
          |FROM documents d, LATERAL (SELECT unnest(range(0, 256)) AS i) t
          |WHERE d.doc_id % 3 = 0
          |GROUP BY 1""".stripMargin,
-    // audio containers are a fixed 444 bytes (44-byte canonical header +
-    // 400 PCM bytes): ceil(444/256) = 2 frames, every-2nd keeps frame 0
-    // at the full 256 bytes
+    // container sizes are FIXED by the header layouts: audio 444 bytes
+    // (44-byte canonical header + 400 PCM) -> ceil(444/256) = 2 chunks,
+    // every-2nd keeps chunk 0 at the full 256 bytes; video 2304 bytes
+    // (AVI headers + 4 x (8+256) movi frames) = exactly 9 x 256 ->
+    // chunks 0,2,4,6,8, all full
     "q_multimodal_frames" ->
       s"""SELECT doc_id, 'video' AS modality,
          |       CAST(t.i AS INT) AS frame_idx,
-         |       CAST(LEAST(256, strlen(text) - t.i * 256) AS INT) AS frame_bytes
+         |       CAST(256 AS INT) AS frame_bytes
          |FROM documents,
-         |     LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS INT))) AS i) t
+         |     LATERAL (SELECT unnest(range(0, 9)) AS i) t
          |WHERE t.i % 2 = 0 AND doc_id % 3 = 2
          |UNION ALL
          |SELECT doc_id, 'audio' AS modality,
          |       CAST(0 AS INT) AS frame_idx, CAST(256 AS INT) AS frame_bytes
-         |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+         |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+    // per-frame checksums over the DECODED 8-bit DIB frames: frame f,
+    // byte i -> pattern index j = f*256 + i
+    "q_video_frames" ->
+      s"""SELECT d.doc_id, CAST(t.f AS INT) AS frame_idx,
+         |       CAST(256 AS INT) AS frame_bytes,
+         |       CAST(sum(((d.doc_id + 1) * 2654435761 + (t.f * 256 + i.i) * 40503) % 256)
+         |            AS BIGINT) AS frame_sum
+         |FROM documents d,
+         |     LATERAL (SELECT unnest(range(0, 4)) AS f) t,
+         |     LATERAL (SELECT unnest(range(0, 256)) AS i) i
+         |WHERE d.doc_id % 3 = 2
+         |GROUP BY 1, 2""".stripMargin
   )
 }

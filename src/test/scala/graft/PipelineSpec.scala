@@ -265,6 +265,54 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wav.decodePcm16Bytes("nope".getBytes))
   }
 
+  test("AVI DIB decode: bit-exact round-trip; chunk walk; compressed stream rejected") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.Avi
+    for (id <- Seq(0L, 5L, 42L, 999L)) {
+      val frames = Avi.framesOf(id)
+      val avi = Avi.encodeDib8(frames)
+      // a real RIFF/AVI container of the documented fixed size
+      assert(avi.length == Avi.ContainerBytes)
+      assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+      val dec = Avi.decodeFrames(avi)
+      assert(dec.length == frames.length)
+      dec.zip(frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+      assert(Avi.decodeFrameBytes(avi).toSeq == frames.flatten.toSeq)
+    }
+    // decode must WALK chunks, not assume fixed offsets: splice an
+    // odd-sized JUNK chunk (word padding exercised) before the hdrl list
+    val plain = Avi.encodeDib8(Avi.framesOf(3L))
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](9, 8, 7, 6, 5, 0) // 5 payload bytes + 1 pad byte
+    val spliced = plain.take(12) ++ junk ++ plain.drop(12)
+    val riffSize = spliced.length - 8
+    for (k <- 0 until 4) spliced(4 + k) = ((riffSize >> (8 * k)) & 0xff).toByte
+    assert(Avi.decodeFrameBytes(spliced).toSeq == Avi.framesOf(3L).flatten.toSeq)
+    // a compressed stream (biCompression != 0, offset 188 in the canonical
+    // layout) must be rejected, not mis-read as raw frames
+    val compressed = plain.clone()
+    compressed(188) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Avi.decodeFrames(compressed))
+    // ... as must a non-8bpp stream (biBitCount at offset 186)
+    val deep = plain.clone()
+    deep(186) = 24
+    intercept[IllegalArgumentException](Avi.decodeFrames(deep))
+    intercept[IllegalArgumentException](Avi.decodeFrames("nope".getBytes))
+    // features() on video rows are computed over the DECODED frames:
+    // 4 x 256 bytes, bin-2 count matching the direct formula
+    val feats = Multimodal
+      .features(spark, Multimodal.mediaTable(spark, sf("sf0.001")))
+      .filter(col("modality") === "video")
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_bytes == 1024 && f.hist_sum == 1024L)
+      val want = Avi.framesOf(f.doc_id).flatten.count(b => (b & 0xf0) == 0x20)
+      assert(f.spaces_bin == want.toLong)
+    }
+  }
+
   test("exact dedup keeps one representative per group and covers all docs") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
     val total = docs.count()
