@@ -145,6 +145,38 @@ object Similarity {
     moved.withColumn("cn", call_function("dot_q", col("cv"), col("cv")))
   }
 
+  /** The IVF ASSIGNMENT stage as a first-class oracle-checkable surface:
+   * every corpus vector with its best-cosine centroid and that cosine.
+   * Centroids here are the modulo sample `id % centroidRate == 0`
+   * (SQL-reproducible; [[ivfTopK]] keeps the xxhash64 sample, which is
+   * uniform over arbitrary id sets but not expressible in the oracle
+   * engine). Ties break to the smallest centroid id — the same
+   * `max(struct(c_cos, -c_id))` partial aggregate as [[ivfTopK]]'s
+   * assignment, so one row per vector leaves each map task; the
+   * (corpus x centroids) pair rows are never shuffled. Cosines run on the
+   * fixed-point quantized components (exact integer dot/norms), making the
+   * final double bit-equal across engines. */
+  def ivfAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidRate: Int): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val centroids = base
+      .filter(col(idCol) % centroidRate === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm2").as("cn"))
+    base
+      .select(col(idCol).as("_vid"), col(vecCol).as("v"), col("norm2").as("n2"))
+      .join(broadcast(centroids))
+      .select(col("_vid"), cCos.as("c_cos"), (-col("c_id")).as("_nc"))
+      .groupBy(col("_vid"))
+      .agg(max(struct(col("c_cos"), col("_nc"))).as("_b"))
+      .select(
+        col("_vid").as("vec_id"),
+        (-col("_b._nc")).as("c_id"),
+        col("_b.c_cos").as("c_cos"))
+  }
+
   /** IVF (inverted-file) ANN — the FAISS-style coarse-quantizer shape:
    *
    *  1. coarse centroids: a deterministic 1/`centroidRate` hash sample of

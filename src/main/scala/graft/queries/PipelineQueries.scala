@@ -81,6 +81,13 @@ object PipelineQueries {
     "q_knn_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 50, 4, 5)),
 
+    // The IVF ASSIGNMENT stage oracle-checked on its own: best-cosine
+    // centroid per vector over the modulo-sampled centroid set (1/25 of
+    // ids). Quantized integer dot/norms make the cosine (and therefore
+    // the argmax, ties to smallest centroid id) bit-equal across engines.
+    "q_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(emb(s, dir), "vec_id", "embedding", 25)),
+
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
 
@@ -275,6 +282,30 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY cos DESC, neighbor_id) AS rank FROM cosd)
         |WHERE rank <= 5""".stripMargin,
+    // assignment argmax over the modulo-sampled centroids; the same
+    // quantized-integer dot/norm discipline as q_knn_bruteforce keeps the
+    // cosine double (and the argmax it decides) bit-equal across engines
+    "q_ivf_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(t.i AS INT) AS i,
+        |         CAST(floor(CAST(e[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, embedding AS e FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t),
+        |nrm AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM q GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS vid, b.vec_id AS cid,
+        |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.i = b.i AND b.vec_id % 25 = 0
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.vid, d.cid,
+        |         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c_cos
+        |  FROM dots d JOIN nrm nv ON d.vid = nv.vec_id
+        |              JOIN nrm nc ON d.cid = nc.vec_id)
+        |SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS c_id, c_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vid
+        |            ORDER BY c_cos DESC, cid) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,

@@ -239,6 +239,35 @@ class PipelineSpec extends SparkSpec {
     assert(recallRefined >= 0.8, s"refined ivf recall $recallRefined (seed $recallIvf)")
   }
 
+  test("IVF assignment equals the brute-force best centroid; no pair-row shuffle") {
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", 25)
+    // brute-force reference on the quantized components (the operator's
+    // own determinism contract): best cosine, ties to smallest centroid
+    val vecs = emb
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x * 1000 + 0.5).toLong).toArray)
+      .toMap
+    val centroidIds = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      def n2(v: Array[Long]) = v.map(x => x * x).sum
+      dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> centroidIds.map(c => (-cos(v, vecs(c)), c)).min._2
+    }
+    val got = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == vecs.size)
+    got.foreach { case (id, c) => assert(c == want(id), s"vec $id: got $c want ${want(id)}") }
+    // the (corpus x centroids) pair rows must collapse map-side: the only
+    // exchange in the plan hashes the final per-vector groupBy, and the
+    // aggregate below it is partial
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), plan.take(800))
+  }
+
   test("WAV PCM decode: bit-exact round-trip; chunk walk; non-PCM rejected") {
     import graft.operators.Multimodal.Wav
     // round-trip over deterministic and extreme sample patterns
