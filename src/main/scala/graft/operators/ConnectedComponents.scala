@@ -105,12 +105,17 @@ object ConnectedComponents {
         .groupBy("u")
         .agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("u"), col("_mn")).as("m"))
-      val large = nbrs
+      // The rows of `nbrs` with v > u are exactly the reversed canonical
+      // edges, so the join probes |E| rows (not 2|E|) — and each canonical
+      // edge yields exactly ONE output row, so no intermediate distinct is
+      // needed (duplicate (v, m) rows from sibling edges are collapsed by
+      // `next`'s distinct below; they never exceed |E|). Saves one full
+      // shuffle and halves the join's shuffled volume per round.
+      val large = edges
+        .select(col("v").as("u"), col("u").as("v"))
         .join(largeMins, "u")
-        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // SMALL-STAR over the (larger -> smaller) edges: all of u's smaller
       // neighbors, and u itself, re-point at m(u) = min(N-(u)); m < every
       // emitted source so canonical form is again preserved.

@@ -67,8 +67,33 @@ object DedupScalingMain {
   }
 
   private def run(spark: SparkSession, nDocs: Long): Long = {
-    // DEDUP_BENCH_STAGE narrows the probe: corpus | shingle | sign | full
+    // DEDUP_BENCH_STAGE narrows the probe:
+    //   corpus | shingle | sign | cand | full | cc | ccsynth
     sys.env.getOrElse("DEDUP_BENCH_STAGE", "full") match {
+      case "cc" =>
+        // the full production chain THROUGH the closure: verified pairs ->
+        // connected components -> keep verdict per doc (the end-user dedup
+        // surface). Components here are the planted near-dup pairs, so the
+        // closure's per-round linear joins dominate, not deep convergence.
+        val pairs = graft.operators.Dedup
+          .minHashLshPairs(corpus(spark, nDocs), "doc_id", "text", 3, 64, 16, 0.5)
+        graft.operators.ConnectedComponents
+          .keepList(corpus(spark, nDocs).select(col("doc_id")), "doc_id", pairs)
+          .filter(col("keep"))
+          .count()
+      case "ccsynth" =>
+        // closure-ONLY probe on a synthetic pair graph of 64-node chains:
+        // needs ~6 alternating large-star/small-star rounds, so the
+        // iterative shuffle machinery itself is what scales (or doesn't).
+        val edges = spark
+          .range(nDocs)
+          .filter(col("id") % 64 =!= 63)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        graft.operators.ConnectedComponents
+          .components(edges, "doc_a", "doc_b")
+          .select(countDistinct(col("rep")))
+          .collect()(0)
+          .getLong(0)
       case "corpus" =>
         corpus(spark, nDocs).count()
       case "shingle" =>
@@ -132,7 +157,8 @@ object DedupScalingMain {
       val (c, d) = level(16); w16 = math.min(w16, c); c16 = math.min(c16, d)
     }
     val eff = (words / w16) / (4.0 * (words / w4))
+    val stage = sys.env.getOrElse("DEDUP_BENCH_STAGE", "full")
     println(
-      f"""{"dedup_scaling":{"docs":$nDocs,"words":$words,"n_sec":$w4%.3f,"4n_sec":$w16%.3f,"n_docs_per_sec":${nDocs / w4}%.0f,"4n_docs_per_sec":${nDocs / w16}%.0f,"scaling_efficiency":$eff%.3f,"n_cpu_sec":$c4%.1f,"4n_cpu_sec":$c16%.1f,"cpu_per_doc_ratio":${c16 / c4}%.3f}}""")
+      f"""{"dedup_scaling":{"stage":"$stage","docs":$nDocs,"words":$words,"n_sec":$w4%.3f,"4n_sec":$w16%.3f,"n_docs_per_sec":${nDocs / w4}%.0f,"4n_docs_per_sec":${nDocs / w16}%.0f,"scaling_efficiency":$eff%.3f,"n_cpu_sec":$c4%.1f,"4n_cpu_sec":$c16%.1f,"cpu_per_doc_ratio":${c16 / c4}%.3f}}""")
   }
 }
