@@ -94,7 +94,15 @@ object Bench {
       try SparkEntry.queries("q_rollup_1m")(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     }
-    val suite = if (runSuite) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty
+    // SPARK_GRAFT_ONLY=a,b narrows the suite for focused A/B timing runs
+    // (same semantics as Verify's filter)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val suite =
+      if (runSuite)
+        SparkEntry.queries.toSeq
+          .filter(q => only.forall(_.contains(q._1)))
+          .sortBy(_._1)
+      else Seq.empty
     val best = scala.collection.mutable.LinkedHashMap(suite.map(_._1 -> Double.MaxValue): _*)
     // a failed pass must NOT feed math.min — a query that dies quickly
     // would otherwise report an artificially fast best time with the
