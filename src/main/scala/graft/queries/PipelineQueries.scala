@@ -60,6 +60,20 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", 0.4)),
 
+    // Embedding dedup end to end: cosine near-dup pairs -> connected
+    // components -> per-vector keep verdict — the same canonicalization
+    // chain as q_dedup_clusters but over the embedding modality, so BOTH
+    // dedup front-ends (text shingles, embedding cosine) feed the one
+    // closure operator. Oracle: recursive closure over the identical
+    // fixed-point pair set.
+    "q_embed_keep" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.keepList(
+        emb(s, dir),
+        "vec_id",
+        Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", 0.4),
+        "id_a",
+        "id_b")),
+
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "q_knn_bruteforce" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding", col("vec_id") < 10, 5)),
@@ -282,6 +296,37 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY cos DESC, neighbor_id) AS rank FROM cosd)
         |WHERE rank <= 5""".stripMargin,
+    // the q_embed_neardup pair set closed transitively (recursive label
+    // walk, min reachable id), every vector verdict'ed; singletons keep
+    // themselves
+    "q_embed_keep" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id, label, CAST(t.i AS INT) AS i,
+        |         CAST(floor(CAST(e[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, label, embedding AS e FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t),
+        |nrm AS (SELECT vec_id, label, CAST(sum(v*v) AS BIGINT) AS n2 FROM q GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT d.id_a, d.id_b,
+        |           CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |    FROM dots d JOIN nrm na ON d.id_a = na.vec_id JOIN nrm nb ON d.id_b = nb.vec_id)
+        |  WHERE cos >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(node, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, wk.r FROM walk wk JOIN edges e ON e.u = wk.node),
+        |comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)
+        |SELECT CAST(em.vec_id AS BIGINT) AS doc_id,
+        |       CAST(COALESCE(c.rep, em.vec_id) AS BIGINT) AS rep_id,
+        |       (em.vec_id = COALESCE(c.rep, em.vec_id)) AS keep
+        |FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node""".stripMargin,
     // assignment argmax over the modulo-sampled centroids; the same
     // quantized-integer dot/norm discipline as q_knn_bruteforce keeps the
     // cosine double (and the argmax it decides) bit-equal across engines
