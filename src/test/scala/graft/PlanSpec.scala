@@ -335,4 +335,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)") && plan.contains("*(2)"), plan)
     assert(!plan.lines().filter(_.contains("HashAggregate")).anyMatch(!_.contains("*(")), plan)
   }
+
+  test("media table scan prunes to doc_id (payloads synthesized, text never read)") {
+    val plan = planOf(graft.operators.Multimodal.mediaTable(spark, sf("sf0.001")))
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("text"), s"media synthesis must not read the text column:\n$plan")
+    assert(!plan.contains("Exchange"), s"media synthesis must be row-local:\n$plan")
+  }
+
+  test("IVF assignment: broadcast centroids, one exchange, pair rows collapse map-side") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val plan = planOf(graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", 25))
+    // the centroid side must broadcast (no shuffle of the corpus onto a
+    // centroid key), and the (corpus x centroids) rows must partial-agg
+    // BEFORE the single hash exchange on _vid
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_max"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"expected 1 hash exchange:\n$plan")
+  }
 }
