@@ -76,7 +76,8 @@ object RollupJob {
       spark: SparkSession,
       sfDir: String,
       storeDir: String,
-      salt: Int = 0): Map[String, StageResult] = {
+      salt: Int = 0,
+      retentionHorizon: Option[Long] = None): Map[String, StageResult] = {
     val store = new SnapshotStore(storeDir)
     var results = Map.empty[String, StageResult]
 
@@ -133,12 +134,49 @@ object RollupJob {
     // Stages 2..4: reaggregation cascade, each reading the previous tier
     // snapshot (never the raw data).
     var prev = t1m
+    var t5m = t1m
     for ((tierName, _) <- Tier.ladder.drop(1)) {
       prev = stage(
         s"tier_$tierName",
         s"rollup_$tierName",
         s"prev=${prev.snap.uid}") {
         Rollup.reaggregate(store.read(spark, prev.snap), tierName)
+      }
+      if (tierName == Tier.FiveMinutes) t5m = prev
+    }
+
+    // Stage 5 (opt-in): retention enforcement on the 1m tier —
+    // compact-then-expire against the committed 5m snapshot. The survivor
+    // snapshot replaces the fine tier for readers; uncovered-but-expired
+    // rows are retained and COUNTED (riding the stage's own write via
+    // observe — zero extra scans), so a cascade that has not caught up is
+    // visible in the metrics table, not silently truncated.
+    retentionHorizon.foreach { horizon =>
+      var retObs: Option[org.apache.spark.sql.Observation] = None
+      stage(
+        "tier_1m_retained",
+        "retention_1m",
+        s"fine=${t1m.snap.uid};coarse=${t5m.snap.uid};h=$horizon",
+        extraMetrics = () =>
+          retObs.toSeq.flatMap { o =>
+            Seq(
+              "retained_uncovered_rows" ->
+                o.get("uncovered").asInstanceOf[Long].toDouble,
+              "survivor_rows" -> o.get("survivors").asInstanceOf[Long].toDouble)
+          }) {
+        val obs = org.apache.spark.sql.Observation(s"retention-${t1m.snap.uid}-$horizon")
+        retObs = Some(obs)
+        graft.operators.Retention
+          .safeExpire(
+            store.read(spark, t1m.snap),
+            store.read(spark, t5m.snap),
+            Tier.FiveMinutes,
+            horizon)
+          .observe(
+            obs,
+            coalesce(sum(expr("CAST(retained_uncovered AS LONG)")), lit(0L))
+              .as("uncovered"),
+            count(lit(1)).as("survivors"))
       }
     }
     results

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tier
-import graft.operators.Rollup
+import graft.operators.{Retention, Rollup}
 import graft.sources.TokenTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -116,6 +116,19 @@ object TokenRollupQueries {
           call_function("arr_sum", col("patch")).as("p_sum"))
     }),
 
+    // Retention enforcement, compact-then-expire (Retention.safeExpire):
+    // the 1m tier expired at horizon 300 against a DELIBERATELY PARTIAL
+    // 5m tier (built from sources < 'src5' only — a cascade that has not
+    // caught up). Expired rows whose coarse coverage exists are dropped;
+    // uncovered expired rows survive with retained_uncovered = true, so
+    // the policy never loses data the ladder has not aggregated yet.
+    "q_retention" -> ((s, dir) => {
+      val t1m = Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
+      val coarse =
+        Rollup.reaggregate(t1m.filter(col("source") < "src5"), Tier.FiveMinutes)
+      Retention.safeExpire(t1m, coarse, Tier.FiveMinutes, 300L)
+    }),
+
     // Proportional sampling weights (indexer get_proportional_probabilities,
     // hf_dataset_indexer.py:119-139): per-doc weight = n_tok / Σ n_tok of
     // its source, in exact parts-per-billion integer arithmetic.
@@ -154,6 +167,37 @@ object TokenRollupQueries {
          |       CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
          |       CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
          |FROM pts GROUP BY 1, 2""".stripMargin,
+    // the anti-join verdict mirrored as NOT EXISTS over the same partial
+    // coarse coverage set
+    "q_retention" ->
+      s"""$PtsCte,
+         |f AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket, '1m' AS tier,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         min(tok) AS min_tok, max(tok) AS max_tok,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+         |         CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
+         |  FROM pts GROUP BY 1, 2, 3, 4),
+         |g AS (
+         |  SELECT *, CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE) AS avg_tok,
+         |         CASE WHEN cnt_tok > 1 THEN
+         |           (CAST(sumsq_tok AS DOUBLE) - CAST(sum_tok AS DOUBLE) * CAST(sum_tok AS DOUBLE)
+         |            / CAST(cnt_tok AS DOUBLE)) / CAST(cnt_tok - 1 AS DOUBLE)
+         |         ELSE NULL END AS var_tok
+         |  FROM f),
+         |c AS (
+         |  SELECT DISTINCT source, bucket, CAST((window_start // 300) * 300 AS INT) AS cw
+         |  FROM f WHERE source < 'src5')
+         |SELECT source, bucket, tier, window_start, min_tok, max_tok, sum_tok, cnt_tok,
+         |       avg_tok, sumsq_tok, var_tok, FALSE AS retained_uncovered
+         |FROM g WHERE window_start >= 300
+         |UNION ALL
+         |SELECT g.source, g.bucket, g.tier, g.window_start, g.min_tok, g.max_tok,
+         |       g.sum_tok, g.cnt_tok, g.avg_tok, g.sumsq_tok, g.var_tok,
+         |       TRUE AS retained_uncovered
+         |FROM g WHERE g.window_start < 300 AND NOT EXISTS (
+         |  SELECT 1 FROM c WHERE c.source = g.source AND c.bucket = g.bucket
+         |    AND c.cw = g.window_start - g.window_start % 300)""".stripMargin,
     "q_rollup_1m" -> tierOracle("1m", 60),
     "q_rollup_5m" -> tierOracle("5m", 300),
     "q_rollup_1h" -> tierOracle("1h", 3600),

@@ -150,4 +150,43 @@ class JobSpec extends SparkSpec {
     assert(m("dropped_docs") == res.droppedDocs.toDouble)
     assert(m("candidates_per_doc") == res.candidatePairs.toDouble / nDocs)
   }
+
+  test("retention stage: survivors bit-exact, observed counters in metrics, resumable") {
+    val base = tmpDir().toString
+    val dir = sf("sf0.001")
+    val results = RollupJob.run(spark, dir, base, retentionHorizon = Some(300L))
+    assert(results.contains("retention_1m"))
+    val store = new SnapshotStore(base)
+
+    // survivors == the operator applied to the independent in-memory
+    // ladder (full coverage: cascade caught up -> every expired row is
+    // covered -> survivors are exactly the in-horizon rows, none flagged)
+    val ladder = Rollup.ladder(TokenTable.points(spark, dir))
+    val want = graft.operators.Retention
+      .safeExpire(ladder(Tier.OneMinute), ladder(Tier.FiveMinutes), Tier.FiveMinutes, 300L)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val got = tierRows(dir, store, "tier_1m_retained")
+    assert(got == want, "retained tier mismatch")
+    assert(want.nonEmpty && want.forall(r => r.last == false), "full coverage -> no flags")
+    val fineCount = ladder(Tier.OneMinute).count()
+    assert(got.size < fineCount, "horizon must actually expire rows")
+
+    // observed counters land in the metrics table and match reality
+    val m = store
+      .read(spark, store.latest("metrics").get)
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(m("survivor_rows") == got.size.toDouble)
+    assert(m("retained_uncovered_rows") == 0.0)
+
+    // the stage is snapshot-fingerprinted like every other: re-run resumes
+    val r2 = RollupJob.run(spark, dir, base, retentionHorizon = Some(300L))
+    assert(r2("retention_1m").resumed)
+    // a different horizon is a different fingerprint: recomputes
+    val r3 = RollupJob.run(spark, dir, base, retentionHorizon = Some(240L))
+    assert(!r3("retention_1m").resumed)
+  }
 }

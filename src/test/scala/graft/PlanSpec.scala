@@ -343,6 +343,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"media synthesis must be row-local:\n$plan")
   }
 
+  test("retention expiry pushes its horizon predicate into the tier scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret-").toString
+    Rollup
+      .rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    val plan = planOf(graft.operators.Retention.expire(spark.read.parquet(dir), 300L))
+    // the filter must reach the parquet source (row-group pruning at scale;
+    // partition pruning when the tier table is window-partitioned)
+    assert(
+      plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(window_start,300)"),
+      plan)
+  }
+
   test("IVF assignment: broadcast centroids, one exchange, pair rows collapse map-side") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", 25))
