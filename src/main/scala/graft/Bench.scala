@@ -287,9 +287,11 @@ object Bench {
         Paths.get("bench_out.json"),
         (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     // the stdout line is also persisted verbatim so the round artifact is
-    // reconstructable even if the driver's stdout capture mangles it
+    // reconstructable even if the driver's stdout capture mangles it; a
+    // scaling-only run lands in its own file for the same clobber reason
+    // as bench_out.json above (its suite total is a meaningless 0.0)
     Files.write(
-      Paths.get("bench_summary.json"),
+      Paths.get(if (runSuite) "bench_summary.json" else "bench_scaling.json"),
       (compactLine + "\n").getBytes(StandardCharsets.UTF_8))
     println(compactLine)
 
