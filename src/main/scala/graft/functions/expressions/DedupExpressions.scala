@@ -35,13 +35,29 @@ object DedupKernels {
    * hashing the words joined by ' ' — the split-on-' ' reconstruction is
    * lossless, including empty words from consecutive spaces. */
   def shingleFnv(text: UTF8String, n: Int): ArrayData = {
+    val out = rawShingleHashes(text, n)
+    val nSh = out.length
+    if (nSh == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // distinct via sort+squash (allocation-free beyond the output array)
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < nSh) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** One hash per n-gram occurrence (NOT distinct, document order). */
+  private def rawShingleHashes(text: UTF8String, n: Int): Array[Long] = {
     val s = text.toString
     val len = s.length
     var words = 1
     var i = 0
     while (i < len) { if (s.charAt(i) == ' ') words += 1; i += 1 }
     val nSh = math.max(words - n + 1, 0)
-    if (nSh == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (nSh == 0) return Array.emptyLongArray
     // starts(w) = first char index of word w; sentinel starts(words) = len+1
     val starts = new Array[Int](words + 1)
     var w = 1
@@ -61,15 +77,37 @@ object DedupKernels {
       out(sh) = h
       sh += 1
     }
-    // distinct via sort+squash (allocation-free beyond the output array)
-    java.util.Arrays.sort(out)
-    var uniq = 0
+    out
+  }
+
+  /** Word-n-gram repetition stats (the Gopher-class quality signals,
+   * Rae et al. 2021 §A1.1) in one pass over a single-space-separated
+   * text: `[slots, top_cnt, dup_occ]` where slots = max(words - n + 1, 0)
+   * (total n-gram occurrences), top_cnt = occurrences of the most
+   * frequent n-gram, dup_occ = occurrences whose n-gram appears >= 2
+   * times. N-gram identity is the same contiguous-char-range FNV-1a as
+   * [[shingleFnv]] — counts keyed by the 64-bit hash equal counts keyed
+   * by the string n-gram itself absent a within-doc collision (the
+   * q_dedup_jaccard oracle discipline). Sort + run-walk; the only
+   * allocations are the hash array and the 3-int output. */
+  def ngramRepStats(text: UTF8String, n: Int): ArrayData = {
+    val hs = rawShingleHashes(text, n)
+    val nSh = hs.length
+    if (nSh == 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array(0, 0, 0))
+    java.util.Arrays.sort(hs)
+    var top = 0
+    var dup = 0
     var j = 0
     while (j < nSh) {
-      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
-      j += 1
+      var k = j
+      while (k < nSh && hs(k) == hs(j)) k += 1
+      val run = k - j
+      if (run > top) top = run
+      if (run >= 2) dup += run
+      j = k
     }
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, uniq))
+    UnsafeArrayData.fromPrimitiveArray(Array(nSh, top, dup))
   }
 
   /** MinHash signature: sig[i] = min over shingles of the i-seeded
@@ -196,6 +234,25 @@ case class ShingleFnv(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.shingleFnv($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): ShingleFnv =
+    copy(child = newChild)
+}
+
+/** `ngram_rep_stats(text, n) -> array<int> [slots, top_cnt, dup_occ]`:
+ * word-n-gram repetition stats (see [[DedupKernels.ngramRepStats]]). */
+case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram_rep_stats requires n >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"ngram_rep_stats requires string, got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ngram_rep_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.ngramRepStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.ngramRepStats($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
     copy(child = newChild)
 }
 

@@ -81,6 +81,43 @@ object TextAnalysis {
       (col(idCol) +: LangMarkers.map(l => col(s"cnt_${l._1}"))) :+ best.as("pred_lang"): _*)
   }
 
+  /** Repetition signals (the Gopher quality-filter family, Rae et al.
+   * 2021 §A1.1, adapted to word coverage): per document and n-gram order
+   * n — `slots_n` (n-gram occurrences), `top_cnt_n` (occurrences of the
+   * most frequent n-gram), `dup_cnt_n` (occurrences whose n-gram repeats),
+   * and the derived fractions. Computed per row by the `ngram_rep_stats`
+   * kernel — no explode, no shuffle: at 100 TB this is a pure map over
+   * the document scan. Fractions are single int/int divisions (exact on
+   * both engines); empty slot sets yield 0.0. */
+  def repetitionScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(
+      col(idCol) +: ns.map(n =>
+        call_function("ngram_rep_stats", col(textCol).cast("string"), lit(n))
+          .as(s"s$n")): _*)
+    val outCols = col(idCol) +: ns.flatMap { n =>
+      val s = col(s"s$n")
+      val slots = s.getItem(0)
+      val top = s.getItem(1)
+      val dup = s.getItem(2)
+      Seq(
+        slots.as(s"slots_$n"),
+        top.as(s"top_cnt_$n"),
+        dup.as(s"dup_cnt_$n"),
+        when(slots > 0, top.cast("double") / slots.cast("double"))
+          .otherwise(lit(0.0))
+          .as(s"top_frac_$n"),
+        when(slots > 0, dup.cast("double") / slots.cast("double"))
+          .otherwise(lit(0.0))
+          .as(s"dup_frac_$n"))
+    }
+    base.select(outCols: _*)
+  }
+
   /** Document fingerprint: position-weighted rolling hash over words —
    * fp = sum_i ascii(first char of w_i) * ((i*31 + 7) mod 97), mod 1e9+7
    * (1-based i). Pure integer arithmetic, reproducible in any engine. */

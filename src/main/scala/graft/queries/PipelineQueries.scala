@@ -111,6 +111,13 @@ object PipelineQueries {
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
 
+    // Gopher-class repetition signals: per-row kernel over the document
+    // scan (no explode, no shuffle). n-gram identity is the shingle FNV
+    // hash; the oracle counts the string n-grams themselves (identical
+    // counts absent a within-doc 64-bit collision).
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(docs(s, dir), "doc_id", "text")),
+
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
 
@@ -390,6 +397,46 @@ object PipelineQueries {
         |    WHEN cnt_zh > 0 AND cnt_zh = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'zh'
         |    ELSE 'und' END AS pred_lang
         |FROM c""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        |  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(sum(c) AS INT) AS slots_2,
+        |              CAST(max(c) AS INT) AS top_cnt_2,
+        |              CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS INT) AS dup_cnt_2
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, CAST(sum(c) AS INT) AS slots_3,
+        |              CAST(max(c) AS INT) AS top_cnt_3,
+        |              CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS INT) AS dup_cnt_3
+        |       FROM c3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(slots_2, 0) AS INT) AS slots_2,
+        |       CAST(coalesce(top_cnt_2, 0) AS INT) AS top_cnt_2,
+        |       CAST(coalesce(dup_cnt_2, 0) AS INT) AS dup_cnt_2,
+        |       CASE WHEN coalesce(slots_2, 0) > 0
+        |            THEN CAST(top_cnt_2 AS DOUBLE) / CAST(slots_2 AS DOUBLE)
+        |            ELSE 0.0 END AS top_frac_2,
+        |       CASE WHEN coalesce(slots_2, 0) > 0
+        |            THEN CAST(dup_cnt_2 AS DOUBLE) / CAST(slots_2 AS DOUBLE)
+        |            ELSE 0.0 END AS dup_frac_2,
+        |       CAST(coalesce(slots_3, 0) AS INT) AS slots_3,
+        |       CAST(coalesce(top_cnt_3, 0) AS INT) AS top_cnt_3,
+        |       CAST(coalesce(dup_cnt_3, 0) AS INT) AS dup_cnt_3,
+        |       CASE WHEN coalesce(slots_3, 0) > 0
+        |            THEN CAST(top_cnt_3 AS DOUBLE) / CAST(slots_3 AS DOUBLE)
+        |            ELSE 0.0 END AS top_frac_3,
+        |       CASE WHEN coalesce(slots_3, 0) > 0
+        |            THEN CAST(dup_cnt_3 AS DOUBLE) / CAST(slots_3 AS DOUBLE)
+        |            ELSE 0.0 END AS dup_frac_3
+        |FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id
+        |                 LEFT JOIN s3 ON d.doc_id = s3.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """WITH w AS (
         |  SELECT doc_id, ws, CAST(t.i AS INT) AS i

@@ -155,6 +155,32 @@ class ArrayKernelSpec extends AnyFunSuite {
     })
   }
 
+  test("ngram_rep_stats matches the string-n-gram multiset reference") {
+    import graft.functions.expressions.DedupKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // small vocab so repeats actually occur; empty words exercise the
+    // split(-1) parity of the contiguous-range hashing
+    val textGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ws <- Gen.containerOfN[Vector, String](
+        n,
+        Gen.frequency(
+          8 -> Gen.oneOf("aa", "bb", "cc", "dd", "e"),
+          1 -> Gen.const(""),
+          1 -> Gen.chooseNum(0, 999).map(x => "w" + x)))
+    } yield ws.mkString(" ")
+    def ref(text: String, n: Int): (Int, Int, Int) = {
+      val ws = text.split(" ", -1)
+      val grams = (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+      val counts = grams.groupBy(identity).map(_._2.size)
+      (grams.size, if (counts.isEmpty) 0 else counts.max, counts.filter(_ >= 2).sum)
+    }
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 4)) { (text, n) =>
+      val got = DedupKernels.ngramRepStats(UTF8String.fromString(text), n)
+      (got.getInt(0), got.getInt(1), got.getInt(2)) == ref(text, n)
+    })
+  }
+
   test("dedup kernels match the pre-kernel Scala reference (shingle/sig/band/intersect)") {
     import graft.functions.expressions.DedupKernels
     import org.apache.spark.unsafe.types.UTF8String

@@ -343,6 +343,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"media synthesis must be row-local:\n$plan")
   }
 
+  test("repetition scores are a shuffle-free codegen'd map over the document scan") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val plan = planOf(graft.operators.TextAnalysis.repetitionScores(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), s"per-row kernel must not shuffle:\n$plan")
+    assert(plan.contains("ngram_rep_stats"), plan)
+    // the projection (incl. the kernel) sits inside a codegen span
+    assert(plan.contains("*(1)"), s"expected a whole-stage-codegen span:\n$plan")
+  }
+
   test("retention expiry pushes its horizon predicate into the tier scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ret-").toString
     Rollup
