@@ -147,7 +147,17 @@ object TokenRollupQueries {
         // 1/|source| per doc, same ppb fixed point as the proportional path
         .withColumn(
           "uniform_ppb",
-          expr("1000000000L DIV count(*) OVER (PARTITION BY source)")))
+          expr("1000000000L DIV count(*) OVER (PARTITION BY source)"))),
+
+    // Temperature mixing (alpha = 0.5): per-source tempered weights over
+    // the same token-proxy sizes as q_sampling_weights. floor(sqrt) keeps
+    // the arithmetic integer-exact cross-engine (see UnionBuilder).
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.sources.UnionBuilder.temperatureWeights(
+        TokenTable.raw(s, dir).select(col("source"), col("n_tok")),
+        "source",
+        "n_tok",
+        alpha = 0.5))
   )
 
   val oracle: Map[String, String] = Map(
@@ -219,6 +229,16 @@ object TokenRollupQueries {
         |       CAST(1000000000 // count(*) OVER (PARTITION BY source) AS BIGINT)
         |         AS uniform_ppb
         |FROM documents
-        |WHERE n_chars >= 1""".stripMargin // TokenTable.raw's empty-doc guard
+        |WHERE n_chars >= 1""".stripMargin, // TokenTable.raw's empty-doc guard
+    "q_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS size_total
+        |  FROM documents WHERE n_chars >= 1 GROUP BY 1),
+        |r AS (SELECT *, CAST(floor(sqrt(CAST(size_total AS DOUBLE))) AS BIGINT)
+        |               AS w_raw FROM s)
+        |SELECT source, n_docs, size_total, w_raw,
+        |       CAST(w_raw * 1000000000 // sum(w_raw) OVER () AS BIGINT) AS mix_ppb
+        |FROM r""".stripMargin
   )
 }

@@ -90,4 +90,38 @@ object UnionBuilder {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** Temperature-based source mixing weights — the multilingual-LM
+   * sampling scheme (p_s ∝ size_s^alpha, alpha in (0,1]: alpha=1 is
+   * proportional sampling, alpha→0 approaches uniform; the XLM/mT5
+   * convention). One row per source: doc count, size total, the raw
+   * tempered weight, and the normalized mix in parts-per-billion.
+   *
+   * For alpha = 0.5 the raw weight is floor(sqrt(total)): IEEE-754 sqrt
+   * is correctly rounded on every engine and the floor is exact for
+   * totals < 2^52, so the whole computation is integer-exact and
+   * SQL-oracle-able. Other alphas go through pow() (double;
+   * cross-engine bit equality not guaranteed — not oracle-checked).
+   *
+   * Scale shape: one partial-aggregated groupBy on source; the
+   * normalizing window runs over the per-source aggregate only
+   * (rows == |sources|, never the corpus). */
+  def temperatureWeights(
+      docs: DataFrame,
+      srcCol: String,
+      sizeCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val perSrc = docs
+      .groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("size_total"))
+    val raw =
+      if (alpha == 0.5) floor(sqrt(col("size_total").cast("double"))).cast("long")
+      else floor(pow(col("size_total").cast("double"), lit(alpha))).cast("long")
+    perSrc
+      .withColumn("w_raw", raw)
+      .withColumn("mix_ppb", expr("w_raw * 1000000000L DIV sum(w_raw) OVER ()"))
+  }
 }

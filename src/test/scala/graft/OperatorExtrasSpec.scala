@@ -366,4 +366,36 @@ class OperatorExtrasSpec extends SparkSpec {
     val perKey = small.groupBy("user_id").count().collect()
     assert(perKey.forall(_.getLong(1) <= 10))
   }
+
+  test("temperature mixing: alpha=1 is proportional; alpha=0.5 flattens toward uniform") {
+    import graft.sources.UnionBuilder
+    import spark.implicits._
+    // three sources with 100x size skew
+    val docs = Seq(
+      ("a", 10000L), ("a", 10000L), ("a", 10000L), ("a", 10000L),
+      ("b", 1000L), ("b", 1000L),
+      ("c", 100L)).toDF("source", "sz")
+    def mix(alpha: Double): Map[String, Long] =
+      UnionBuilder
+        .temperatureWeights(docs, "source", "sz", alpha)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(r.fieldIndex("mix_ppb")))
+        .toMap
+    val prop = mix(1.0)
+    // pow(x, 1.0) == x exactly, so alpha=1 reproduces proportional ppb
+    val totals = Map("a" -> 40000L, "b" -> 2000L, "c" -> 100L)
+    val grand = totals.values.sum
+    totals.foreach { case (s, t) =>
+      assert(prop(s) == t * 1000000000L / grand, s"alpha=1 not proportional for $s")
+    }
+    // alpha=0.5 compresses the spread: big source shrinks, small grows
+    val temp = mix(0.5)
+    assert(temp("a") < prop("a"))
+    assert(temp("c") > prop("c"))
+    // still a (floor-truncated) distribution
+    assert(temp.values.sum <= 1000000000L)
+    assert(temp.values.sum > 999000000L)
+    intercept[IllegalArgumentException](UnionBuilder.temperatureWeights(docs, "source", "sz", 0.0))
+    intercept[IllegalArgumentException](UnionBuilder.temperatureWeights(docs, "source", "sz", 1.5))
+  }
 }
