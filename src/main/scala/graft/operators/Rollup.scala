@@ -104,6 +104,58 @@ object Rollup {
         expr(varExpr).as("var_tok"))
   }
 
+  /** Incremental late-data reconciliation: fold a (small) delta of
+   * late-arriving points into an existing tier table by recomputing ONLY
+   * the windows the delta touches. At 100 TB a full re-rollup for a
+   * sub-percent late delta is exactly the job this avoids: the existing
+   * tier is split with BROADCAST semi/anti joins on the delta's key set
+   * (row-local over the big table — no shuffle of the tier), and only
+   * the affected slice — bounded by the delta's window count, never the
+   * tier size — is re-merged through one small groupBy.
+   *
+   * The merge is exact because every persisted aggregate is a
+   * sum/min/max/count over disjoint point sets (the tier invariant);
+   * avg/var re-derive from the merged integer state. Result is bit-equal
+   * to `rollupFromPoints(onTime UNION late)` under any split — the
+   * RollupSpec property and the q_rollup_late full-recompute oracle.
+   * Windows that exist only in the delta (entirely-late windows) surface
+   * as new rows; `tierTable` must be a single-tier table of the same
+   * `tier` (its rows pass through or re-merge keyed on
+   * (source, bucket, window_start) only). */
+  def mergeLate(tierTable: DataFrame, latePoints: DataFrame, tier: String): DataFrame = {
+    val delta = rollupFromPoints(latePoints, tier)
+    val keys = Seq("source", "bucket", "window_start")
+    val affectedKeys = delta.select(keys.map(col): _*)
+    val untouched =
+      tierTable.join(broadcast(affectedKeys), keys, "left_anti")
+    val affected =
+      tierTable.join(broadcast(affectedKeys), keys, "left_semi")
+    val merged = affected
+      .unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(col("min_tok")).as("min_tok"),
+        max(col("max_tok")).as("max_tok"),
+        sum(col("sum_tok")).as("sum_tok"),
+        sum(col("cnt_tok")).as("cnt_tok"),
+        sum(col("sumsq_tok")).as("sumsq_tok"))
+      .select(
+        col("source"),
+        col("bucket"),
+        lit(tier).as("tier"),
+        col("window_start"),
+        col("min_tok"),
+        col("max_tok"),
+        col("sum_tok"),
+        col("cnt_tok"),
+        (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"),
+        col("sumsq_tok"),
+        expr(varExpr).as("var_tok"))
+    // the equi-join fronts its keys — restore the tier table's own
+    // column order so merge output unions cleanly with unmerged tables
+    untouched.unionByName(merged).select(tierTable.columns.map(col): _*)
+  }
+
   /** Full ladder from the point view: returns tier name -> tier DataFrame.
    * Only the 1m tier touches the raw points; every coarser tier cascades. */
   def ladder(points: DataFrame): Map[String, DataFrame] = {

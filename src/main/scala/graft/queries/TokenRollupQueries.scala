@@ -66,6 +66,19 @@ object TokenRollupQueries {
         Tier.FiveMinutes)),
     "q_rollup_1h" -> ((s, dir) =>
       Rollup.ladder(TokenTable.points(s, dir))(Tier.OneHour)),
+
+    // Incremental late-data reconciliation: the 1m tier is built WITHOUT
+    // a deterministic "late" slice (entirely-late windows + half-late
+    // windows), then mergeLate folds the slice back in, touching only
+    // affected windows. The oracle is the FULL recompute over all points
+    // — a hash match proves the incremental path bit-equals it.
+    "q_rollup_late" -> ((s, dir) => {
+      val pts = TokenTable.points(s, dir)
+      val lateCond =
+        expr("(pos DIV 60) % 11 = 7 OR ((pos DIV 60) % 5 = 0 AND pos % 60 < 30)")
+      val onTimeTier = Rollup.rollupFromPoints(pts.filter(!lateCond), Tier.OneMinute)
+      Rollup.mergeLate(onTimeTier, pts.filter(lateCond), Tier.OneMinute)
+    }),
     "q_rollup_1d" -> ((s, dir) =>
       Rollup.ladder(TokenTable.points(s, dir))(Tier.OneDay)),
 
@@ -209,6 +222,8 @@ object TokenRollupQueries {
          |  SELECT 1 FROM c WHERE c.source = g.source AND c.bucket = g.bucket
          |    AND c.cw = g.window_start - g.window_start % 300)""".stripMargin,
     "q_rollup_1m" -> tierOracle("1m", 60),
+    // the merge path must bit-equal the full recompute
+    "q_rollup_late" -> tierOracle("1m", 60),
     "q_rollup_5m" -> tierOracle("5m", 300),
     "q_rollup_1h" -> tierOracle("1h", 3600),
     "q_rollup_1d" -> tierOracle("1d", 86400),

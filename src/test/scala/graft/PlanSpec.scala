@@ -343,6 +343,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"media synthesis must be row-local:\n$plan")
   }
 
+  test("mergeLate splits the tier with broadcast joins (no tier-wide shuffle join)") {
+    val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
+    val lateCond = expr("pos % 7 = 3")
+    val base = Rollup.rollupFromPoints(pts.filter(!lateCond), graft.core.Tier.OneMinute)
+    val plan = planOf(
+      Rollup.mergeLate(base, pts.filter(lateCond), graft.core.Tier.OneMinute))
+    // both the untouched (anti) and affected (semi) splits of the big
+    // tier must be broadcast joins on the delta's tiny key set
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"tier side must not shuffle-join:\n$plan")
+  }
+
   test("repetition scores are a shuffle-free codegen'd map over the document scan") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val plan = planOf(graft.operators.TextAnalysis.repetitionScores(docs, "doc_id", "text"))

@@ -93,4 +93,31 @@ class RollupSpec extends SparkSpec {
       .toSet
     assert(p1 == p2)
   }
+
+  test("mergeLate == full recompute under disjoint splits (incl. empty and all-late)") {
+    val points = TokenTable.points(spark, dir).cache()
+    val full = Rollup
+      .rollupFromPoints(points, Tier.OneMinute)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    // splits exercising: scattered late points, entirely-late windows,
+    // an empty delta, and a fully-late corpus (empty base tier)
+    val splits = Seq(
+      expr("pos % 7 = 3"), // scattered: most windows partially late
+      expr("(pos DIV 60) % 4 = 1"), // entire windows late (new rows)
+      lit(false), // empty delta: merge must be identity
+      lit(true) // everything late: base tier is empty
+    )
+    for (lateCond <- splits) {
+      val base = Rollup.rollupFromPoints(points.filter(!lateCond), Tier.OneMinute)
+      val merged = Rollup
+        .mergeLate(base, points.filter(lateCond), Tier.OneMinute)
+        .collect()
+        .map(_.toSeq)
+        .toSet
+      assert(merged == full, s"mergeLate != full recompute for split $lateCond")
+    }
+    points.unpersist()
+  }
 }
