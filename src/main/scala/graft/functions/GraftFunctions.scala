@@ -85,6 +85,9 @@ object GraftFunctions {
     "affine_mod_seq" -> (args =>
       AffineModSeq(args.head, args(1), foldLong(args(2)), foldLong(args(3)), foldLong(args(4)))),
     "arr_chunk" -> (args => ArrChunk(args.head, foldInt(args(1)))),
+    "arr_zscore_outliers" -> (args =>
+      ArrZscoreOutliers(args.head, foldInt(args(1)), foldDouble(args(2)))),
+    "arr_ewma_half" -> (args => ArrEwmaHalf(args.head)),
     "arr_every_kth" -> (args => ArrEveryKth(args.head, foldInt(args(1)))),
     "arr_blur4_every_kth" -> (args => ArrBlur4EveryKth(args.head, foldInt(args(1)))),
     "arr_repeat_each" -> (args => ArrRepeatEach(args.head, foldInt(args(1)))),
@@ -105,6 +108,8 @@ object GraftFunctions {
     e.eval(null).toString.toLong
   private def foldStr(e: Expression): String =
     e.eval(null).toString
+  private def foldDouble(e: Expression): Double =
+    e.eval(null).toString.toDouble
 
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry

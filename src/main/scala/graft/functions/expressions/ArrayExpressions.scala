@@ -612,6 +612,78 @@ object ArrayKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-chunk z-score outlier counts: for each consecutive width-k
+   * chunk, the number of elements with |x - mean| > z * sqrt(var),
+   * where mean and the sample variance derive from the chunk's exact
+   * integer sums by the SAME double expression as the tier rollup's
+   * varExpr — so an SQL engine recomputing the stats from the raw
+   * points reproduces every comparison bit-for-bit. Null elements are
+   * skipped (neither stats nor candidates); chunks with fewer than two
+   * points or non-positive variance report 0. */
+  def zscoreOutliers(a: ArrayData, k: Int, z: Double): ArrayData = {
+    val n = a.numElements()
+    val nChunks = if (n == 0) 0 else (n + k - 1) / k
+    val out = new Array[Int](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * k
+      val end = math.min(start + k, n)
+      var cnt = 0L
+      var sum = 0L
+      var sumsq = 0L
+      var i = start
+      while (i < end) {
+        if (!a.isNullAt(i)) {
+          val v = a.getInt(i).toLong
+          cnt += 1; sum += v; sumsq += v * v
+        }
+        i += 1
+      }
+      var outliers = 0
+      if (cnt > 1) {
+        val mean = sum.toDouble / cnt.toDouble
+        val variance =
+          (sumsq.toDouble - sum.toDouble * sum.toDouble / cnt.toDouble) /
+            (cnt - 1).toDouble
+        if (variance > 0) {
+          val thr = z * math.sqrt(variance)
+          i = start
+          while (i < end) {
+            if (!a.isNullAt(i) && math.abs(a.getInt(i).toDouble - mean) > thr)
+              outliers += 1
+            i += 1
+          }
+        }
+      }
+      out(c) = outliers
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** EWMA with alpha = 1/2, seeded by the first element (the fold shape
+   * of SQL list_reduce): s_0 = x_0, s_i = (s_{i-1} + x_i) / 2. Every
+   * step is one IEEE add and one exact halving, so any engine folding
+   * left over the same doubles reproduces the result bit-for-bit.
+   * Raises on empty or null-holding input (callers guarantee dense
+   * token arrays — same loud-failure discipline as the ranged kernels). */
+  def ewmaHalf(a: ArrayData): Double = {
+    val n = a.numElements()
+    require(n > 0, "arr_ewma_half on empty array")
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i), s"arr_ewma_half: null element at $i")
+      i += 1
+    }
+    var s = a.getInt(0).toDouble
+    i = 1
+    while (i < n) {
+      s = (s + a.getInt(i)) / 2.0
+      i += 1
+    }
+    s
+  }
 }
 
 /** Base for the array kernels: input must be an array; doGenCode is a
@@ -1133,6 +1205,39 @@ case class ArrChunk(child: Expression, k: Int) extends ArrayKernelExpression {
     s"${ArrayKernelExpression.K}.chunk($c, $k, $et)"
   }
   override protected def withNewChildInternal(newChild: Expression): ArrChunk =
+    copy(child = newChild)
+}
+
+/** `arr_zscore_outliers(array<int>, k, z) -> array<int>`: per-width-k-
+ * chunk z-score outlier counts (see [[ArrayKernels.zscoreOutliers]]). */
+case class ArrZscoreOutliers(child: Expression, k: Int, z: Double)
+    extends ArrayKernelExpression {
+  require(k >= 1, s"arr_zscore_outliers requires k >= 1, got $k")
+  require(z > 0, s"arr_zscore_outliers requires z > 0, got $z")
+  override protected def elemOk(e: DataType): Boolean = e == IntegerType
+  override protected def expects: String = "array<int>"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "arr_zscore_outliers"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.zscoreOutliers(input.asInstanceOf[ArrayData], k, z)
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.zscoreOutliers($c, $k, ${z}D)"
+  override protected def withNewChildInternal(newChild: Expression): ArrZscoreOutliers =
+    copy(child = newChild)
+}
+
+/** `arr_ewma_half(array<int>) -> double`: alpha=1/2 EWMA, first-element
+ * seeded (see [[ArrayKernels.ewmaHalf]]). */
+case class ArrEwmaHalf(child: Expression) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean = e == IntegerType
+  override protected def expects: String = "array<int>"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "arr_ewma_half"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.ewmaHalf(input.asInstanceOf[ArrayData])
+  override protected def genCall(ctx: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.ewmaHalf($c)"
+  override protected def withNewChildInternal(newChild: Expression): ArrEwmaHalf =
     copy(child = newChild)
 }
 

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Series analytics over the token table and its tiers: window outlier
+ * detection, exponential smoothing, and cross-source correlation — the
+ * observability layer a tier-timeseries store grows once the rollups
+ * exist (outlier flags per window, smoothed levels, correlated sources).
+ *
+ * Arithmetic discipline matches the tier ladder: every aggregate that
+ * crosses rows is an exact integer; doubles appear only in fixed
+ * derivation expressions over those exact operands, so a SQL engine
+ * running the same formula reproduces each value bit-for-bit.
+ */
+object SeriesAnalytics {
+
+  /** Per-patch z-score outlier counts over the raw token arrays. A
+   * point is an outlier when |x - mean| > z * sqrt(var) with mean and
+   * sample variance derived from the patch's own exact sums (the tier
+   * varExpr derivation). Computed entirely by the `arr_zscore_outliers`
+   * row kernel: no explode, no shuffle — at 100 TB this is a map over
+   * the document scan, embarrassingly parallel. */
+  def patchOutliers(
+      raw: DataFrame,
+      width: Int,
+      z: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    raw
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tok"),
+        posexplode(
+          call_function("arr_zscore_outliers", col("tokens"), lit(width), lit(z)))
+          .as(Seq("patch_idx", "n_outliers")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("patch_idx"),
+        least(lit(width), col("n_tok") - col("patch_idx") * width)
+          .cast("int")
+          .as("patch_len"),
+        col("n_outliers"))
+  }
+
+  /** Final EWMA(alpha = 1/2) level per document, first-element seeded —
+   * the SQL `list_reduce` fold shape, so the oracle replays the exact
+   * IEEE op sequence. Row-local kernel: zero shuffles. */
+  def ewmaLevels(raw: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    raw.select(
+      col("doc_id"),
+      col("source"),
+      col("n_tok"),
+      call_function("arr_ewma_half", col("tokens")).as("ewma_half"))
+  }
+
+  /** Exact-integer Pearson correlation between sources over their
+   * ALIGNED tier windows: for each source pair (a < b), correlate the
+   * window sums at identical (bucket, window_start) keys. All six
+   * accumulated moments are exact BIGINTs (window sums < 2^25 at the
+   * tested scales, squared products < 2^60 summed over < 2^8 windows);
+   * the final correlation combines them in one fixed double formula —
+   * bit-reproducible cross-engine. Null when either side has zero
+   * variance across the aligned windows.
+   *
+   * Scale shape: the input is a TIER (already 1/window-width the size
+   * of the points); the self-join shuffles on the window key and each
+   * window emits |sources-in-window|^2 pair rows that partial-aggregate
+   * map-side to one row per source pair. */
+  def sourceCorrelation(tier: DataFrame): DataFrame = {
+    val a = tier.select(
+      col("source").as("source_a"),
+      col("bucket"),
+      col("window_start"),
+      col("sum_tok").as("x"))
+    val b = tier.select(
+      col("source").as("source_b"),
+      col("bucket"),
+      col("window_start"),
+      col("sum_tok").as("y"))
+    a.join(b, Seq("bucket", "window_start"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn(
+        "corr",
+        expr("""
+          CASE WHEN CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                AND CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+          THEN (CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          ELSE NULL END"""))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tier
-import graft.operators.{Retention, Rollup}
+import graft.operators.{Retention, Rollup, SeriesAnalytics}
 import graft.sources.TokenTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -170,7 +170,23 @@ object TokenRollupQueries {
         TokenTable.raw(s, dir).select(col("source"), col("n_tok")),
         "source",
         "n_tok",
-        alpha = 0.5))
+        alpha = 0.5)),
+
+    // Window outlier detection: per-patch z-score counts via the
+    // arr_zscore_outliers row kernel (no explode, no shuffle).
+    "q_anomaly_patch" -> ((s, dir) =>
+      SeriesAnalytics.patchOutliers(TokenTable.raw(s, dir), 64, 2.0)),
+
+    // EWMA(1/2) smoothing levels: first-element-seeded fold, replayed
+    // op-for-op by DuckDB's list_reduce in the oracle.
+    "q_ewma_levels" -> ((s, dir) =>
+      SeriesAnalytics.ewmaLevels(TokenTable.raw(s, dir))),
+
+    // Cross-source Pearson correlation over aligned 1m windows, all six
+    // moments exact BIGINTs, corr one fixed double formula.
+    "q_source_corr" -> ((s, dir) =>
+      SeriesAnalytics.sourceCorrelation(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -254,6 +270,66 @@ object TokenRollupQueries {
         |               AS w_raw FROM s)
         |SELECT source, n_docs, size_total, w_raw,
         |       CAST(w_raw * 1000000000 // sum(w_raw) OVER () AS BIGINT) AS mix_ppb
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "q_anomaly_patch" ->
+      s"""$PtsCte,
+         |st AS (
+         |  SELECT doc_id, source, pos // 64 AS pi,
+         |         count(*) AS cnt, CAST(sum(tok) AS BIGINT) AS s,
+         |         CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS ss
+         |  FROM pts GROUP BY 1, 2, 3),
+         |o AS (
+         |  SELECT p.doc_id, p.source, st.pi, st.cnt,
+         |    CAST(sum(CASE WHEN st.cnt > 1
+         |      AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |           / CAST(cnt AS DOUBLE)) / CAST(cnt - 1 AS DOUBLE) > 0
+         |      AND ABS(CAST(tok AS DOUBLE) - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) >
+         |          2.0 * SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |                      / CAST(cnt AS DOUBLE)) / CAST(cnt - 1 AS DOUBLE))
+         |      THEN 1 ELSE 0 END) AS INT) AS n_outliers
+         |  FROM pts p JOIN st ON p.doc_id = st.doc_id AND p.pos // 64 = st.pi
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(pi AS INT) AS patch_idx, CAST(cnt AS INT) AS patch_len,
+         |       n_outliers
+         |FROM o""".stripMargin,
+    "q_ewma_levels" ->
+      s"""$PtsCte,
+         |l AS (SELECT doc_id, source, count(*) AS n_tok,
+         |             list(CAST(tok AS DOUBLE) ORDER BY pos) AS toks
+         |      FROM pts GROUP BY 1, 2)
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(n_tok AS INT) AS n_tok,
+         |       list_reduce(toks, (acc, x) -> (acc + x) / 2) AS ewma_half
+         |FROM l""".stripMargin,
+    "q_source_corr" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS st
+         |  FROM pts GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_win,
+         |         CAST(sum(a.st) AS BIGINT) AS sx, CAST(sum(b.st) AS BIGINT) AS sy,
+         |         CAST(sum(a.st * b.st) AS BIGINT) AS sxy,
+         |         CAST(sum(a.st * a.st) AS BIGINT) AS sxx,
+         |         CAST(sum(b.st * b.st) AS BIGINT) AS syy
+         |  FROM t a JOIN t b ON a.bucket = b.bucket AND a.window_start = b.window_start
+         |  WHERE a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_win, sx, sy, sxy, sxx, syy,
+         |  CASE WHEN CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |        AND CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |  THEN (CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |       / (SQRT(CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |          * SQRT(CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |  ELSE NULL END AS corr
+         |FROM p""".stripMargin
   )
 }

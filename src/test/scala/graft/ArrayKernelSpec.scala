@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.expressions.ArrayKernels
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.IntegerType
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -153,6 +154,52 @@ class ArrayKernelSpec extends AnyFunSuite {
       }.toVector
       got == expected
     })
+  }
+
+  test("zscore outlier counts match a per-chunk Scala reference; ewma_half matches a fold") {
+    import graft.functions.expressions.ArrayKernels
+    val gen = for {
+      n <- Gen.chooseNum(0, 300)
+      // narrow value range plus occasional spikes so outliers exist
+      xs <- Gen.containerOfN[Vector, Int](
+        n,
+        Gen.frequency(9 -> Gen.chooseNum(100, 110), 1 -> Gen.chooseNum(0, 5000)))
+      k <- Gen.chooseNum(1, 80)
+    } yield (xs, k)
+    check(Prop.forAll(gen) { case (xs, k) =>
+      val a = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+      val got = ArrayKernels.zscoreOutliers(a, k, 2.0)
+      val want = xs.grouped(k).map { chunk =>
+        val cnt = chunk.size.toLong
+        if (cnt <= 1) 0
+        else {
+          val sum = chunk.map(_.toLong).sum
+          val sumsq = chunk.map(x => x.toLong * x).sum
+          val mean = sum.toDouble / cnt.toDouble
+          val v =
+            (sumsq.toDouble - sum.toDouble * sum.toDouble / cnt.toDouble) /
+              (cnt - 1).toDouble
+          if (v <= 0) 0
+          else chunk.count(x => math.abs(x.toDouble - mean) > 2.0 * math.sqrt(v))
+        }
+      }.toVector
+      (0 until got.numElements()).map(got.getInt).toVector == want
+    })
+    check(Prop.forAll(gen) { case (xs, _) =>
+      if (xs.isEmpty)
+        intercept[IllegalArgumentException](
+          ArrayKernels.ewmaHalf(UnsafeArrayData.fromPrimitiveArray(xs.toArray))) != null
+      else {
+        val got = ArrayKernels.ewmaHalf(UnsafeArrayData.fromPrimitiveArray(xs.toArray))
+        val want = xs.tail.foldLeft(xs.head.toDouble)((s, x) => (s + x) / 2.0)
+        // bit equality, not approx — the kernel IS the fold
+        java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+      }
+    })
+    // null element: loud failure, not silent skip
+    intercept[IllegalArgumentException] {
+      ArrayKernels.ewmaHalf(new GenericArrayData(Array[Any](1, null, 3)))
+    }
   }
 
   test("ngram_rep_stats matches the string-n-gram multiset reference") {

@@ -356,6 +356,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"tier side must not shuffle-join:\n$plan")
   }
 
+  test("patch outlier detection is shuffle-free (kernel + generate, no exchange)") {
+    val raw = graft.sources.TokenTable.raw(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.SeriesAnalytics.patchOutliers(raw, 64, 2.0))
+    assert(!plan.contains("Exchange"), s"per-row kernel must not shuffle:\n$plan")
+    assert(plan.contains("arr_zscore_outliers"), plan)
+  }
+
   test("repetition scores are a shuffle-free codegen'd map over the document scan") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val plan = planOf(graft.operators.TextAnalysis.repetitionScores(docs, "doc_id", "text"))
