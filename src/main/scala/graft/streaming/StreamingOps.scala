@@ -145,6 +145,43 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming tier maintenance — the continuous face of
+   * [[graft.operators.Rollup.mergeLate]]: each micro-batch of raw
+   * points folds into the latest committed tier snapshot, recomputing
+   * only the windows the batch touches (broadcast split of the big
+   * tier, small re-merge). Arrival order does not matter — no
+   * watermark, no dropped late data — because the merge is an exact
+   * integer reaggregation, so after any sequence of batches the
+   * table's latest version is bit-equal to the one-shot batch rollup
+   * of every point seen. Each batch commits one snapshot version
+   * fingerprinted by batch id: exactly-once under replay, like
+   * [[sinkToSnapshots]]. Input schema: (source string, pos, tok). */
+  def tierMergeSink(
+      points: DataFrame,
+      store: graft.jobs.SnapshotStore,
+      table: String,
+      queryName: String,
+      checkpointDir: String,
+      tier: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    points.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {
+            store.latest(table) match {
+              case Some(prev) =>
+                graft.operators.Rollup.mergeLate(store.read(spark, prev), batch, tier)
+              case None =>
+                graft.operators.Rollup.rollupFromPoints(batch, tier)
+            }
+          }
+        }
+        ()
+      }
+
   /** One payload-segment row per (source, bucket) of a finalized-window
    * batch: timestamps delta-of-delta encoded, values Gorilla- AND
    * Chimp-encoded (the batch table's exact column shape). */

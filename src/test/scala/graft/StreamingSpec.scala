@@ -237,6 +237,51 @@ class StreamingSpec extends SparkSpec {
     assert(store.snapshots("stream_payload").size == before)
   }
 
+  test("streaming tier maintenance: merged snapshots == one-shot batch rollup; replay skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.jobs.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-merge-").toString
+    val store = new SnapshotStore(base)
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingOps
+      .tierMergeSink(
+        in.toDF().toDF("source", "pos", "tok"),
+        store,
+        "tier_1m",
+        "mergetest",
+        s"$base/_ckpt",
+        graft.core.Tier.OneMinute)
+      .start()
+    // batch 1 scattered on-time points; batch 2 LATE points landing in
+    // batch-1 windows plus a brand-new window; batch 3 more late data —
+    // arrival order must not matter (exact merge, no watermark)
+    val b1 = Seq(("a", 0, 5), ("a", 1, 7), ("a", 61, 9), ("b", 0, 4))
+    val b2 = Seq(("a", 2, 11), ("b", 1, 2), ("a", 200, 3))
+    val b3 = Seq(("a", 62, 1), ("b", 59, 8))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val snaps = store.snapshots("tier_1m")
+    assert(snaps.size == 3, s"one snapshot version per batch, got ${snaps.size}")
+    val latest = store.read(spark, snaps.last).collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Rollup
+      .rollupFromPoints((b1 ++ b2 ++ b3).toDF("source", "pos", "tok"), graft.core.Tier.OneMinute)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(latest == oneShot, "merged stream state != one-shot batch rollup")
+    // exactly-once: a replayed batch must not merge twice
+    val before = snaps.size
+    val (snap, resumed) =
+      store.getOrCompute("tier_1m", "stream_mergetest", snaps.head.fingerprint) {
+        fail("replayed batch must not recompute"); null
+      }
+    assert(resumed && snap.version == snaps.head.version)
+    assert(store.snapshots("tier_1m").size == before)
+  }
+
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
