@@ -57,6 +57,57 @@ object SeriesAnalytics {
       call_function("arr_ewma_half", col("tokens")).as("ewma_half"))
   }
 
+  /** Exact fixed-bin value histogram per (source, bucket): one count
+   * row per occupied bin, bin = tok DIV binWidth. The fixed-memory
+   * distribution sketch of the tier store — one partial-aggregated
+   * groupBy whose shuffle volume is bounded by
+   * |sources|x|buckets|x|bins|, never the point count. */
+  def tierHistogram(points: DataFrame, binWidth: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    points
+      .groupBy(
+        col("source"),
+        expr(s"CAST(pos DIV ${graft.core.Tier.BucketWidth} AS INT)").as("bucket"),
+        expr(s"CAST(tok DIV $binWidth AS INT)").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Median bin per (source, bucket) from the exact histogram: the
+   * smallest bin whose cumulative count reaches half the total — the
+   * histogram-quantile path that replaces a full sort at scale. Pure
+   * integer arithmetic (2*cum >= total avoids division). */
+  def histogramMedianBin(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("source"), col("bucket"))
+    val cum = byKey.orderBy(col("bin"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("total_cnt", sum(col("cnt")).over(byKey))
+      .filter(col("cum") * 2 >= col("total_cnt"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(min(col("bin")).as("p50_bin"), min(col("total_cnt")).as("total_cnt"))
+  }
+
+  /** Trailing-k-window rolling stats over a tier: per (source, bucket)
+   * ordered by window_start, the exact sums of the last k windows and
+   * the derived rolling average token. One shuffle on the tier's own
+   * key; window frames never leave the partition. */
+  def rollingTierStats(tier: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("window_start"))
+      .rowsBetween(-(k - 1), 0)
+    tier
+      .select(col("source"), col("bucket"), col("window_start"), col("sum_tok"), col("cnt_tok"))
+      .withColumn("roll_sum", sum(col("sum_tok")).over(frame))
+      .withColumn("roll_pts", sum(col("cnt_tok")).over(frame))
+      .withColumn(
+        "roll_avg",
+        col("roll_sum").cast("double") / col("roll_pts").cast("double"))
+  }
+
   /** Exact-integer Pearson correlation between sources over their
    * ALIGNED tier windows: for each source pair (a < b), correlate the
    * window sums at identical (bucket, window_start) keys. All six

@@ -186,7 +186,21 @@ object TokenRollupQueries {
     // moments exact BIGINTs, corr one fixed double formula.
     "q_source_corr" -> ((s, dir) =>
       SeriesAnalytics.sourceCorrelation(
-        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)))
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute))),
+
+    // Exact fixed-bin histogram (10 bins over the 50257 vocab) and the
+    // histogram-derived median bin — the fixed-memory quantile path.
+    "q_tier_histogram" -> ((s, dir) =>
+      SeriesAnalytics.tierHistogram(TokenTable.points(s, dir), 5026)),
+    "q_hist_median" -> ((s, dir) =>
+      SeriesAnalytics.histogramMedianBin(
+        SeriesAnalytics.tierHistogram(TokenTable.points(s, dir), 5026))),
+
+    // Trailing-3-window rolling stats over the 1m tier.
+    "q_rolling_tier" -> ((s, dir) =>
+      SeriesAnalytics.rollingTierStats(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        3))
   )
 
   val oracle: Map[String, String] = Map(
@@ -330,6 +344,39 @@ object TokenRollupQueries {
          |          * SQRT(CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
          |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
          |  ELSE NULL END AS corr
-         |FROM p""".stripMargin
+         |FROM p""".stripMargin,
+    "q_tier_histogram" ->
+      s"""$PtsCte
+         |SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |       CAST(tok // 5026 AS INT) AS bin, count(*) AS cnt
+         |FROM pts GROUP BY 1, 2, 3""".stripMargin,
+    "q_hist_median" ->
+      s"""$PtsCte,
+         |h AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST(tok // 5026 AS INT) AS bin, count(*) AS cnt
+         |  FROM pts GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY source, bucket ORDER BY bin) AS cum,
+         |         sum(cnt) OVER (PARTITION BY source, bucket) AS total_cnt
+         |  FROM h)
+         |SELECT source, bucket, CAST(min(bin) AS INT) AS p50_bin,
+         |       CAST(min(total_cnt) AS BIGINT) AS total_cnt
+         |FROM c WHERE cum * 2 >= total_cnt GROUP BY 1, 2""".stripMargin,
+    "q_rolling_tier" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
+         |  FROM pts GROUP BY 1, 2, 3)
+         |SELECT source, bucket, window_start, sum_tok, cnt_tok,
+         |  CAST(sum(sum_tok) OVER w AS BIGINT) AS roll_sum,
+         |  CAST(sum(cnt_tok) OVER w AS BIGINT) AS roll_pts,
+         |  CAST(sum(sum_tok) OVER w AS DOUBLE) / CAST(sum(cnt_tok) OVER w AS DOUBLE)
+         |    AS roll_avg
+         |FROM t
+         |WINDOW w AS (PARTITION BY source, bucket ORDER BY window_start
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

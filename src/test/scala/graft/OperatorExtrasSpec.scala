@@ -398,4 +398,26 @@ class OperatorExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException](UnionBuilder.temperatureWeights(docs, "source", "sz", 0.0))
     intercept[IllegalArgumentException](UnionBuilder.temperatureWeights(docs, "source", "sz", 1.5))
   }
+
+  test("histogram median bin contains the exact lower-median element") {
+    import graft.operators.SeriesAnalytics
+    import spark.implicits._
+    val binWidth = 10
+    val pts = Seq.tabulate(130)(i => ("s", i, (i * 37) % 97)).toDF("source", "pos", "tok")
+    val hist = SeriesAnalytics.tierHistogram(pts, binWidth)
+    val got = SeriesAnalytics
+      .histogramMedianBin(hist)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // reference: exact lower-median per (source, bucket) in plain Scala
+    val ref = Seq.tabulate(130)(i => ("s", i / 64, (i * 37) % 97))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, rows) =>
+        val toks = rows.map(_._3).sorted
+        val median = toks((toks.size - 1) / 2) // lower median, 0-based ceil(n/2)-th
+        k -> (median / binWidth, toks.size.toLong)
+      }
+    assert(got == ref, s"got $got, want $ref")
+  }
 }
