@@ -82,6 +82,20 @@ object TokenRollupQueries {
     "q_rollup_1d" -> ((s, dir) =>
       Rollup.ladder(TokenTable.points(s, dir))(Tier.OneDay)),
 
+    // The same late slice merged at a COARSER tier: every tier of the
+    // ladder absorbs the identical delta independently (the merge is an
+    // exact reaggregation at any width), so a lagging cascade never
+    // needs the finer tier to catch up first. Oracle: full 1h recompute.
+    "q_rollup_late_1h" -> ((s, dir) => {
+      val pts = TokenTable.points(s, dir)
+      val lateCond =
+        expr("(pos DIV 60) % 11 = 7 OR ((pos DIV 60) % 5 = 0 AND pos % 60 < 30)")
+      val onTime1h = Rollup.reaggregate(
+        Rollup.rollupFromPoints(pts.filter(!lateCond), Tier.OneMinute),
+        Tier.OneHour)
+      Rollup.mergeLate(onTime1h, pts.filter(lateCond), Tier.OneHour)
+    }),
+
     // Fused single-buffer tier aggregate (TierStats TypedImperativeAggregate,
     // SURVEY.md §4 custom item 2): one buffer computes min/max/sum/count and
     // a 128-bit-exact sum of squares per (source, bucket) — the unbounded-
@@ -254,6 +268,7 @@ object TokenRollupQueries {
     "q_rollup_1m" -> tierOracle("1m", 60),
     // the merge path must bit-equal the full recompute
     "q_rollup_late" -> tierOracle("1m", 60),
+    "q_rollup_late_1h" -> tierOracle("1h", 3600),
     "q_rollup_5m" -> tierOracle("5m", 300),
     "q_rollup_1h" -> tierOracle("1h", 3600),
     "q_rollup_1d" -> tierOracle("1d", 86400),
