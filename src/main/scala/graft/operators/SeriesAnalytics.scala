@@ -57,6 +57,39 @@ object SeriesAnalytics {
       call_function("arr_ewma_half", col("tokens")).as("ewma_half"))
   }
 
+  /** Exact distinct-value cardinality per tier window — the
+   * cardinality-monitoring face of the tier store. Spark executes
+   * countDistinct as a two-phase aggregate: map-side (key, tok) dedup
+   * bounds the shuffle by distinct pairs, not points. */
+  def windowCardinality(points: DataFrame, windowWidth: Int): DataFrame =
+    points
+      .groupBy(
+        col("source"),
+        expr(s"CAST(pos DIV ${graft.core.Tier.BucketWidth} AS INT)").as("bucket"),
+        expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"))
+      .agg(
+        countDistinct(col("tok")).as("n_distinct"),
+        count(lit(1)).as("cnt_tok"))
+
+  /** Exact top-k heavy-hitter tokens per (source, bucket), ties broken
+   * toward the smaller token — groupBy count then a per-key window
+   * rank over the (already tiny) per-token aggregate. */
+  def heavyHitters(points: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val rank = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    points
+      .groupBy(
+        col("source"),
+        expr(s"CAST(pos DIV ${graft.core.Tier.BucketWidth} AS INT)").as("bucket"),
+        col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact fixed-bin value histogram per (source, bucket): one count
    * row per occupied bin, bin = tok DIV binWidth. The fixed-memory
    * distribution sketch of the tier store — one partial-aggregated

@@ -214,7 +214,15 @@ object TokenRollupQueries {
     "q_rolling_tier" -> ((s, dir) =>
       SeriesAnalytics.rollingTierStats(
         Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
-        3))
+        3)),
+
+    // Exact per-window distinct cardinality (1h windows).
+    "q_tier_distinct" -> ((s, dir) =>
+      SeriesAnalytics.windowCardinality(TokenTable.points(s, dir), 3600)),
+
+    // Exact top-3 heavy-hitter tokens per (source, bucket).
+    "q_tier_topk_tokens" -> ((s, dir) =>
+      SeriesAnalytics.heavyHitters(TokenTable.points(s, dir), 3))
   )
 
   val oracle: Map[String, String] = Map(
@@ -392,6 +400,23 @@ object TokenRollupQueries {
          |    AS roll_avg
          |FROM t
          |WINDOW w AS (PARTITION BY source, bucket ORDER BY window_start
-         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_tier_distinct" ->
+      s"""$PtsCte
+         |SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |       CAST(pos - pos % 3600 AS INT) AS window_start,
+         |       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |       count(*) AS cnt_tok
+         |FROM pts GROUP BY 1, 2, 3""".stripMargin,
+    "q_tier_topk_tokens" ->
+      s"""$PtsCte,
+         |c AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket, tok, count(*) AS cnt
+         |  FROM pts GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY source, bucket
+         |            ORDER BY cnt DESC, tok ASC) AS INT) AS rank
+         |  FROM c)
+         |SELECT source, bucket, tok, cnt, rank FROM r WHERE rank <= 3""".stripMargin
   )
 }
