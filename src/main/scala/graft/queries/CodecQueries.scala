@@ -193,6 +193,54 @@ object CodecQueries {
           call_function("arr_sum_q", col("dec"), lit(1000L)).as("win_sum_q"))
     }),
 
+    // Segment compaction (the Gorilla block merge): the same tier series
+    // FIRST encoded as 5-minute segments (the streaming sink's
+    // accumulation shape), then compacted back to one segment per key
+    // and decode-checksummed — the oracle is the one-shot payload's
+    // (compaction must be observationally identical to never having
+    // segmented at all).
+    "q_payload_compact" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import graft.core.Tier
+      import graft.operators.{PayloadCompaction, Rollup}
+      val segs = Rollup
+        .rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
+        .groupBy(
+          col("source"),
+          col("bucket"),
+          expr("CAST(window_start DIV 300 AS INT)").as("seg_idx"))
+        .agg(
+          sort_array(collect_list(struct(col("window_start"), col("avg_tok"))))
+            .as("series"))
+        .select(
+          col("source"),
+          col("bucket"),
+          col("seg_idx"),
+          call_function(
+            "dod_encode",
+            expr("CAST(series.window_start AS array<bigint>)")).as("payload_ts"),
+          call_function("gorilla_encode", expr("series.avg_tok"))
+            .as("payload_values"),
+          call_function("chimp_encode", expr("series.avg_tok"))
+            .as("payload_values_chimp"))
+      PayloadCompaction
+        .compact(segs)
+        .select(
+          col("source"),
+          col("bucket"),
+          col("n_windows"),
+          call_function("arr_sum", call_function("dod_decode", col("payload_ts")))
+            .as("ts_sum_check"),
+          call_function(
+            "arr_sum_q",
+            call_function("gorilla_decode", col("payload_values")),
+            lit(1000L)).as("values_q_sum"),
+          call_function(
+            "arr_sum_q",
+            call_function("chimp_decode", col("payload_values_chimp")),
+            lit(1000L)).as("values_q_sum_chimp"))
+    }),
+
     // Engine-specific payload geometry (blob sizes, compression ratio
     // inputs): rows-only by nature — byte counts depend on the bit layout,
     // which no SQL oracle can reproduce. CodecSpec covers the layout.
@@ -306,6 +354,20 @@ object CodecQueries {
     // lossless, so decode(encode(avg series)) quantizes to exactly the
     // per-window floor(avg*1000+0.5) recomputed here from raw points.
     "q_tier_payload" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
+         |  FROM pts GROUP BY 1, 2, 3)
+         |SELECT source, bucket, CAST(count(*) AS INT) AS n_windows,
+         |       CAST(sum(window_start) AS BIGINT) AS ts_sum_check,
+         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
+         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum,
+         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
+         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum_chimp
+         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_payload_compact" ->
       s"""${TokenRollupQueries.PtsCte},
          |t AS (
          |  SELECT source, CAST(pos // 64 AS INT) AS bucket,

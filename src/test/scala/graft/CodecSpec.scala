@@ -143,4 +143,49 @@ class CodecExpressionSpec extends SparkSpec {
       .getLong(0)
     assert(n == 0)
   }
+
+  test("payload compaction == one-shot encode, byte-for-byte") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // one key, 12 windows split into three 4-window segments
+    val series = Seq.tabulate(12)(i => (i * 60L, 100.0 + i * 0.25))
+    val segs = series
+      .grouped(4)
+      .zipWithIndex
+      .flatMap { case (chunk, si) => chunk.map { case (w, v) => ("a", 0, si, w, v) } }
+      .toSeq
+      .toDF("source", "bucket", "seg_idx", "w", "v")
+      .groupBy($"source", $"bucket", $"seg_idx")
+      .agg(sort_array(collect_list(struct($"w", $"v"))).as("series"))
+      .select(
+        $"source",
+        $"bucket",
+        $"seg_idx",
+        call_function("dod_encode", expr("CAST(series.w AS array<bigint>)")).as("payload_ts"),
+        call_function("gorilla_encode", expr("series.v")).as("payload_values"),
+        call_function("chimp_encode", expr("series.v")).as("payload_values_chimp"))
+    val compacted = graft.operators.PayloadCompaction.compact(segs).collect()
+    assert(compacted.length == 1)
+    val row = compacted(0)
+    val oneShot = Seq(("a", 0))
+      .toDF("source", "bucket")
+      .select(
+        call_function(
+          "dod_encode",
+          typedLit(series.map(_._1)).cast("array<bigint>")).as("payload_ts"),
+        call_function("gorilla_encode", typedLit(series.map(_._2))).as("payload_values"),
+        call_function("chimp_encode", typedLit(series.map(_._2))).as("payload_values_chimp"))
+      .collect()(0)
+    assert(row.getAs[Int]("n_windows") == 12)
+    assert(
+      row.getAs[Array[Byte]]("payload_ts").toSeq ==
+        oneShot.getAs[Array[Byte]]("payload_ts").toSeq)
+    assert(
+      row.getAs[Array[Byte]]("payload_values").toSeq ==
+        oneShot.getAs[Array[Byte]]("payload_values").toSeq)
+    assert(
+      row.getAs[Array[Byte]]("payload_values_chimp").toSeq ==
+        oneShot.getAs[Array[Byte]]("payload_values_chimp").toSeq)
+  }
 }
