@@ -122,8 +122,39 @@ object Rollup {
    * as new rows; `tierTable` must be a single-tier table of the same
    * `tier` (its rows pass through or re-merge keyed on
    * (source, bucket, window_start) only). */
-  def mergeLate(tierTable: DataFrame, latePoints: DataFrame, tier: String): DataFrame = {
+  def mergeLate(
+      tierTable: DataFrame,
+      latePoints: DataFrame,
+      tier: String,
+      maxAffectedWindows: Long = 10000000L): DataFrame =
+    mergeLateReleasable(tierTable, latePoints, tier, maxAffectedWindows)._1
+
+  /** [[mergeLate]] plus a release hook: the delta aggregate is persisted
+   * (it feeds the broadcast key set AND the merge union — one
+   * computation instead of three), and long-lived callers that merge
+   * repeatedly (the streaming sink) must call the hook once the result
+   * is materialized, or cached delta blocks accumulate for the session
+   * lifetime (the lshChain release discipline). One-shot callers in a
+   * short session may ignore it.
+   *
+   * `maxAffectedWindows` is the loud guard on the broadcast: the key
+   * set is collected to the driver and shipped to every executor, so a
+   * delta touching more windows than fits a broadcast must fail with a
+   * diagnosis (use a full re-rollup for bulk backfills), not a driver
+   * OOM. The count rides the same job that warms the persisted delta. */
+  def mergeLateReleasable(
+      tierTable: DataFrame,
+      latePoints: DataFrame,
+      tier: String,
+      maxAffectedWindows: Long = 10000000L): (DataFrame, () => Unit) = {
     val delta = rollupFromPoints(latePoints, tier)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAffected = delta.count()
+    require(
+      nAffected <= maxAffectedWindows,
+      s"mergeLate: delta touches $nAffected windows (> $maxAffectedWindows). " +
+        "Broadcast reconciliation is for small late slices; run a full " +
+        "re-rollup for bulk backfills, or raise maxAffectedWindows.")
     val keys = Seq("source", "bucket", "window_start")
     val affectedKeys = delta.select(keys.map(col): _*)
     val untouched =
@@ -153,7 +184,8 @@ object Rollup {
         expr(varExpr).as("var_tok"))
     // the equi-join fronts its keys — restore the tier table's own
     // column order so merge output unions cleanly with unmerged tables
-    untouched.unionByName(merged).select(tierTable.columns.map(col): _*)
+    val out = untouched.unionByName(merged).select(tierTable.columns.map(col): _*)
+    (out, () => { delta.unpersist(); () })
   }
 
   /** Full ladder from the point view: returns tier name -> tier DataFrame.

@@ -284,6 +284,24 @@ object CodecQueries {
           expr("series.avg_tok")).as("payload_values_chimp"))
   }
 
+  /** Shared decode-checksum oracle: q_tier_payload and q_payload_compact
+   * must stay in lockstep — compaction is observationally identical to
+   * never having segmented. */
+  private val tierPayloadOracle: String =
+      s"""${TokenRollupQueries.PtsCte},
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
+         |  FROM pts GROUP BY 1, 2, 3)
+         |SELECT source, bucket, CAST(count(*) AS INT) AS n_windows,
+         |       CAST(sum(window_start) AS BIGINT) AS ts_sum_check,
+         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
+         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum,
+         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
+         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum_chimp
+         |FROM t GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_codec_gorilla_roundtrip" ->
       s"""${TokenRollupQueries.PtsCte}
@@ -353,34 +371,8 @@ object CodecQueries {
     // The decoded-payload checksums are plain tier math: the codecs are
     // lossless, so decode(encode(avg series)) quantizes to exactly the
     // per-window floor(avg*1000+0.5) recomputed here from raw points.
-    "q_tier_payload" ->
-      s"""${TokenRollupQueries.PtsCte},
-         |t AS (
-         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
-         |         CAST((pos // 60) * 60 AS INT) AS window_start,
-         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
-         |  FROM pts GROUP BY 1, 2, 3)
-         |SELECT source, bucket, CAST(count(*) AS INT) AS n_windows,
-         |       CAST(sum(window_start) AS BIGINT) AS ts_sum_check,
-         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
-         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum,
-         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
-         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum_chimp
-         |FROM t GROUP BY 1, 2""".stripMargin,
-    "q_payload_compact" ->
-      s"""${TokenRollupQueries.PtsCte},
-         |t AS (
-         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
-         |         CAST((pos // 60) * 60 AS INT) AS window_start,
-         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok
-         |  FROM pts GROUP BY 1, 2, 3)
-         |SELECT source, bucket, CAST(count(*) AS INT) AS n_windows,
-         |       CAST(sum(window_start) AS BIGINT) AS ts_sum_check,
-         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
-         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum,
-         |       CAST(sum(CAST(floor((CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE))
-         |                           * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS values_q_sum_chimp
-         |FROM t GROUP BY 1, 2""".stripMargin
+    "q_tier_payload" -> tierPayloadOracle,
+    "q_payload_compact" -> tierPayloadOracle
     // q_tier_payload_sizes: rows-only (engine-specific blob byte counts);
     // the bit layouts are covered by CodecSpec properties.
   )

@@ -38,6 +38,12 @@ object TokenRollupQueries {
        |       ELSE NULL END AS var_tok
        |FROM agg""".stripMargin
 
+  /** The deterministic late slice shared by q_rollup_late and
+   * q_rollup_late_1h — the SAME delta must reach every tier, or the
+   * "each tier absorbs the identical delta" claim silently desyncs. */
+  private val LateCond =
+    "(pos DIV 60) % 11 = 7 OR ((pos DIV 60) % 5 = 0 AND pos % 60 < 30)"
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Raw tier + per-row token-array-equality invariant (as an exact
     // checksum: sum / first / last over the materialized array).
@@ -74,8 +80,7 @@ object TokenRollupQueries {
     // — a hash match proves the incremental path bit-equals it.
     "q_rollup_late" -> ((s, dir) => {
       val pts = TokenTable.points(s, dir)
-      val lateCond =
-        expr("(pos DIV 60) % 11 = 7 OR ((pos DIV 60) % 5 = 0 AND pos % 60 < 30)")
+      val lateCond = expr(LateCond)
       val onTimeTier = Rollup.rollupFromPoints(pts.filter(!lateCond), Tier.OneMinute)
       Rollup.mergeLate(onTimeTier, pts.filter(lateCond), Tier.OneMinute)
     }),
@@ -88,8 +93,7 @@ object TokenRollupQueries {
     // needs the finer tier to catch up first. Oracle: full 1h recompute.
     "q_rollup_late_1h" -> ((s, dir) => {
       val pts = TokenTable.points(s, dir)
-      val lateCond =
-        expr("(pos DIV 60) % 11 = 7 OR ((pos DIV 60) % 5 = 0 AND pos % 60 < 30)")
+      val lateCond = expr(LateCond)
       val onTime1h = Rollup.reaggregate(
         Rollup.rollupFromPoints(pts.filter(!lateCond), Tier.OneMinute),
         Tier.OneHour)

@@ -170,14 +170,36 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {
-            store.latest(table) match {
-              case Some(prev) =>
-                graft.operators.Rollup.mergeLate(store.read(spark, prev), batch, tier)
-              case None =>
-                graft.operators.Rollup.rollupFromPoints(batch, tier)
-            }
+          val stage = s"stream_$queryName"
+          val fp = s"batch=$batchId"
+          // A matching fingerprint that is NOT the store's latest version
+          // means the batch counter REWOUND — a fresh checkpoint pointed
+          // at a populated table. For an append sink that replay would be
+          // harmless; here skipping would silently DROP the new batch's
+          // points (they were never merged), so refuse loudly instead.
+          store.find(table, stage, fp).foreach { existing =>
+            val latestV = store.latest(table).map(_.version)
+            require(
+              latestV.contains(existing.version),
+              s"tierMergeSink: batch id $batchId is behind the store's " +
+                s"latest version (v${existing.version} vs v${latestV.getOrElse(-1)}). " +
+                "A fresh checkpoint was pointed at a populated table; " +
+                "keep the original checkpointLocation or start a new table.")
           }
+          var release: () => Unit = () => ()
+          try {
+            store.getOrCompute(table, stage, fp) {
+              store.latest(table) match {
+                case Some(prev) =>
+                  val (merged, rel) = graft.operators.Rollup
+                    .mergeLateReleasable(store.read(spark, prev), batch, tier)
+                  release = rel
+                  merged
+                case None =>
+                  graft.operators.Rollup.rollupFromPoints(batch, tier)
+              }
+            }
+          } finally release() // commit materialized the merge; drop the delta cache
         }
         ()
       }

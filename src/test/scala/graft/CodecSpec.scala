@@ -148,13 +148,16 @@ class CodecExpressionSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
     import spark.implicits._
-    // one key, 12 windows split into three 4-window segments
+    // one key, 12 windows split into three 4-window segments — with the
+    // LAST time block arriving as segment 0 (an out-of-order backfill):
+    // compaction must stitch in TIME order regardless of segment order
     val series = Seq.tabulate(12)(i => (i * 60L, 100.0 + i * 0.25))
     val segs = series
       .grouped(4)
+      .toSeq
+      .reverse
       .zipWithIndex
       .flatMap { case (chunk, si) => chunk.map { case (w, v) => ("a", 0, si, w, v) } }
-      .toSeq
       .toDF("source", "bucket", "seg_idx", "w", "v")
       .groupBy($"source", $"bucket", $"seg_idx")
       .agg(sort_array(collect_list(struct($"w", $"v"))).as("series"))

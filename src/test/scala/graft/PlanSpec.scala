@@ -347,8 +347,12 @@ class PlanSpec extends SparkSpec {
     val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
     val lateCond = expr("pos % 7 = 3")
     val base = Rollup.rollupFromPoints(pts.filter(!lateCond), graft.core.Tier.OneMinute)
-    val plan = planOf(
-      Rollup.mergeLate(base, pts.filter(lateCond), graft.core.Tier.OneMinute))
+    val df = Rollup.mergeLate(base, pts.filter(lateCond), graft.core.Tier.OneMinute)
+    df.collect()
+    // full executedPlan string, NOT planOf: the persisted delta embeds a
+    // nested finalized AQE plan whose own "== Initial Plan ==" marker
+    // would truncate the outer plan before the semi-join branch
+    val plan = df.queryExecution.executedPlan.toString
     // both the untouched (anti) and affected (semi) splits of the big
     // tier must be broadcast joins on the delta's tiny key set
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)

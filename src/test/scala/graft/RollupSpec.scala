@@ -120,4 +120,13 @@ class RollupSpec extends SparkSpec {
     }
     points.unpersist()
   }
+
+  test("mergeLate guard fires before broadcasting an oversized delta") {
+    val points = TokenTable.points(spark, dir)
+    val base = Rollup.rollupFromPoints(points.limit(0), Tier.OneMinute)
+    val e = intercept[IllegalArgumentException] {
+      Rollup.mergeLate(base, points, Tier.OneMinute, maxAffectedWindows = 10L)
+    }
+    assert(e.getMessage.contains("full re-rollup"), e.getMessage)
+  }
 }

@@ -280,6 +280,28 @@ class StreamingSpec extends SparkSpec {
       }
     assert(resumed && snap.version == snaps.head.version)
     assert(store.snapshots("tier_1m").size == before)
+    // a FRESH checkpoint against the populated table renumbers batches
+    // from 0; skipping would silently drop the new data — must refuse
+    val in2 = MemoryStream[(String, Int, Int)]
+    val q2 = StreamingOps
+      .tierMergeSink(
+        in2.toDF().toDF("source", "pos", "tok"),
+        store,
+        "tier_1m",
+        "mergetest",
+        s"$base/_ckpt_fresh",
+        graft.core.Tier.OneMinute)
+      .start()
+    in2.addData(("c", 5, 42))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(
+      err.getMessage.contains("fresh checkpoint") ||
+        Option(err.getCause).exists(_.getMessage.contains("fresh checkpoint")),
+      s"expected the rewind refusal, got: ${err.getMessage}")
+    assert(store.snapshots("tier_1m").size == before, "no snapshot from refused batch")
   }
 
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
