@@ -352,4 +352,50 @@ object Dedup {
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark decontamination — the GPT-3/Gopher appendix procedure:
+   * flag every corpus document sharing at least `minHits` distinct
+   * word-n-grams with a (small) held-out/test set. Output: one row per
+   * corpus doc with its distinct-overlap count and the contaminated
+   * verdict (zero-hit docs included).
+   *
+   * Scale shape: the test set's distinct shingle hashes are tiny
+   * (|test docs| x words) and BROADCAST; the corpus side is one
+   * explode + broadcast semi-ish inner join + per-doc count — the big
+   * table shuffles once, keyed by doc, with map-side combine. N-gram
+   * identity is the shingle FNV hash (the q_dedup_jaccard oracle
+   * discipline: counts match the string n-grams absent a 64-bit
+   * collision). */
+  def decontaminate(
+      docs: DataFrame,
+      testDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minHits: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val testH = testDocs
+      .select(
+        explode(call_function("shingle_fnv", col(textCol).cast("string"), lit(n)))
+          .as("h"))
+      .distinct()
+    val hits = docs
+      .select(
+        col(idCol),
+        explode(call_function("shingle_fnv", col(textCol).cast("string"), lit(n)))
+          .as("h"))
+      .join(broadcast(testH), Seq("h"))
+      .groupBy(col(idCol))
+      // shingle_fnv is distinct per doc, so a plain count IS the
+      // distinct-overlap count
+      .agg(count(lit(1)).as("n_hits"))
+    docs
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
 }

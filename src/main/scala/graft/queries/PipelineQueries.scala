@@ -19,6 +19,23 @@ object PipelineQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
 
+    // Deterministic train/val/test split: 2% test, 5% val by the
+    // builder's multiplicative permille hash — stable under any
+    // parallelism or re-run, zero shuffle.
+    "q_split_assign" -> ((s, dir) =>
+      graft.sources.UnionBuilder
+        .assignSplit(docs(s, dir), "doc_id", testPermille = 20, valPermille = 50)
+        .select(col("doc_id"), col("split_bucket"), col("split"))),
+
+    // Benchmark decontamination (GPT-3/Gopher appendix): corpus docs
+    // sharing >= 1 distinct 8-gram with the deterministic "test set"
+    // (doc_id % 53 == 0) are flagged. Test shingles broadcast; corpus
+    // shuffles once keyed by doc.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 53 === 0), "doc_id", "text", 8)
+    }),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)),
 
@@ -217,6 +234,26 @@ object PipelineQueries {
          |       CAST(1 AS INT) AS sample_id,
          |       CAST(0 AS INT) AS variate_id
          |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |       ((doc_id % 1000000000) * 2654435761) % 1000 AS split_bucket,
+        |       CASE WHEN ((doc_id % 1000000000) * 2654435761) % 1000 < 20 THEN 'test'
+        |            WHEN ((doc_id % 1000000000) * 2654435761) % 1000 < 70 THEN 'val'
+        |            ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        |tg AS (SELECT DISTINCT g FROM g WHERE doc_id % 53 = 0),
+        |cg AS (SELECT DISTINCT doc_id, g FROM g),
+        |h AS (SELECT cg.doc_id, count(*) AS n_hits FROM cg JOIN tg USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, text_hash, group_size FROM (
         |  SELECT doc_id, md5(text) AS text_hash,

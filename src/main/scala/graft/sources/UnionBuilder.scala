@@ -91,6 +91,30 @@ object UnionBuilder {
     parts.reduce(_ unionByName _)
   }
 
+  /** Deterministic train/val/test assignment by the builder's
+   * multiplicative id hash (the same permille-bucket discipline as the
+   * fractional replication above): stable under any parallelism,
+   * reshuffle, or re-run — a document's split never changes. Row-local;
+   * zero shuffle. */
+  def assignSplit(
+      docs: DataFrame,
+      idCol: String,
+      testPermille: Int,
+      valPermille: Int): DataFrame = {
+    require(
+      testPermille >= 0 && valPermille >= 0 && testPermille + valPermille <= 1000,
+      s"permilles must be >= 0 and sum <= 1000, got $testPermille + $valPermille")
+    docs
+      .withColumn(
+        "split_bucket",
+        expr(s"pmod((CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L, 1000L)"))
+      .withColumn(
+        "split",
+        when(col("split_bucket") < testPermille, "test")
+          .when(col("split_bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+  }
+
   /** Temperature-based source mixing weights — the multilingual-LM
    * sampling scheme (p_s ∝ size_s^alpha, alpha in (0,1]: alpha=1 is
    * proportional sampling, alpha→0 approaches uniform; the XLM/mT5

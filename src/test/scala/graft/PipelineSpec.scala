@@ -342,6 +342,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags every test-set member and nothing below the hit floor") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val testSet = docs.filter(col("doc_id") % 53 === 0)
+    val out = Dedup
+      .decontaminate(docs, testSet, "doc_id", "text", n = 8, minHits = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val testIds = testSet.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.length == docs.count())
+    // every test-set doc overlaps itself (docs are > 8 words) -> flagged
+    val flaggedTest = out.filter(t => testIds.contains(t._1))
+    assert(flaggedTest.nonEmpty && flaggedTest.forall(_._3), "test members must self-flag")
+    // verdict is exactly n_hits >= 1
+    assert(out.forall(t => t._3 == (t._2 >= 1)))
+    // an empty test set contaminates nothing
+    val none = Dedup
+      .decontaminate(docs, docs.filter(lit(false)), "doc_id", "text", n = 8)
+      .filter(col("contaminated"))
+      .count()
+    assert(none == 0)
+  }
+
   test("exact dedup keeps one representative per group and covers all docs") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
     val total = docs.count()
