@@ -118,6 +118,45 @@ object TextAnalysis {
     base.select(outCols: _*)
   }
 
+  /** The composed curation verdict — the Gopher/C4-style quality filter
+   * chain as one query: length, stopword, lexical-diversity, repetition,
+   * and language gates, each surfaced as its own boolean column plus the
+   * conjunction `keep`. Thresholds are the public Gopher-class defaults
+   * adapted to word coverage; every input signal is one of this file's
+   * oracle-checked ops, so the verdict itself is SQL-reproducible.
+   *
+   * Scale shape: the repetition signals are row-local kernels on the
+   * document scan; the word-level signals share one explode + groupBy
+   * keyed by doc; the final join is doc-keyed (co-partitioned with the
+   * groupBy output — a single shuffle chain, no broadcast needed). */
+  def curationVerdict(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 20,
+      maxStopwordRatio: Double = 0.5,
+      minDistinctRatio: Double = 0.3,
+      maxTopBigramFrac: Double = 0.2,
+      maxDupTrigramFrac: Double = 0.2): DataFrame = {
+    val quality = qualityScores(docs, idCol, textCol)
+      .select(idCol, "n_words", "stopword_ratio", "distinct_ratio")
+    val rep = repetitionScores(docs, idCol, textCol)
+      .select(idCol, "top_frac_2", "dup_frac_3")
+    quality
+      .join(rep, Seq(idCol))
+      .select(
+        col(idCol),
+        (col("n_words") >= minWords).as("len_ok"),
+        (col("stopword_ratio") <= maxStopwordRatio).as("stopword_ok"),
+        (col("distinct_ratio") >= minDistinctRatio).as("diversity_ok"),
+        (col("top_frac_2") <= maxTopBigramFrac).as("rep_bigram_ok"),
+        (col("dup_frac_3") <= maxDupTrigramFrac).as("rep_trigram_ok"))
+      .withColumn(
+        "keep",
+        col("len_ok") && col("stopword_ok") && col("diversity_ok") &&
+          col("rep_bigram_ok") && col("rep_trigram_ok"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over words —
    * fp = sum_i ascii(first char of w_i) * ((i*31 + 7) mod 97), mod 1e9+7
    * (1-based i). Pure integer arithmetic, reproducible in any engine. */

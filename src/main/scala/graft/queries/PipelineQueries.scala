@@ -138,6 +138,12 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
 
+    // The composed curation verdict: every gate its own boolean column
+    // plus the conjunction — the end-to-end quality-filter face of the
+    // text ops above.
+    "q_curation_verdict" -> ((s, dir) =>
+      TextAnalysis.curationVerdict(docs(s, dir), "doc_id", "text")),
+
     // Multimodal: batched decode+feature plumbing over binary media. ALL
     // THREE modalities are real container decodes (PNG / RIFF-WAVE PCM /
     // RIFF-AVI DIB) and their stats are over the DECODED payloads; every
@@ -434,6 +440,47 @@ object PipelineQueries {
         |    WHEN cnt_zh > 0 AND cnt_zh = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'zh'
         |    ELSE 'und' END AS pred_lang
         |FROM c""".stripMargin,
+    "q_curation_verdict" ->
+      """WITH wx AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |q AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |         CAST(sum(CASE WHEN w IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS stopword_ratio,
+        |         CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS distinct_ratio
+        |  FROM wx GROUP BY 1),
+        |ws2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM ws2, UNNEST(range(1, len(ws))) AS t(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(max(c) AS INT) AS top2, CAST(sum(c) AS INT) AS slots2
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM ws2, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id,
+        |              CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS INT) AS dup3,
+        |              CAST(sum(c) AS INT) AS slots3
+        |       FROM c3 GROUP BY 1),
+        |v AS (
+        |  SELECT q.doc_id, n_words, stopword_ratio, distinct_ratio,
+        |         CASE WHEN coalesce(slots2, 0) > 0
+        |              THEN CAST(top2 AS DOUBLE) / CAST(slots2 AS DOUBLE) ELSE 0.0 END AS top_frac_2,
+        |         CASE WHEN coalesce(slots3, 0) > 0
+        |              THEN CAST(dup3 AS DOUBLE) / CAST(slots3 AS DOUBLE) ELSE 0.0 END AS dup_frac_3
+        |  FROM q LEFT JOIN s2 ON q.doc_id = s2.doc_id
+        |         LEFT JOIN s3 ON q.doc_id = s3.doc_id)
+        |SELECT doc_id,
+        |       n_words >= 20 AS len_ok,
+        |       stopword_ratio <= CAST(0.5 AS DOUBLE) AS stopword_ok,
+        |       distinct_ratio >= CAST(0.3 AS DOUBLE) AS diversity_ok,
+        |       top_frac_2 <= CAST(0.2 AS DOUBLE) AS rep_bigram_ok,
+        |       dup_frac_3 <= CAST(0.2 AS DOUBLE) AS rep_trigram_ok,
+        |       (n_words >= 20 AND stopword_ratio <= CAST(0.5 AS DOUBLE)
+        |        AND distinct_ratio >= CAST(0.3 AS DOUBLE)
+        |        AND top_frac_2 <= CAST(0.2 AS DOUBLE)
+        |        AND dup_frac_3 <= CAST(0.2 AS DOUBLE)) AS keep
+        |FROM v""".stripMargin,
     "q_text_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
