@@ -189,4 +189,47 @@ class JobSpec extends SparkSpec {
     val r3 = RollupJob.run(spark, dir, base, retentionHorizon = Some(240L))
     assert(!r3("retention_1m").resumed)
   }
+
+  test("curation job: funnel counters partition the corpus and match the labeled table") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir().toString
+    val store = new SnapshotStore(base)
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val testSet = docs.filter(col("doc_id") % 53 === 0)
+    val res = graft.jobs.CurationJob.run(spark, docs, testSet, store)
+    val nDocs = docs.count()
+
+    // the four counters partition the corpus exactly (ordered attribution)
+    assert(res.inputDocs == nDocs)
+    assert(
+      res.droppedDup + res.droppedContaminated + res.droppedQuality + res.keptDocs == nDocs)
+    assert(res.droppedContaminated > 0, "test members are in the corpus — contamination expected")
+    assert(res.keptDocs > 0)
+
+    // counters == independent recomputation from the committed table
+    val t = store.read(spark, res.curated)
+    assert(t.count() == nDocs, "the job labels rows, never destroys them")
+    assert(t.filter(!col("canonical")).count() == res.droppedDup)
+    assert(
+      t.filter(col("canonical") && col("contaminated")).count() == res.droppedContaminated)
+    assert(
+      t.filter(col("canonical") && !col("contaminated") && !col("quality_ok")).count() ==
+        res.droppedQuality)
+    assert(t.filter(col("kept")).count() == res.keptDocs)
+    // every kept row carries a split label; buckets agree with the hash
+    assert(
+      t.filter(col("kept") && !col("split").isin("train", "val", "test")).count() == 0)
+
+    // the metrics table carries the funnel
+    val m = store
+      .read(spark, res.metrics)
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(m("input_docs") == nDocs.toDouble)
+    assert(m("kept_docs") == res.keptDocs.toDouble)
+    assert(m("dropped_dup") == res.droppedDup.toDouble)
+    assert(m("dropped_contaminated") == res.droppedContaminated.toDouble)
+    assert(m("dropped_quality") == res.droppedQuality.toDouble)
+  }
 }
