@@ -169,4 +169,26 @@ object ConnectedComponents {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_id"))
       .withColumn("keep", col("doc_id") === col("rep_id"))
   }
+
+  /** Incremental closure maintenance: fold NEW pairs into an existing
+   * (node, rep) labeling without re-walking the old pair set. Each
+   * label IS a (node, rep) edge that already star-contracts its whole
+   * component to the minimum id, so running the closure over
+   * labels-as-edges ∪ new pairs converges from a warm start: rounds
+   * grow with the diameter of the NEWLY-MERGED component graph (each
+   * old component is one hop), not the full graph's. Equal to
+   * [[components]] over the union of old and new pair sets — the
+   * PipelineSpec property and the q_dedup_incremental oracle. */
+  def incrementalComponents(
+      prevLabels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val labelEdges = prevLabels
+      .select(col("node").as("_ia"), col("rep").as("_ib"))
+    val newEdges = newPairs
+      .select(col(aCol).cast("long").as("_ia"), col(bCol).cast("long").as("_ib"))
+    components(labelEdges.unionByName(newEdges), "_ia", "_ib", maxRounds)
+  }
 }

@@ -51,6 +51,27 @@ object PipelineQueries {
         "doc_id",
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5))),
 
+    // Incremental closure maintenance: the SAME pair set arrives in two
+    // batches (a deterministic third of the pairs is "new"); the old
+    // batch is closed first, then incrementalComponents folds the new
+    // pairs into the labeling from a warm start. Oracle: the full
+    // recursive closure — incremental must equal never-having-batched.
+    "q_dedup_incremental" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val pairs =
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)
+      val isNew = (col("doc_a") + col("doc_b")) % 3 === 0
+      val prev = ConnectedComponents.components(pairs.filter(!isNew), "doc_a", "doc_b")
+      val labels = ConnectedComponents
+        .incrementalComponents(prev, pairs.filter(isNew), "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_id"))
+        .withColumn("keep", col("doc_id") === col("rep_id"))
+    }),
+
     // MinHash+LSH: 64 hashes × 16 bands of 4 (s-curve threshold ≈ 0.5).
     // No SQL oracle (SplitMix64 signature family is not SQL-reproducible);
     // PipelineSpec asserts the LSH pair set equals the exact-Jaccard pair
@@ -285,6 +306,31 @@ object PipelineQueries {
     // transitive closure of the Jaccard pair set: min reachable id per
     // node via a recursive label walk, singletons keep themselves
     "q_dedup_clusters" ->
+      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+         |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2) p
+         |    JOIN cnt ca ON p.doc_a = ca.doc_id
+         |    JOIN cnt cb ON p.doc_b = cb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION SELECT doc_b, doc_a FROM jp),
+         |walk(node, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, wk.r FROM walk wk JOIN edges e ON e.u = wk.node),
+         |comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
+         |       (d.doc_id = COALESCE(c.rep, d.doc_id)) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+    "q_dedup_incremental" ->
       s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |jp AS (

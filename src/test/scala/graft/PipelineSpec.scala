@@ -426,6 +426,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental components == one-shot closure under arbitrary edge batching") {
+    import spark.implicits._
+    val splits = (1 to 4).map { seed =>
+      val n = 30
+      val edges = (0 until 50).map { k =>
+        val h = graft.core.Hash.mix64(seed * 7777L + k)
+        (Math.floorMod(h, n).toLong + 1, Math.floorMod(h >>> 19, n).toLong + 1)
+      }.filter { case (a, b) => a != b }
+      // batch boundary varies per seed — incl. a batch that merges
+      // previously separate components (the warm-start case that matters)
+      val cut = 10 + seed * 8
+      (edges.take(cut), edges.drop(cut))
+    } :+ {
+      // explicit component-merging batch: two paths joined by one new edge
+      val old = (1L to 5L).map(i => (i, i + 1)) ++ (10L to 14L).map(i => (i, i + 1))
+      (old, Seq((5L, 10L)))
+    }
+    for ((oldE, newE) <- splits) {
+      val full = unionFind(oldE ++ newE)
+      val prev = graft.operators.ConnectedComponents
+        .components(oldE.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      val got = graft.operators.ConnectedComponents
+        .incrementalComponents(prev, newE.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      // nodes only in singleton old components may be absent (label
+      // self-loops filter out, same contract as components); every node
+      // present must carry the full closure's representative
+      assert(got.nonEmpty)
+      got.foreach { case (node, rep) =>
+        assert(full(node) == rep, s"node $node: incremental $rep != full ${full(node)}")
+      }
+      // and every multi-node component of the full closure is present
+      val multi = full.groupBy(_._2).filter(_._2.size > 1).keySet
+      assert(multi.subsetOf(got.values.toSet), "missing merged components")
+    }
+  }
+
   test("connected components: a long chain needs (and survives) >= 3 rounds") {
     // a 64-node path has diameter 63; star-contraction needs multiple
     // rounds, exercising the iterative fixed-point loop (a single-pass
