@@ -57,9 +57,15 @@ object CurationJob {
     val labeled = UnionBuilder
       .assignSplit(docs.select(col("doc_id"), col("source")), "doc_id", testPermille, valPermille)
       .join(canonical, Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"))
-      .join(verdict, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      // LEFT joins throughout: a doc the signal stages cannot score
+      // (e.g. NULL text never survives the word explode) must still be
+      // LABELED — quality defaults to failed, never to row loss, or
+      // the funnel's exact-partition invariant silently breaks
+      .join(verdict, Seq("doc_id"), "left")
       .withColumn("canonical", coalesce(col("canonical"), lit(false)))
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("quality_ok", coalesce(col("quality_ok"), lit(false)))
       .withColumn(
         "kept",
         col("canonical") && !col("contaminated") && col("quality_ok"))

@@ -126,8 +126,16 @@ object Rollup {
       tierTable: DataFrame,
       latePoints: DataFrame,
       tier: String,
-      maxAffectedWindows: Long = 10000000L): DataFrame =
-    mergeLateReleasable(tierTable, latePoints, tier, maxAffectedWindows)._1
+      maxAffectedWindows: Long = 10000000L): DataFrame = {
+    val (out, release) =
+      mergeLateReleasable(tierTable, latePoints, tier, maxAffectedWindows)
+    // convenience path: trade the delta cache for leak-freedom — the
+    // guard count already ran, unpersisting here just means the (small)
+    // delta aggregate recomputes downstream. Repeat callers that want
+    // the cache use mergeLateReleasable and release after materializing.
+    release()
+    out
+  }
 
   /** [[mergeLate]] plus a release hook: the delta aggregate is persisted
    * (it feeds the broadcast key set AND the merge union — one
@@ -149,12 +157,19 @@ object Rollup {
       maxAffectedWindows: Long = 10000000L): (DataFrame, () => Unit) = {
     val delta = rollupFromPoints(latePoints, tier)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nAffected = delta.count()
-    require(
-      nAffected <= maxAffectedWindows,
-      s"mergeLate: delta touches $nAffected windows (> $maxAffectedWindows). " +
-        "Broadcast reconciliation is for small late slices; run a full " +
-        "re-rollup for bulk backfills, or raise maxAffectedWindows.")
+    // the guard must not leak the just-persisted delta when it fires
+    // (a streaming retry loop would pin one materialized cache per
+    // attempt): unpersist before propagating
+    try {
+      val nAffected = delta.count()
+      require(
+        nAffected <= maxAffectedWindows,
+        s"mergeLate: delta touches $nAffected windows (> $maxAffectedWindows). " +
+          "Broadcast reconciliation is for small late slices; run a full " +
+          "re-rollup for bulk backfills, or raise maxAffectedWindows.")
+    } catch {
+      case e: Throwable => delta.unpersist(); throw e
+    }
     val keys = Seq("source", "bucket", "window_start")
     val affectedKeys = delta.select(keys.map(col): _*)
     val untouched =

@@ -58,6 +58,11 @@ object PipelineQueries {
     // recursive closure — incremental must equal never-having-batched.
     "q_dedup_incremental" -> ((s, dir) => {
       import graft.operators.ConnectedComponents
+      // the pair set feeds both batches; each filtered branch re-runs the
+      // jaccard join (a query builder has no release point for a persist
+      // — the leak would outlive the query). Correctness is unaffected;
+      // production incremental maintenance reads COMMITTED pair
+      // snapshots (DedupJob), where the delta arrives pre-materialized.
       val pairs =
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)
       val isNew = (col("doc_a") + col("doc_b")) % 3 === 0
@@ -246,6 +251,35 @@ object PipelineQueries {
   private val ModalityCase =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
+  /** Shared recursive-closure oracle: q_dedup_clusters and
+   * q_dedup_incremental must stay in lockstep — the incremental warm
+   * start is defined as observationally identical to never batching. */
+  private lazy val dedupClosureOracle: String =
+    s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+         |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2) p
+         |    JOIN cnt ca ON p.doc_a = ca.doc_id
+         |    JOIN cnt cb ON p.doc_b = cb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION SELECT doc_b, doc_a FROM jp),
+         |walk(node, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, wk.r FROM walk wk JOIN edges e ON e.u = wk.node),
+         |comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
+         |       (d.doc_id = COALESCE(c.rep, d.doc_id)) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_train_pipeline" ->
       s"""${TokenRollupQueries.PtsCte},
@@ -263,9 +297,9 @@ object PipelineQueries {
          |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id,
-        |       ((doc_id % 1000000000) * 2654435761) % 1000 AS split_bucket,
-        |       CASE WHEN ((doc_id % 1000000000) * 2654435761) % 1000 < 20 THEN 'test'
-        |            WHEN ((doc_id % 1000000000) * 2654435761) % 1000 < 70 THEN 'val'
+        |       ((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 AS split_bucket,
+        |       CASE WHEN ((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 < 20 THEN 'test'
+        |            WHEN ((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 < 70 THEN 'val'
         |            ELSE 'train' END AS split
         |FROM documents""".stripMargin,
     "q_decontaminate" ->
@@ -305,56 +339,8 @@ object PipelineQueries {
          |WHERE jaccard >= 0.5""".stripMargin,
     // transitive closure of the Jaccard pair set: min reachable id per
     // node via a recursive label walk, singletons keep themselves
-    "q_dedup_clusters" ->
-      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |jp AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT p.doc_a, p.doc_b,
-         |           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
-         |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |          FROM sh a JOIN sh b
-         |            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2) p
-         |    JOIN cnt ca ON p.doc_a = ca.doc_id
-         |    JOIN cnt cb ON p.doc_b = cb.doc_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
-         |          UNION SELECT doc_b, doc_a FROM jp),
-         |walk(node, r) AS (
-         |  SELECT DISTINCT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, wk.r FROM walk wk JOIN edges e ON e.u = wk.node),
-         |comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)
-         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
-         |       (d.doc_id = COALESCE(c.rep, d.doc_id)) AS keep
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |jp AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT p.doc_a, p.doc_b,
-         |           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
-         |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |          FROM sh a JOIN sh b
-         |            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2) p
-         |    JOIN cnt ca ON p.doc_a = ca.doc_id
-         |    JOIN cnt cb ON p.doc_b = cb.doc_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
-         |          UNION SELECT doc_b, doc_a FROM jp),
-         |walk(node, r) AS (
-         |  SELECT DISTINCT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, wk.r FROM walk wk JOIN edges e ON e.u = wk.node),
-         |comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)
-         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
-         |       (d.doc_id = COALESCE(c.rep, d.doc_id)) AS keep
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+    "q_dedup_clusters" -> dedupClosureOracle,
+    "q_dedup_incremental" -> dedupClosureOracle,
     "q_embed_neardup" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(t.i AS INT) AS i,

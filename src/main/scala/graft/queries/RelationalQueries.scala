@@ -313,7 +313,8 @@ object RelationalQueries {
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
         |         CAST(n_chars AS BIGINT) AS n_chars,
         |         CAST(substring(source, 4) AS INT) % 3 AS grp,
-        |         (CAST(doc_id AS BIGINT) % 1000000000) * 2654435761 % 1000 AS h
+        |         ((((CAST(doc_id AS BIGINT) % 1000000007) * 2654435761) % 1000000007
+        |          + 1000000007) % 1000000007) % 1000 AS h
         |  FROM documents),
         |t AS (
         |  SELECT doc_id, source, n_chars,

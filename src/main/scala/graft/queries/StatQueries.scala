@@ -141,7 +141,7 @@ object StatQueries {
       s.read
         .parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("bigint").as("doc_id"), col("source"), col("n_chars"))
-        .withColumn("h", expr("(doc_id % 1000000000L) * 2654435761L % 1000L"))
+        .withColumn("h", expr(graft.sources.UnionBuilder.permilleBucketSql("doc_id")))
         .filter(col("h") < expr("n_chars DIV 2"))
         .select(col("doc_id"), col("source"), col("n_chars").cast("int").as("n_chars"), col("h"))),
 
@@ -334,9 +334,9 @@ object StatQueries {
          |FROM f GROUP BY 1, 2""".stripMargin,
     "q_weighted_sample" ->
       """SELECT doc_id, source, CAST(n_chars AS INT) AS n_chars,
-        |       (doc_id % 1000000000) * 2654435761 % 1000 AS h
+        |       ((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 AS h
         |FROM documents
-        |WHERE (doc_id % 1000000000) * 2654435761 % 1000 < n_chars // 2""".stripMargin,
+        |WHERE ((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 < n_chars // 2""".stripMargin,
     "q_precond_patch" ->
       s"""${TokenRollupQueries.PtsCte},
          |f AS (

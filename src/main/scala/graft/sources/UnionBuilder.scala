@@ -37,6 +37,17 @@ object UnionBuilder {
     require(weight >= 0, s"negative dataset weight: $weight")
   }
 
+  /** Sign-safe deterministic permille bucket of a numeric id:
+   * multiplicative mix reduced by the PRIME modulus 1e9+7 BEFORE the
+   * mod-1000 projection. The prime step is load-bearing: with a
+   * composite modulus the multiplier cancels (2654435761 ≡ 761 mod
+   * 1000, and 1000 | 1e9), so the bucket degenerates to a fixed
+   * permutation of `id mod 1000` and any strided id space (sharded
+   * allocators emitting multiples of 1000) collapses into ONE bucket.
+   * The prime modulus makes every id stride cover all residues. */
+  private[graft] def permilleBucketSql(idCol: String): String =
+    s"pmod(pmod((CAST($idCol AS BIGINT) % 1000000007L) * 2654435761L, 1000000007L), 1000L)"
+
   /** `_get_transform` priority: name -> type -> "default" -> identity. */
   def transformFor(
       name: String,
@@ -81,8 +92,7 @@ object UnionBuilder {
           // pmod, not %: a negative id's sign-preserving remainder would
           // always clear the threshold and over-replicate the row
           lit(base) + when(
-            expr(s"pmod((CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L, 1000L)")
-              < fracThreshold,
+            expr(permilleBucketSql(idCol)) < fracThreshold,
             1).otherwise(0))
         .filter(col("_rep") > 0)
         .withColumn("rep_idx", explode(expr("sequence(1, _rep)")))
@@ -105,9 +115,7 @@ object UnionBuilder {
       testPermille >= 0 && valPermille >= 0 && testPermille + valPermille <= 1000,
       s"permilles must be >= 0 and sum <= 1000, got $testPermille + $valPermille")
     docs
-      .withColumn(
-        "split_bucket",
-        expr(s"pmod((CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L, 1000L)"))
+      .withColumn("split_bucket", expr(permilleBucketSql(idCol)))
       .withColumn(
         "split",
         when(col("split_bucket") < testPermille, "test")

@@ -154,8 +154,11 @@ object StreamingOps {
    * integer reaggregation, so after any sequence of batches the
    * table's latest version is bit-equal to the one-shot batch rollup
    * of every point seen. Each batch commits one snapshot version
-   * fingerprinted by batch id: exactly-once under replay, like
-   * [[sinkToSnapshots]]. Input schema: (source string, pos, tok). */
+   * fingerprinted by batch id PLUS exact content (count + hash-sum):
+   * a genuine crash-replay skips, while a rewound batch counter with
+   * different content — a fresh checkpoint aimed at a populated
+   * table — fails loudly instead of silently dropping or
+   * double-counting. Input schema: (source string, pos, tok). */
   def tierMergeSink(
       points: DataFrame,
       store: graft.jobs.SnapshotStore,
@@ -168,38 +171,61 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val stage = s"stream_$queryName"
-          val fp = s"batch=$batchId"
-          // A matching fingerprint that is NOT the store's latest version
-          // means the batch counter REWOUND — a fresh checkpoint pointed
-          // at a populated table. For an append sink that replay would be
-          // harmless; here skipping would silently DROP the new batch's
-          // points (they were never merged), so refuse loudly instead.
-          store.find(table, stage, fp).foreach { existing =>
-            val latestV = store.latest(table).map(_.version)
+        val spark = batch.sparkSession
+        val stage = s"stream_$queryName"
+        // One aggregation pass doubles as the emptiness check AND the
+        // CONTENT fingerprint: order-independent exact count + hash-sum
+        // (DECIMAL(38,0) — a BIGINT sum of 64-bit hashes overflows, the
+        // ConnectedComponents fingerprint discipline). A batch-id-only
+        // fingerprint cannot tell a genuine crash-replay from a fresh
+        // checkpoint whose counter rewound onto a populated table — the
+        // latter would be skipped as a "replay" and its points silently
+        // dropped (including when the colliding id IS the latest
+        // version, which a version check alone cannot catch).
+        val fpRow = batch
+          .agg(
+            count(lit(1)),
+            coalesce(
+              sum(xxhash64(col("source"), col("pos"), col("tok"))
+                .cast("decimal(38,0)")),
+              lit(0).cast("decimal(38,0)")))
+          .collect()(0)
+        val n = fpRow.getLong(0)
+        if (n > 0) {
+          val fp = s"batch=$batchId-n$n-h${fpRow.getDecimal(1).toBigInteger}"
+          // ONE manifest listing serves the replay check, the collision
+          // check, and the merge base (the store re-lists once more
+          // inside commit — 2 listings/batch total, not 5)
+          val snaps = store.snapshots(table)
+          val replayed = snaps.exists(s => s.stage == stage && s.fingerprint == fp)
+          if (!replayed) {
+            // same batch id, different content: the batch counter REWOUND
+            // (a fresh checkpoint against a populated table). Merging
+            // could double-count the old batch's points; skipping would
+            // drop the new ones. Refuse loudly — the operator decides.
+            val collided = snaps.exists(s =>
+              s.stage == stage &&
+                s.fingerprint.startsWith(s"batch=$batchId-") && s.fingerprint != fp)
             require(
-              latestV.contains(existing.version),
-              s"tierMergeSink: batch id $batchId is behind the store's " +
-                s"latest version (v${existing.version} vs v${latestV.getOrElse(-1)}). " +
-                "A fresh checkpoint was pointed at a populated table; " +
-                "keep the original checkpointLocation or start a new table.")
-          }
-          var release: () => Unit = () => ()
-          try {
-            store.getOrCompute(table, stage, fp) {
-              store.latest(table) match {
+              !collided,
+              s"tierMergeSink: batch id $batchId was already committed with " +
+                "DIFFERENT content — a fresh checkpoint was pointed at a " +
+                "populated table. Keep the original checkpointLocation or " +
+                "start a new table.")
+            var release: () => Unit = () => ()
+            try {
+              val merged = snaps.lastOption match {
                 case Some(prev) =>
-                  val (merged, rel) = graft.operators.Rollup
+                  val (m, rel) = graft.operators.Rollup
                     .mergeLateReleasable(store.read(spark, prev), batch, tier)
                   release = rel
-                  merged
+                  m
                 case None =>
                   graft.operators.Rollup.rollupFromPoints(batch, tier)
               }
-            }
-          } finally release() // commit materialized the merge; drop the delta cache
+              store.commit(merged, table, stage, fp)
+            } finally release() // commit materialized the merge; drop the delta cache
+          }
         }
         ()
       }

@@ -192,9 +192,16 @@ class JobSpec extends SparkSpec {
 
   test("curation job: funnel counters partition the corpus and match the labeled table") {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val base = tmpDir().toString
     val store = new SnapshotStore(base)
-    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    // one unscannable doc (NULL text): it must be LABELED dropped-quality,
+    // not silently lost by the signal stages' word explode
+    val docs = spark.read
+      .parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionByName(
+        Seq((999999L, null.asInstanceOf[String], "srcX")).toDF("doc_id", "text", "source"))
     val testSet = docs.filter(col("doc_id") % 53 === 0)
     val res = graft.jobs.CurationJob.run(spark, docs, testSet, store)
     val nDocs = docs.count()
