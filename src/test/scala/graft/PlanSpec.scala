@@ -360,6 +360,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"tier side must not shuffle-join:\n$plan")
   }
 
+  test("decontamination broadcasts the test shingles; no sort-merge join") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val plan = planOf(
+      graft.operators.Dedup
+        .decontaminate(docs, docs.filter(expr("doc_id % 53 = 0")), "doc_id", "text", 8))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not sort-join:\n$plan")
+  }
+
+  test("source correlation partial-aggregates pair rows before the final exchange") {
+    val tier = Rollup.rollupFromPoints(
+      graft.sources.TokenTable.points(spark, sf("sf0.001")),
+      graft.core.Tier.OneMinute)
+    val plan = planOf(graft.operators.SeriesAnalytics.sourceCorrelation(tier))
+    // the |sources-per-window|^2 pair rows must collapse map-side: a
+    // partial HashAggregate keyed by the pair precedes the last exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("patch outlier detection is shuffle-free (kernel + generate, no exchange)") {
     val raw = graft.sources.TokenTable.raw(spark, sf("sf0.001"))
     val plan = planOf(graft.operators.SeriesAnalytics.patchOutliers(raw, 64, 2.0))
