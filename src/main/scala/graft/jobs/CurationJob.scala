@@ -40,8 +40,10 @@ object CurationJob {
       n: Int = 8,
       testPermille: Int = 20,
       valPermille: Int = 50): Result = {
-    val nDocs = docs.count()
-    val params = s"curate-n$n-tp$testPermille-vp$valPermille-docs$nDocs"
+    // configuration-only fingerprint: the input count is already
+    // observed for free on the snapshot write (input_docs) — counting
+    // up front would be one redundant full-corpus scan per run
+    val params = s"curate-n$n-tp$testPermille-vp$valPermille"
 
     val canonical = Dedup
       .exactDedup(docs, "doc_id", "text")

@@ -178,7 +178,14 @@ object ConnectedComponents {
    * grow with the diameter of the NEWLY-MERGED component graph (each
    * old component is one hop), not the full graph's. Equal to
    * [[components]] over the union of old and new pair sets — the
-   * PipelineSpec property and the q_dedup_incremental oracle. */
+   * PipelineSpec property and the q_dedup_incremental oracle.
+   *
+   * Same node-coverage contract as [[components]]: the output holds
+   * nodes with at least one non-self edge across the inputs. A
+   * SINGLETON label (node == rep) is a self-loop edge and is filtered,
+   * so a label table fed back across many increments keeps only
+   * multi-node components — consumers re-derive singleton verdicts via
+   * the [[keepList]] coalesce, never from label presence. */
   def incrementalComponents(
       prevLabels: DataFrame,
       newPairs: DataFrame,

@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
 object PadResample {
 
   private def hashOf(idCol: String): String =
-    s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L"
+    // prime-reduced (UnionBuilder.permilleBucketSql rationale): the raw
+    // product's residues degenerate for strided id spaces
+    s"pmod((CAST($idCol AS BIGINT) % 1000000007L) * 2654435761L, 1000000007L)"
 
   /** SQL name of `arr`'s element type, so the NULL pads match any series
    * element type (int tokens, double values, float embeddings). */

@@ -43,7 +43,10 @@ object Reshape {
     require(
       maxDim >= 2 && Integer.bitCount(maxDim) == 1,
       s"maxDim must be a power of two >= 2, got $maxDim")
-    val h = s"(CAST($idCol AS BIGINT) % 1000000000L) * 2654435761L"
+    // prime-reduced mix (the UnionBuilder.permilleBucketSql rationale):
+    // without it the power-of-two moduli below see only a low-bit
+    // permutation of the id and strided id spaces degenerate
+    val h = s"pmod((CAST($idCol AS BIGINT) % 1000000007L) * 2654435761L, 1000000007L)"
     df.withColumn(
       out,
       expr(

@@ -131,8 +131,14 @@ object Rollup {
       mergeLateReleasable(tierTable, latePoints, tier, maxAffectedWindows)
     // convenience path: trade the delta cache for leak-freedom — the
     // guard count already ran, unpersisting here just means the (small)
-    // delta aggregate recomputes downstream. Repeat callers that want
-    // the cache use mergeLateReleasable and release after materializing.
+    // delta aggregate recomputes downstream. CONTRACT: `latePoints` must
+    // be DETERMINISTIC (a table read or pure generator — every caller in
+    // this engine): after the release the broadcast key set and the
+    // merge union each re-derive the delta, and a nondeterministic input
+    // would let them disagree (dropped or duplicated key rows). Callers
+    // holding a nondeterministic frame use mergeLateReleasable, whose
+    // cache pins ONE materialization, and release after acting on the
+    // result (the streaming sink's path).
     release()
     out
   }

@@ -195,8 +195,8 @@ object ResampleQueries {
         |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings),
         |       LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS i) t)
         |SELECT vec_id, label, d,
-        |       CAST(((2 * ((vec_id % 1000000000) * 2654435761 % 64) + 1) * d
-        |             + ((vec_id % 1000000000) * 2654435761 // 64) % 128) % 128 AS INT)
+        |       CAST(((2 * ((((vec_id % 1000000007) * 2654435761) % 1000000007) % 64) + 1) * d
+        |             + ((((vec_id % 1000000007) * 2654435761) % 1000000007) // 64) % 128) % 128 AS INT)
         |         AS variate_id,
         |       CAST(floor(x * 1000 + 0.5) AS BIGINT) AS x_q
         |FROM e""".stripMargin,
@@ -224,7 +224,7 @@ object ResampleQueries {
        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
        |       CAST(n + need AS INT) AS padded_len,
        |       CAST(need AS INT) AS n_nulls,
-       |       CAST((doc_id % 1000000000) * 2654435761 % (need + 1) + 1 AS BIGINT)
+       |       CAST((((doc_id % 1000000007) * 2654435761) % 1000000007) % (need + 1) + 1 AS BIGINT)
        |         AS first_data_pos,
        |       tok_sum AS data_sum
        |FROM p""".stripMargin

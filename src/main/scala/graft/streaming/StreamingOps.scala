@@ -77,20 +77,69 @@ object StreamingOps {
         col("n_1m_windows"),
         col("sum_v"))
 
+  /** Exactly-once batch commit shared by every streaming sink: the
+   * stored fingerprint is the batch id PLUS exact content (count +
+   * order-independent hash-sum over all columns, DECIMAL(38,0) — a
+   * BIGINT sum of 64-bit hashes overflows). A batch-id-only fingerprint
+   * cannot tell a genuine crash-replay from a fresh checkpoint whose
+   * counter rewound onto a populated table — the rewound batch would be
+   * skipped as a "replay" and its rows silently dropped (or, for the
+   * merge sink, double-counted). Rules:
+   *   - same id, same content  -> genuine replay: skip.
+   *   - same id, DIFFERENT content (or a legacy id-only fingerprint,
+   *     whose content is unverifiable) -> the counter rewound: refuse
+   *     loudly, the operator decides.
+   *   - empty batch -> nothing to commit (the fingerprint aggregation
+   *     doubles as the emptiness probe — one pass, no separate isEmpty
+   *     job; the hash must be known BEFORE commit because it IS the
+   *     stored fingerprint, so it cannot ride the commit's observe).
+   * `compute` receives the manifest listing so sinks can read the
+   * previous version without re-listing (2 listings/batch total). */
+  private def commitBatchOnce(
+      store: graft.jobs.SnapshotStore,
+      table: String,
+      stage: String,
+      batchId: Long,
+      batch: DataFrame)(compute: Seq[graft.jobs.SnapshotInfo] => DataFrame): Unit = {
+    val cols = batch.columns.map(col)
+    val fpRow = batch
+      .agg(
+        count(lit(1)),
+        coalesce(
+          sum(xxhash64(struct(cols: _*)).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+      .collect()(0)
+    val n = fpRow.getLong(0)
+    if (n > 0) {
+      val fp = s"batch=$batchId-n$n-h${fpRow.getDecimal(1).toBigInteger}"
+      val snaps = store.snapshots(table)
+      val replayed = snaps.exists(s => s.stage == stage && s.fingerprint == fp)
+      if (!replayed) {
+        val collided = snaps.exists(s =>
+          s.stage == stage &&
+            (s.fingerprint == s"batch=$batchId" ||
+              (s.fingerprint.startsWith(s"batch=$batchId-") && s.fingerprint != fp)))
+        require(
+          !collided,
+          s"streaming sink: batch id $batchId was already committed with " +
+            "different (or unverifiable legacy) content — a fresh checkpoint " +
+            "was pointed at a populated table. Keep the original " +
+            "checkpointLocation or start a new table.")
+        store.commit(compute(snaps), table, stage, fp)
+      }
+    }
+  }
+
   /** Continuous ingestion into the engine's snapshot layer: each
-   * micro-batch commits one immutable snapshot version, fingerprinted by
-   * its batch id — so a crashed-and-restarted stream (Structured
-   * Streaming replays the last uncommitted batch) finds the fingerprint
-   * already committed and SKIPS the duplicate write: end-to-end
-   * exactly-once into the table, the streaming face of the batch job's
-   * resume contract (RollupJob stage fingerprints).
+   * micro-batch commits one immutable snapshot version — exactly-once
+   * under crash-replay, loud under checkpoint rewind (the
+   * [[commitBatchOnce]] content-fingerprint contract): the streaming
+   * face of the batch job's resume contract (RollupJob stage
+   * fingerprints).
    *
    * `checkpointDir` is REQUIRED and set here: batch ids are only unique
-   * within one checkpoint lineage. Restarting with a temporary/fresh
-   * checkpoint would renumber batches from 0 and collide with the
-   * already-committed fingerprints — silently dropping the new data as a
-   * "resume". With a durable checkpoint, ids continue monotonically
-   * across restarts and the skip only ever hits genuine replays. */
+   * within one checkpoint lineage; a fresh checkpoint renumbers from 0
+   * and is refused rather than silently dropped. */
   def sinkToSnapshots(
       df: DataFrame,
       store: graft.jobs.SnapshotStore,
@@ -102,9 +151,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {
-          batch
-        }
+        commitBatchOnce(store, table, s"stream_$queryName", batchId, batch)(_ => batch)
         ()
       }
 
@@ -114,8 +161,10 @@ object StreamingOps {
    * watermarked tier aggregation upstream in the same query), packs each
    * (source, bucket) group's windows into ONE Gorilla/Chimp/DoD-encoded
    * payload SEGMENT row, and commits the whole batch of segments as one
-   * snapshot version fingerprinted by batch id — exactly-once under
-   * replay, like [[sinkToSnapshots]].
+   * snapshot version — exactly-once/loud-rewind per the
+   * [[commitBatchOnce]] content-fingerprint contract (a silently
+   * skipped rewound batch here would punch a hole in the segment
+   * sequence the decode concatenation relies on).
    *
    * A stream cannot re-encode the full history every batch (that state is
    * unbounded), so the streamed table is a SEQUENCE of segments per key:
@@ -135,13 +184,10 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // watermark-only batches carry no finalized windows; committing
-        // them would mint empty snapshot versions
-        if (!batch.isEmpty) {
-          store.getOrCompute(table, s"stream_$queryName", s"batch=$batchId") {
-            encodePayloadSegments(batch)
-          }
-        }
+        // watermark-only batches carry no finalized windows; the helper's
+        // emptiness probe keeps them from minting empty snapshot versions
+        commitBatchOnce(store, table, s"stream_$queryName", batchId, batch)(_ =>
+          encodePayloadSegments(batch))
         ()
       }
 
@@ -172,61 +218,20 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val stage = s"stream_$queryName"
-        // One aggregation pass doubles as the emptiness check AND the
-        // CONTENT fingerprint: order-independent exact count + hash-sum
-        // (DECIMAL(38,0) — a BIGINT sum of 64-bit hashes overflows, the
-        // ConnectedComponents fingerprint discipline). A batch-id-only
-        // fingerprint cannot tell a genuine crash-replay from a fresh
-        // checkpoint whose counter rewound onto a populated table — the
-        // latter would be skipped as a "replay" and its points silently
-        // dropped (including when the colliding id IS the latest
-        // version, which a version check alone cannot catch).
-        val fpRow = batch
-          .agg(
-            count(lit(1)),
-            coalesce(
-              sum(xxhash64(col("source"), col("pos"), col("tok"))
-                .cast("decimal(38,0)")),
-              lit(0).cast("decimal(38,0)")))
-          .collect()(0)
-        val n = fpRow.getLong(0)
-        if (n > 0) {
-          val fp = s"batch=$batchId-n$n-h${fpRow.getDecimal(1).toBigInteger}"
-          // ONE manifest listing serves the replay check, the collision
-          // check, and the merge base (the store re-lists once more
-          // inside commit — 2 listings/batch total, not 5)
-          val snaps = store.snapshots(table)
-          val replayed = snaps.exists(s => s.stage == stage && s.fingerprint == fp)
-          if (!replayed) {
-            // same batch id, different content: the batch counter REWOUND
-            // (a fresh checkpoint against a populated table). Merging
-            // could double-count the old batch's points; skipping would
-            // drop the new ones. Refuse loudly — the operator decides.
-            val collided = snaps.exists(s =>
-              s.stage == stage &&
-                s.fingerprint.startsWith(s"batch=$batchId-") && s.fingerprint != fp)
-            require(
-              !collided,
-              s"tierMergeSink: batch id $batchId was already committed with " +
-                "DIFFERENT content — a fresh checkpoint was pointed at a " +
-                "populated table. Keep the original checkpointLocation or " +
-                "start a new table.")
-            var release: () => Unit = () => ()
-            try {
-              val merged = snaps.lastOption match {
-                case Some(prev) =>
-                  val (m, rel) = graft.operators.Rollup
-                    .mergeLateReleasable(store.read(spark, prev), batch, tier)
-                  release = rel
-                  m
-                case None =>
-                  graft.operators.Rollup.rollupFromPoints(batch, tier)
-              }
-              store.commit(merged, table, stage, fp)
-            } finally release() // commit materialized the merge; drop the delta cache
+        var release: () => Unit = () => ()
+        try {
+          commitBatchOnce(store, table, s"stream_$queryName", batchId, batch) { snaps =>
+            snaps.lastOption match {
+              case Some(prev) =>
+                val (m, rel) = graft.operators.Rollup
+                  .mergeLateReleasable(store.read(spark, prev), batch, tier)
+                release = rel
+                m
+              case None =>
+                graft.operators.Rollup.rollupFromPoints(batch, tier)
+            }
           }
-        }
+        } finally release() // commit materialized the merge; drop the delta cache
         ()
       }
 
