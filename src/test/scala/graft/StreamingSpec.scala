@@ -302,6 +302,34 @@ class StreamingSpec extends SparkSpec {
         Option(err.getCause).exists(_.getMessage.contains("fresh checkpoint")),
       s"expected the rewind refusal, got: ${err.getMessage}")
     assert(store.snapshots("tier_1m").size == before, "no snapshot from refused batch")
+    // a LEGACY batch-id-only fingerprint (pre-content-fingerprint commit)
+    // is unverifiable: replaying against it must refuse, not re-merge
+    val base2 = java.nio.file.Files.createTempDirectory("graft-stream-legacy-").toString
+    val store2 = new SnapshotStore(base2)
+    store2.commit(
+      Seq(("a", 0, 1)).toDF("source", "pos", "tok"),
+      "tier_1m",
+      "stream_legacytest",
+      "batch=0")
+    val in3 = MemoryStream[(String, Int, Int)]
+    val q3 = StreamingOps
+      .tierMergeSink(
+        in3.toDF().toDF("source", "pos", "tok"),
+        store2,
+        "tier_1m",
+        "legacytest",
+        s"$base2/_ckpt",
+        graft.core.Tier.OneMinute)
+      .start()
+    in3.addData(("b", 7, 9))
+    val err2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(
+      err2.getMessage.contains("legacy") ||
+        Option(err2.getCause).exists(_.getMessage.contains("legacy")),
+      s"expected the legacy-fingerprint refusal, got: ${err2.getMessage}")
   }
 
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
