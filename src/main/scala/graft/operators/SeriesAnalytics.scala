@@ -57,6 +57,45 @@ object SeriesAnalytics {
       call_function("arr_ewma_half", col("tokens")).as("ewma_half"))
   }
 
+  /** Continuous alerting over a tier: windows whose `valueCol` exceeds
+   * `threshold` for at least `k` STRICTLY ADJACENT windows (gap-free
+   * runs — a missing window breaks the run, the conservative alerting
+   * convention). Classic gaps-and-islands: island key = window index
+   * minus the breach's rank, one row per breaching window annotated
+   * with its run length, filtered to runs >= k.
+   *
+   * Deterministic cross-engine: the breach compare is on the tier's
+   * derived double (exact-int derivation), ordering is by the unique
+   * window_start, and the island arithmetic is integer. One shuffle on
+   * the tier's own key. */
+  def consecutiveBreaches(
+      tier: DataFrame,
+      valueCol: String,
+      threshold: Double,
+      k: Int,
+      windowWidth: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("window_start"))
+    val breaches = tier
+      .filter(col(valueCol) > threshold)
+      .withColumn(
+        "island",
+        (col("window_start") / windowWidth).cast("long") - row_number().over(byKey))
+    val runs = Window.partitionBy(col("source"), col("bucket"), col("island"))
+    breaches
+      .withColumn("run_len", count(lit(1)).over(runs).cast("int"))
+      .filter(col("run_len") >= k)
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).as("value"),
+        col("run_len"))
+  }
+
   /** Exact distinct-value cardinality per tier window — the
    * cardinality-monitoring face of the tier store. Spark executes
    * countDistinct as a two-phase aggregate: map-side (key, tok) dedup

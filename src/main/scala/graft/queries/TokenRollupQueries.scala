@@ -226,7 +226,17 @@ object TokenRollupQueries {
 
     // Exact top-3 heavy-hitter tokens per (source, bucket).
     "q_tier_topk_tokens" -> ((s, dir) =>
-      SeriesAnalytics.heavyHitters(TokenTable.points(s, dir), 3))
+      SeriesAnalytics.heavyHitters(TokenTable.points(s, dir), 3)),
+
+    // Continuous alerting: >= 2 strictly adjacent 1m windows whose avg
+    // exceeds the threshold (gaps-and-islands run detection).
+    "q_tier_alerts" -> ((s, dir) =>
+      SeriesAnalytics.consecutiveBreaches(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "avg_tok",
+        25200.0,
+        2,
+        60))
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,6 +431,24 @@ object TokenRollupQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY source, bucket
          |            ORDER BY cnt DESC, tok ASC) AS INT) AS rank
          |  FROM c)
-         |SELECT source, bucket, tok, cnt, rank FROM r WHERE rank <= 3""".stripMargin
+         |SELECT source, bucket, tok, cnt, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_tier_alerts" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+         |  FROM pts GROUP BY 1, 2, 3),
+         |b AS (
+         |  SELECT *, window_start // 60
+         |         - row_number() OVER (PARTITION BY source, bucket
+         |                              ORDER BY window_start) AS island
+         |  FROM t WHERE value > CAST(25200.0 AS DOUBLE)),
+         |runs AS (
+         |  SELECT *, CAST(count(*) OVER (PARTITION BY source, bucket, island)
+         |                 AS INT) AS run_len
+         |  FROM b)
+         |SELECT source, bucket, window_start, value, run_len
+         |FROM runs WHERE run_len >= 2""".stripMargin
   )
 }
