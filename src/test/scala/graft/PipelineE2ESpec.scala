@@ -104,6 +104,73 @@ class PipelineE2ESpec extends SparkSpec {
     assert(payloadDrift == 0, "codec round-trips must be exact on tier payloads")
   }
 
+  test("tier lifecycle: rollup → late merge → compact-then-expire → alerts, invariants chained") {
+    import graft.operators.{Retention, SeriesAnalytics}
+    GraftFunctions.register(spark)
+    val dir = sf("sf0.001")
+    val points = TokenTable.points(spark, dir).cache()
+
+    // 1. ingest with a late slice held back, then reconcile: the merged
+    // tier must bit-equal the never-split rollup
+    val lateCond = expr("(pos DIV 60) % 7 = 2")
+    val base = Rollup.rollupFromPoints(points.filter(!lateCond), Tier.OneMinute)
+    val t1m = Rollup.mergeLate(base, points.filter(lateCond), Tier.OneMinute)
+    val full = Rollup.rollupFromPoints(points, Tier.OneMinute)
+    assert(
+      t1m.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet,
+      "merged tier != one-shot rollup")
+
+    // 2. cascade + compact-then-expire: survivors and coarse rows
+    // together still conserve the exact point mass
+    val t5m = Rollup.reaggregate(t1m, Tier.FiveMinutes)
+    val horizon = 300L
+    val survivors = Retention.safeExpire(t1m, t5m, Tier.FiveMinutes, horizon)
+    val coarseMass = t5m
+      .filter(col("window_start") < horizon)
+      .agg(coalesce(sum("sum_tok"), lit(0L)), coalesce(sum("cnt_tok"), lit(0L)))
+      .collect()(0)
+    val survivorMass = survivors
+      .agg(
+        coalesce(sum(when(!col("retained_uncovered"), col("sum_tok"))), lit(0L)),
+        coalesce(sum(when(!col("retained_uncovered"), col("cnt_tok"))), lit(0L)),
+        coalesce(sum(when(col("retained_uncovered"), col("sum_tok"))), lit(0L)))
+      .collect()(0)
+    val totalMass = points.agg(sum(col("tok").cast("long")), count(lit(1))).collect()(0)
+    // fully-covered expiry: (covered coarse mass before horizon) +
+    // (surviving fine rows >= horizon) == everything; uncovered retained
+    // rows are the lag remainder — here the cascade is complete, so none
+    assert(survivorMass.getLong(2) == 0L, "complete cascade must not retain uncovered")
+    assert(
+      coarseMass.getLong(0) + survivorMass.getLong(0) == totalMass.getLong(0),
+      "expire lost token mass")
+    assert(
+      coarseMass.getLong(1) + survivorMass.getLong(1) == totalMass.getLong(1),
+      "expire lost points")
+
+    // 3. alerting runs over the SURVIVING tier: every alert row is a
+    // genuine >= 2-adjacent-window breach verifiable against the tier
+    val alerts = SeriesAnalytics
+      .consecutiveBreaches(survivors.filter(!col("retained_uncovered")).drop("retained_uncovered"), "avg_tok", 25200.0, 2, 60)
+      .collect()
+    val tierMap = survivors
+      .filter(!col("retained_uncovered"))
+      .select("source", "bucket", "window_start", "avg_tok")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    alerts.foreach { a =>
+      val key = (a.getString(0), a.getInt(1), a.getInt(2))
+      assert(tierMap(key) > 25200.0, s"alert row not a breach: $key")
+      // an adjacent breaching neighbor must exist (run length >= 2)
+      val prev = (key._1, key._2, key._3 - 60)
+      val next = (key._1, key._2, key._3 + 60)
+      assert(
+        tierMap.get(prev).exists(_ > 25200.0) || tierMap.get(next).exists(_ > 25200.0),
+        s"alert row has no adjacent breach: $key")
+    }
+    points.unpersist()
+  }
+
   test("builder → pad → patchify → precondition window decode, invariants at every stage") {
     GraftFunctions.register(spark)
     val dir = sf("sf0.001")
