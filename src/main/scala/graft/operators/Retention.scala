@@ -62,8 +62,11 @@ object Retention {
       .filter(col("window_start") < horizonStart)
       .join(
         cov,
+        // the coverage key keeps the column's own integer type (no INT
+        // cast): an epoch-scale BIGINT window_start must not wrap into a
+        // silently-mismatched coverage key
         col("source") === col("_cs") && col("bucket") === col("_cb") &&
-          expr(s"CAST(window_start - window_start % $w AS INT)") === col("_cw"),
+          expr(s"window_start - window_start % $w") === col("_cw"),
         "left_anti")
       .withColumn("retained_uncovered", lit(true))
     live.unionByName(uncovered)

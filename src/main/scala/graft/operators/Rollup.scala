@@ -126,65 +126,58 @@ object Rollup {
       tierTable: DataFrame,
       latePoints: DataFrame,
       tier: String,
-      maxAffectedWindows: Long = 10000000L): DataFrame = {
-    val (out, release) =
-      mergeLateReleasable(tierTable, latePoints, tier, maxAffectedWindows)
+      maxAffectedWindows: Long = DefaultMaxAffectedWindows,
+      maxBroadcastWindows: Long = DefaultMaxBroadcastWindows): DataFrame = {
     // convenience path: trade the delta cache for leak-freedom — the
     // guard count already ran, unpersisting here just means the (small)
     // delta aggregate recomputes downstream. CONTRACT: `latePoints` must
     // be DETERMINISTIC (a table read or pure generator — every caller in
-    // this engine): after the release the broadcast key set and the
+    // this engine): after the release the affected-key split and the
     // merge union each re-derive the delta, and a nondeterministic input
-    // would let them disagree (dropped or duplicated key rows). Callers
-    // holding a nondeterministic frame use mergeLateReleasable, whose
-    // cache pins ONE materialization, and release after acting on the
-    // result (the streaming sink's path).
+    // would let them disagree (dropped or duplicated key rows). The
+    // contract is ENFORCED, not just documented: a plan carrying any
+    // nondeterministic expression is rejected up front with a pointer to
+    // mergeLateReleasable, whose cache pins ONE materialization until the
+    // caller releases it (the streaming sink's path).
+    val nonDet = latePoints.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(_.exists(e => !e.deterministic)) => p.nodeName
+    }
+    require(
+      nonDet.isEmpty,
+      s"mergeLate: latePoints plan contains a nondeterministic expression " +
+        s"(in ${nonDet.getOrElse("?")}); after the convenience release the " +
+        "delta is re-derived and could disagree with itself. Use " +
+        "mergeLateReleasable and call the release hook after materializing.")
+    val (out, release) =
+      mergeLateReleasable(
+        tierTable, latePoints, tier, maxAffectedWindows, maxBroadcastWindows)
     release()
     out
   }
 
-  /** [[mergeLate]] plus a release hook: the delta aggregate is persisted
-   * (it feeds the broadcast key set AND the merge union — one
-   * computation instead of three), and long-lived callers that merge
-   * repeatedly (the streaming sink) must call the hook once the result
-   * is materialized, or cached delta blocks accumulate for the session
-   * lifetime (the lshChain release discipline). One-shot callers in a
-   * short session may ignore it.
-   *
-   * `maxAffectedWindows` is the loud guard on the broadcast: the key
-   * set is collected to the driver and shipped to every executor, so a
-   * delta touching more windows than fits a broadcast must fail with a
-   * diagnosis (use a full re-rollup for bulk backfills), not a driver
-   * OOM. The count rides the same job that warms the persisted delta. */
-  def mergeLateReleasable(
-      tierTable: DataFrame,
-      latePoints: DataFrame,
-      tier: String,
-      maxAffectedWindows: Long = 10000000L): (DataFrame, () => Unit) = {
-    val delta = rollupFromPoints(latePoints, tier)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the guard must not leak the just-persisted delta when it fires
-    // (a streaming retry loop would pin one materialized cache per
-    // attempt): unpersist before propagating
-    try {
-      val nAffected = delta.count()
-      require(
-        nAffected <= maxAffectedWindows,
-        s"mergeLate: delta touches $nAffected windows (> $maxAffectedWindows). " +
-          "Broadcast reconciliation is for small late slices; run a full " +
-          "re-rollup for bulk backfills, or raise maxAffectedWindows.")
-    } catch {
-      case e: Throwable => delta.unpersist(); throw e
-    }
-    val keys = Seq("source", "bucket", "window_start")
-    val affectedKeys = delta.select(keys.map(col): _*)
-    val untouched =
-      tierTable.join(broadcast(affectedKeys), keys, "left_anti")
-    val affected =
-      tierTable.join(broadcast(affectedKeys), keys, "left_semi")
-    val merged = affected
-      .unionByName(delta)
-      .groupBy(keys.map(col): _*)
+  /** Broadcast ceiling for the affected-key split, derived from a BYTE
+   * budget, not row count alone: a key row (source string, bucket int,
+   * window_start int) is ~40-60 B inside a built broadcast hash
+   * relation, so 1M keys is a ~40-60 MB relation on the driver and
+   * every executor — the top of the range where shipping the key set
+   * still beats shuffling the tier. Past it, [[mergeLateReleasable]]
+   * switches to the shuffle re-merge path rather than building a
+   * multi-hundred-MB broadcast. */
+  val DefaultMaxBroadcastWindows: Long = 1000000L
+
+  /** Absolute loud ceiling on a reconciliation delta: even the shuffle
+   * path re-merges the tier row-by-row against the delta, and a delta
+   * touching a large fraction of all windows is a bulk backfill — the
+   * economics flip to a full re-rollup from points (one shuffle of the
+   * points REPLACES the tier instead of reconciling it). */
+  val DefaultMaxAffectedWindows: Long = 100000000L
+
+  /** Re-merge tier-state rows (possibly several per key) into one exact
+   * row per (source, bucket, window_start) with the derived columns
+   * recomputed — the single merge kernel behind both mergeLate paths. */
+  private def remergeState(rows: DataFrame, tier: String): DataFrame =
+    rows
+      .groupBy(col("source"), col("bucket"), col("window_start"))
       .agg(
         min(col("min_tok")).as("min_tok"),
         max(col("max_tok")).as("max_tok"),
@@ -203,9 +196,77 @@ object Rollup {
         (col("sum_tok").cast("double") / col("cnt_tok").cast("double")).as("avg_tok"),
         col("sumsq_tok"),
         expr(varExpr).as("var_tok"))
-    // the equi-join fronts its keys — restore the tier table's own
-    // column order so merge output unions cleanly with unmerged tables
-    val out = untouched.unionByName(merged).select(tierTable.columns.map(col): _*)
+
+  /** [[mergeLate]] plus a release hook: the delta aggregate is persisted
+   * (it feeds the affected-key split AND the merge union — one
+   * computation instead of three), and long-lived callers that merge
+   * repeatedly (the streaming sink) must call the hook once the result
+   * is materialized, or cached delta blocks accumulate for the session
+   * lifetime (the lshChain release discipline). One-shot callers in a
+   * short session may ignore it.
+   *
+   * Three cost regimes, picked by the delta's window count (the count
+   * rides the same job that warms the persisted delta):
+   *  - <= `maxBroadcastWindows`: BROADCAST split — the affected-key set
+   *    ships to every executor and the big tier is split row-locally
+   *    (anti/semi, zero tier shuffle); only the affected slice
+   *    re-merges. The ceiling is a byte budget (~40-60 MB built
+   *    relation at the 1M default), because the key set lands on the
+   *    driver and every executor.
+   *  - <= `maxAffectedWindows`: SHUFFLE re-merge — the whole tier
+   *    unions with the delta and re-aggregates in ONE hash shuffle on
+   *    the tier key (cheaper than two shuffle joins; untouched windows
+   *    pass through the merge as single-row groups, bit-equal since
+   *    avg/var re-derive from the same exact integer state). Costs one
+   *    tier shuffle but never touches the (window-width-times-larger)
+   *    raw points.
+   *  - beyond: loud failure — that delta is a bulk backfill; run a
+   *    full re-rollup. Fails with a diagnosis, not a driver OOM. */
+  def mergeLateReleasable(
+      tierTable: DataFrame,
+      latePoints: DataFrame,
+      tier: String,
+      maxAffectedWindows: Long = DefaultMaxAffectedWindows,
+      maxBroadcastWindows: Long = DefaultMaxBroadcastWindows): (DataFrame, () => Unit) = {
+    val delta = rollupFromPoints(latePoints, tier)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the guard must not leak the just-persisted delta when it fires
+    // (a streaming retry loop would pin one materialized cache per
+    // attempt): unpersist before propagating
+    val nAffected =
+      try {
+        val n = delta.count()
+        require(
+          n <= maxAffectedWindows,
+          s"mergeLate: delta touches $n windows (> $maxAffectedWindows). " +
+            "Incremental reconciliation is for late slices; a delta this " +
+            "size is a bulk backfill — run a full re-rollup, or raise " +
+            "maxAffectedWindows.")
+        n
+      } catch {
+        case e: Throwable => delta.unpersist(); throw e
+      }
+    val keys = Seq("source", "bucket", "window_start")
+    val stateCols =
+      Seq("source", "bucket", "window_start", "min_tok", "max_tok",
+        "sum_tok", "cnt_tok", "sumsq_tok").map(col)
+    val out =
+      if (nAffected <= maxBroadcastWindows) {
+        val affectedKeys = delta.select(keys.map(col): _*)
+        val untouched =
+          tierTable.join(broadcast(affectedKeys), keys, "left_anti")
+        val affected =
+          tierTable.join(broadcast(affectedKeys), keys, "left_semi")
+        val merged = remergeState(affected.unionByName(delta), tier)
+        // the equi-join fronts its keys — restore the tier table's own
+        // column order so merge output unions cleanly with unmerged tables
+        untouched.unionByName(merged).select(tierTable.columns.map(col): _*)
+      } else {
+        remergeState(
+          tierTable.select(stateCols: _*).unionByName(delta.select(stateCols: _*)),
+          tier)
+          .select(tierTable.columns.map(col): _*)
+      }
     (out, () => { delta.unpersist(); () })
   }
 

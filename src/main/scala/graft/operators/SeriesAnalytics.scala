@@ -83,7 +83,10 @@ object SeriesAnalytics {
       .filter(col(valueCol) > threshold)
       .withColumn(
         "island",
-        (col("window_start") / windowWidth).cast("long") - row_number().over(byKey))
+        // integer DIV, not double division: double round-trips are exact
+        // only below 2^53, and window_start may one day carry epoch-scale
+        // values; DIV matches the oracle's // semantics on the whole domain
+        expr(s"window_start DIV $windowWidth") - row_number().over(byKey))
     val runs = Window.partitionBy(col("source"), col("bucket"), col("island"))
     breaches
       .withColumn("run_len", count(lit(1)).over(runs).cast("int"))
@@ -192,7 +195,13 @@ object SeriesAnalytics {
    * Scale shape: the input is a TIER (already 1/window-width the size
    * of the points); the self-join shuffles on the window key and each
    * window emits |sources-in-window|^2 pair rows that partial-aggregate
-   * map-side to one row per source pair. */
+   * map-side to one row per source pair. CARDINALITY WARNING for anyone
+   * copying this pattern: the per-window pair fan-out is quadratic in
+   * the sources sharing a window BEFORE the map-side collapse — fine at
+   * survey-scale source counts (tens to hundreds), but at 10^4+
+   * co-windowed sources the intermediate explodes 10^8-fold per window;
+   * that regime needs blocking (correlate within source groups) or a
+   * sketch, not this exact all-pairs join. */
   def sourceCorrelation(tier: DataFrame): DataFrame = {
     val a = tier.select(
       col("source").as("source_a"),

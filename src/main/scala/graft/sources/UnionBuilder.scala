@@ -154,6 +154,13 @@ object UnionBuilder {
       else floor(pow(col("size_total").cast("double"), lit(alpha))).cast("long")
     perSrc
       .withColumn("w_raw", raw)
-      .withColumn("mix_ppb", expr("w_raw * 1000000000L DIV sum(w_raw) OVER ()"))
+      .withColumn(
+        "mix_ppb",
+        // loud, not NULL, when every source is empty (normalizing sum 0):
+        // a silent all-NULL mix would propagate into sampling weights
+        expr(
+          "CASE WHEN sum(w_raw) OVER () = 0 THEN " +
+            "raise_error('temperatureWeights: all sources have zero size — no mix is defined') " +
+            "ELSE w_raw * 1000000000L DIV sum(w_raw) OVER () END"))
   }
 }

@@ -88,7 +88,11 @@ object StreamingOps {
    *   - same id, same content  -> genuine replay: skip.
    *   - same id, DIFFERENT content (or a legacy id-only fingerprint,
    *     whose content is unverifiable) -> the counter rewound: refuse
-   *     loudly, the operator decides.
+   *     loudly, the operator decides. RESIDUAL AMBIGUITY (accepted): a
+   *     rewound counter whose batch happens to carry byte-identical
+   *     content to the original is indistinguishable from a replay and
+   *     is skipped — harmless precisely because committing it would be
+   *     a no-op duplicate of what the table already holds.
    *   - empty batch -> nothing to commit (the fingerprint aggregation
    *     doubles as the emptiness probe — one pass, no separate isEmpty
    *     job; the hash must be known BEFORE commit because it IS the

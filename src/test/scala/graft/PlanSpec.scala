@@ -360,6 +360,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"tier side must not shuffle-join:\n$plan")
   }
 
+  test("mergeLate shuffle middle path re-merges with zero joins") {
+    val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
+    val lateCond = expr("pos % 7 = 3")
+    val base = Rollup.rollupFromPoints(pts.filter(!lateCond), graft.core.Tier.OneMinute)
+    val df = Rollup.mergeLate(
+      base, pts.filter(lateCond), graft.core.Tier.OneMinute, maxBroadcastWindows = 0L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the middle path is a union + ONE hash re-merge on the tier key —
+    // no join of any kind (the broadcast split is the other branch)
+    assert(!plan.contains("Join"), s"shuffle path must be join-free:\n$plan")
+    assert(plan.contains("Union"), plan)
+  }
+
   test("decontamination broadcasts the test shingles; no sort-merge join") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val plan = planOf(

@@ -129,4 +129,44 @@ class RollupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("full re-rollup"), e.getMessage)
   }
+
+  test("mergeLate shuffle middle path bit-equals the broadcast path") {
+    // a delta too big to broadcast but below the absolute guard must take
+    // the shuffle re-merge branch and produce the identical tier; force
+    // the branch by zeroing the broadcast ceiling
+    val points = TokenTable.points(spark, dir).cache()
+    val lateCond = expr("pos % 7 = 3")
+    val base = Rollup.rollupFromPoints(points.filter(!lateCond), Tier.OneMinute)
+    val viaBroadcast = Rollup
+      .mergeLate(base, points.filter(lateCond), Tier.OneMinute)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val viaShuffle = Rollup
+      .mergeLate(
+        base,
+        points.filter(lateCond),
+        Tier.OneMinute,
+        maxBroadcastWindows = 0L)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val full = Rollup
+      .rollupFromPoints(points, Tier.OneMinute)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle == full)
+    points.unpersist()
+  }
+
+  test("mergeLate convenience path rejects a nondeterministic delta plan") {
+    val points = TokenTable.points(spark, dir)
+    val base = Rollup.rollupFromPoints(points, Tier.OneMinute)
+    val e = intercept[IllegalArgumentException] {
+      Rollup.mergeLate(base, points.filter(rand() < 2.0), Tier.OneMinute)
+    }
+    assert(e.getMessage.contains("mergeLateReleasable"), e.getMessage)
+  }
 }
