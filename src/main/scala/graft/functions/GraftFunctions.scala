@@ -23,6 +23,7 @@ object GraftFunctions {
     "tier_stats" -> (args => TierStats(args.head)),
     "dot_q" -> (args => DotQ(args.head, args(1))),
     "lsh_sig" -> (args => LshSig(args.head, foldInt(args(1)))),
+    "lsh_sig_affine" -> (args => LshSigAffine(args.head, foldInt(args(1)))),
     // array kernels (typed JVM loops replacing interpreted HOF lambdas —
     // see ArrayExpressions.scala)
     // dedup-chain kernels (shingle/signature/band stages as codegen'd

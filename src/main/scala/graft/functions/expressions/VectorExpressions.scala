@@ -58,6 +58,42 @@ object VectorKernels {
     acc
   }
 
+  /** SQL-reproducible variant of [[lshSigData]] backing the oracle-checked
+   * ANN assignment surface (`q_ann_assign`): plane weights derive from two
+   * Lehmer rounds of plain BIGINT arithmetic that any ANSI engine computes
+   * exactly —
+   *   k  = p*1024 + d
+   *   h1 = (k  * 1103515245 + 12345) % 2147483647
+   *   h2 = (h1 * 1103515245 + 54321) % 2147483647
+   *   w  = h2 % 7 - 3
+   * (all intermediates <= ~2.4e18, no Long overflow; every operand
+   * nonnegative so `%` agrees across engines). One Lehmer round alone
+   * would make planes cyclic shifts of a period-7 comb (1024 ≡ 2 mod 7);
+   * the second round decorrelates them. The xxhash64 variant stays the
+   * production bucketing (better mixing); this one exists so the sign-bit
+   * bucket id itself is cross-engine checkable. */
+  def lshSigAffineData(a: ArrayData, isFloat: Boolean, nPlanes: Int): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0L
+      var d = 0
+      while (d < n) {
+        val k = p.toLong * 1024L + d
+        val h1 = (k * 1103515245L + 12345L) % 2147483647L
+        val h2 = (h1 * 1103515245L + 54321L) % 2147483647L
+        val w = h2 % 7L - 3L
+        val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        s += quantize(x) * w
+        d += 1
+      }
+      acc = acc * 2L + (if (s >= 0L) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
+
   /** True iff either array has a null element in the min-length prefix —
    * dot_q propagates element nulls to a NULL result (matching the
    * zip_with/aggregate SQL semantics it replaced, which returned NULL
@@ -197,5 +233,48 @@ case class LshSig(child: Expression, nPlanes: Int) extends UnaryExpression {
           s".lshSigData($c, $isFloat, $nPlanes);")
 
   override protected def withNewChildInternal(newChild: Expression): LshSig =
+    copy(child = newChild)
+}
+
+/** `lsh_sig_affine(vec, nPlanes) -> bigint`: the SQL-reproducible twin of
+ * [[LshSig]] (weights from [[VectorKernels.lshSigAffineData]]'s two Lehmer
+ * rounds instead of xxhash64), so the hyperplane ASSIGNMENT stage can be
+ * hash-checked against an external SQL oracle. Same real-`doGenCode`
+ * one-line kernel-call shape. */
+case class LshSigAffine(child: Expression, nPlanes: Int) extends UnaryExpression {
+
+  private def elemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOf(child.dataType).isDefined && nPlanes >= 1 && nPlanes <= 63)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> and 1<=nPlanes<=63, got ${child.dataType}, $nPlanes")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig_affine"
+
+  private def isFloat = elemOf(child.dataType).contains(FloatType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.lshSigAffineData(input.asInstanceOf[ArrayData], isFloat, nPlanes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"${ev.value} = graft.functions.expressions.VectorKernels$$.MODULE$$" +
+          s".lshSigAffineData($c, $isFloat, $nPlanes);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSigAffine =
     copy(child = newChild)
 }

@@ -32,19 +32,17 @@ object CurationJob {
       droppedQuality: Long,
       keptDocs: Long)
 
-  def run(
-      spark: SparkSession,
+  /** The funnel's per-document labeling surface — every gate a boolean
+   * column, never a dropped row. Shared verbatim by [[run]] (which adds
+   * the observed counters and snapshot commit) and the oracle-checked
+   * `q_curation_funnel` query, so the end-user-facing labels themselves
+   * sit on the hard cross-engine gate, not only on JobSpec counters. */
+  def labelDocs(
       docs: DataFrame,
       testDocs: DataFrame,
-      store: SnapshotStore,
       n: Int = 8,
       testPermille: Int = 20,
-      valPermille: Int = 50): Result = {
-    // configuration-only fingerprint: the input count is already
-    // observed for free on the snapshot write (input_docs) — counting
-    // up front would be one redundant full-corpus scan per run
-    val params = s"curate-n$n-tp$testPermille-vp$valPermille"
-
+      valPermille: Int = 50): DataFrame = {
     val canonical = Dedup
       .exactDedup(docs, "doc_id", "text")
       .select(col("doc_id"), lit(true).as("canonical"))
@@ -54,9 +52,7 @@ object CurationJob {
     val verdict = TextAnalysis
       .curationVerdict(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("quality_ok"))
-
-    val obs = Observation("curation_funnel")
-    val labeled = UnionBuilder
+    UnionBuilder
       .assignSplit(docs.select(col("doc_id"), col("source")), "doc_id", testPermille, valPermille)
       .join(canonical, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
@@ -71,6 +67,23 @@ object CurationJob {
       .withColumn(
         "kept",
         col("canonical") && !col("contaminated") && col("quality_ok"))
+  }
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      testDocs: DataFrame,
+      store: SnapshotStore,
+      n: Int = 8,
+      testPermille: Int = 20,
+      valPermille: Int = 50): Result = {
+    // configuration-only fingerprint: the input count is already
+    // observed for free on the snapshot write (input_docs) — counting
+    // up front would be one redundant full-corpus scan per run
+    val params = s"curate-n$n-tp$testPermille-vp$valPermille"
+
+    val obs = Observation("curation_funnel")
+    val labeled = labelDocs(docs, testDocs, n, testPermille, valPermille)
       .observe(
         obs,
         count(lit(1)).as("input_docs"),

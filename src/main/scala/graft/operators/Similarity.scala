@@ -177,6 +177,26 @@ object Similarity {
         col("_b.c_cos").as("c_cos"))
   }
 
+  /** The ANN hyperplane ASSIGNMENT stage as a first-class oracle-checkable
+   * surface: each vector's `nPlanes`-bit sign bucket, computed with the
+   * SQL-reproducible `lsh_sig_affine` kernel (plane weights from two
+   * Lehmer rounds of exact BIGINT arithmetic — see
+   * [[graft.functions.expressions.VectorKernels.lshSigAffineData]]) so the
+   * bucket id itself is hash-checkable against an external SQL engine.
+   * [[annTopK]] keeps the xxhash64 weights (better mixing; bucket ids
+   * engine-internal, recall asserted in PipelineSpec). Row-local and
+   * shuffle-free: one codegen'd projection over the embedding scan. */
+  def annAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.select(
+      col(idCol).as("vec_id"),
+      call_function("lsh_sig_affine", col(vecCol), lit(nPlanes)).as("ann_bucket"))
+  }
+
   /** IVF (inverted-file) ANN — the FAISS-style coarse-quantizer shape:
    *
    *  1. coarse centroids: a deterministic 1/`centroidRate` hash sample of

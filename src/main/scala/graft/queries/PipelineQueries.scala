@@ -145,6 +145,13 @@ object PipelineQueries {
     "q_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssign(emb(s, dir), "vec_id", "embedding", 25)),
 
+    // the hyperplane ASSIGNMENT stage oracle-checked on its own: the
+    // 8-bit sign bucket from the SQL-reproducible lsh_sig_affine weights
+    // (two Lehmer rounds of exact BIGINT arithmetic — both engines compute
+    // the identical integer plane dots, so the bucket id hash-matches)
+    "q_ann_assign" -> ((s, dir) =>
+      Similarity.annAssign(emb(s, dir), "vec_id", "embedding", 8)),
+
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
 
@@ -169,6 +176,20 @@ object PipelineQueries {
     // text ops above.
     "q_curation_verdict" -> ((s, dir) =>
       TextAnalysis.curationVerdict(docs(s, dir), "doc_id", "text")),
+
+    // The funnel's END-USER-FACING per-doc labels on the hard gate: the
+    // exact frame CurationJob commits (canonical / contaminated /
+    // quality_ok / kept / split), vs one DuckDB recomputation of all
+    // four gates composed — JobSpec checks the counters; this checks the
+    // labeling itself.
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.jobs.CurationJob
+        .labelDocs(d, d.filter(col("doc_id") % 53 === 0))
+        .select(
+          col("doc_id"), col("split"), col("canonical"),
+          col("contaminated"), col("quality_ok"), col("kept"))
+    }),
 
     // Multimodal: batched decode+feature plumbing over binary media. ALL
     // THREE modalities are real container decodes (PNG / RIFF-WAVE PCM /
@@ -433,6 +454,28 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vid
         |            ORDER BY c_cos DESC, cid) AS rn FROM scored)
         |WHERE rn = 1""".stripMargin,
+    // the 8-bit hyperplane bucket recomputed from scratch: quantized
+    // components x two-Lehmer-round weights -> exact integer plane dots,
+    // sign bits packed MSB-first (plane 0 is the high bit, matching the
+    // kernel's acc*2+bit fold)
+    "q_ann_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(t.i AS BIGINT) - 1 AS d,
+        |         CAST(floor(CAST(e[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, embedding AS e FROM embeddings),
+        |       LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t),
+        |w AS (
+        |  SELECT q.vec_id, pl.p, q.v,
+        |         (((((q.d + pl.p * 1024) * 1103515245 + 12345) % 2147483647)
+        |            * 1103515245 + 54321) % 2147483647) % 7 - 3 AS w
+        |  FROM q, (SELECT unnest(range(0, 8)) AS p) pl),
+        |s AS (
+        |  SELECT vec_id, p, CAST(sum(v * w) AS BIGINT) AS s
+        |  FROM w GROUP BY 1, 2)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(sum(CASE WHEN s >= 0 THEN 1 << CAST(7 - p AS INT) ELSE 0 END) AS BIGINT)
+        |         AS ann_bucket
+        |FROM s GROUP BY 1""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
@@ -472,6 +515,67 @@ object PipelineQueries {
         |    WHEN cnt_zh > 0 AND cnt_zh = GREATEST(cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh) THEN 'zh'
         |    ELSE 'und' END AS pred_lang
         |FROM c""".stripMargin,
+    // all four funnel gates recomputed and composed: exact-dedup rank,
+    // 8-gram test-set overlap, the five quality signals, and the permille
+    // split hash — per-doc labels, kept = canonical AND NOT contaminated
+    // AND quality_ok, LEFT joins so unscoreable docs stay labeled
+    "q_curation_funnel" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        |tg AS (SELECT DISTINCT g FROM g WHERE doc_id % 53 = 0),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN tg USING (g)),
+        |canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |wx AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |q AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |         CAST(sum(CASE WHEN w IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS stopword_ratio,
+        |         CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS distinct_ratio
+        |  FROM wx GROUP BY 1),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(max(c) AS INT) AS top2, CAST(sum(c) AS INT) AS slots2
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id,
+        |              CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS INT) AS dup3,
+        |              CAST(sum(c) AS INT) AS slots3
+        |       FROM c3 GROUP BY 1),
+        |qual AS (
+        |  SELECT q.doc_id,
+        |         (n_words >= 20 AND stopword_ratio <= CAST(0.5 AS DOUBLE)
+        |          AND distinct_ratio >= CAST(0.3 AS DOUBLE)
+        |          AND (CASE WHEN coalesce(slots2, 0) > 0
+        |               THEN CAST(top2 AS DOUBLE) / CAST(slots2 AS DOUBLE) ELSE 0.0 END)
+        |            <= CAST(0.2 AS DOUBLE)
+        |          AND (CASE WHEN coalesce(slots3, 0) > 0
+        |               THEN CAST(dup3 AS DOUBLE) / CAST(slots3 AS DOUBLE) ELSE 0.0 END)
+        |            <= CAST(0.2 AS DOUBLE)) AS keep
+        |  FROM q LEFT JOIN s2 ON q.doc_id = s2.doc_id
+        |         LEFT JOIN s3 ON q.doc_id = s3.doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN ((((d.doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 < 20 THEN 'test'
+        |            WHEN ((((d.doc_id % 1000000007) * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 1000 < 70 THEN 'val'
+        |            ELSE 'train' END AS split,
+        |       (c.doc_id IS NOT NULL) AS canonical,
+        |       (ct.doc_id IS NOT NULL) AS contaminated,
+        |       coalesce(qu.keep, FALSE) AS quality_ok,
+        |       (c.doc_id IS NOT NULL AND ct.doc_id IS NULL
+        |        AND coalesce(qu.keep, FALSE)) AS kept
+        |FROM documents d
+        |LEFT JOIN canon c ON d.doc_id = c.doc_id
+        |LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+        |LEFT JOIN qual qu ON d.doc_id = qu.doc_id""".stripMargin,
     "q_curation_verdict" ->
       """WITH wx AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -298,6 +298,44 @@ class ArrayKernelSpec extends AnyFunSuite {
     })
   }
 
+  test("lsh_sig_affine matches the Lehmer-weight Scala reference and spreads buckets") {
+    import graft.functions.expressions.VectorKernels
+    val vecs: Gen[Vector[Float]] = Gen
+      .chooseNum(1, 64)
+      .flatMap(n =>
+        Gen.containerOfN[Vector, Float](
+          n, Gen.chooseNum(-4.0, 4.0).map(_.toFloat)))
+    def reference(v: Vector[Float], nPlanes: Int): Long =
+      (0 until nPlanes).foldLeft(0L) { (acc, p) =>
+        val s = v.indices.map { d =>
+          val k = p.toLong * 1024L + d
+          val h1 = (k * 1103515245L + 12345L) % 2147483647L
+          val h2 = (h1 * 1103515245L + 54321L) % 2147483647L
+          val w = h2 % 7L - 3L
+          math.floor(v(d).toDouble * 1000.0 + 0.5).toLong * w
+        }.sum
+        acc * 2L + (if (s >= 0L) 1L else 0L)
+      }
+    check(Prop.forAll(vecs, Gen.chooseNum(1, 16)) { (v, nPlanes) =>
+      val a = new GenericArrayData(v.map(Float.box).toArray[Any])
+      VectorKernels.lshSigAffineData(a, isFloat = true, nPlanes) ==
+        reference(v, nPlanes)
+    })
+    // mixing sanity: the two-Lehmer weights must not collapse to a
+    // period-7 comb — 256 FULL-dimensional random vectors should land in
+    // many of the 256 possible 8-bit buckets (expected ~162 distinct for
+    // uniform bucketing; a comb collapses to a handful). NB shifted-sine
+    // vectors would be the wrong probe here: they span only the 2-D
+    // {sin(d), cos(d)} subspace, where 8 hyperplanes cut at most 16 cells.
+    val buckets = (0 until 256).map { i =>
+      val rnd = new scala.util.Random(i)
+      val v = Vector.fill(32)((rnd.nextDouble() * 8.0 - 4.0).toFloat)
+      VectorKernels.lshSigAffineData(
+        new GenericArrayData(v.map(Float.box).toArray[Any]), isFloat = true, 8)
+    }.distinct
+    assert(buckets.size > 64, s"poor bucket spread: ${buckets.size} distinct of 256")
+  }
+
   test("arr_pairs pair-bomb guard FIRES (before allocation) on an over-dense bucket") {
     import graft.functions.expressions.DedupKernels
     // a dense (but sane) bucket stays allowed — 1000 ids = 499,500 pairs
