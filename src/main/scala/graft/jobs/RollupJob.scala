@@ -71,13 +71,22 @@ object RollupJob {
         expr(Rollup.varExpr).as("var_tok"))
   }
 
-  /** Run the full ladder; returns per-stage results. */
+  /** Run the full ladder; returns per-stage results.
+   *
+   * `retentionHorizon` enforces retention on the 1m tier only;
+   * `ladderHorizons` (one horizonStart per non-coarsest tier, fine ->
+   * coarse) runs a compact-then-expire stage per ladder level instead —
+   * the TimescaleDB per-tier-policy shape. Mutually exclusive. */
   def run(
       spark: SparkSession,
       sfDir: String,
       storeDir: String,
       salt: Int = 0,
-      retentionHorizon: Option[Long] = None): Map[String, StageResult] = {
+      retentionHorizon: Option[Long] = None,
+      ladderHorizons: Seq[Long] = Seq.empty): Map[String, StageResult] = {
+    require(
+      retentionHorizon.isEmpty || ladderHorizons.isEmpty,
+      "RollupJob: pass retentionHorizon (1m only) OR ladderHorizons (per tier), not both")
     val store = new SnapshotStore(storeDir)
     var results = Map.empty[String, StageResult]
 
@@ -134,7 +143,7 @@ object RollupJob {
     // Stages 2..4: reaggregation cascade, each reading the previous tier
     // snapshot (never the raw data).
     var prev = t1m
-    var t5m = t1m
+    var tierSnaps = Map(Tier.OneMinute -> t1m)
     for ((tierName, _) <- Tier.ladder.drop(1)) {
       prev = stage(
         s"tier_$tierName",
@@ -142,8 +151,9 @@ object RollupJob {
         s"prev=${prev.snap.uid}") {
         Rollup.reaggregate(store.read(spark, prev.snap), tierName)
       }
-      if (tierName == Tier.FiveMinutes) t5m = prev
+      tierSnaps += (tierName -> prev)
     }
+    val t5m = tierSnaps(Tier.FiveMinutes)
 
     // Stage 5 (opt-in): retention enforcement on the 1m tier —
     // compact-then-expire against the committed 5m snapshot. The survivor
@@ -177,6 +187,54 @@ object RollupJob {
             coalesce(sum(expr("CAST(retained_uncovered AS LONG)")), lit(0L))
               .as("uncovered"),
             count(lit(1)).as("survivors"))
+      }
+    }
+
+    // Stage 5' (opt-in alternative): retention across the FULL ladder —
+    // one compact-then-expire stage PER (fine, coarse) tier pair with its
+    // own horizon, each verdict against the coarse tier's COMMITTED
+    // snapshot (Retention.ladderExpire's coverage-as-given semantics: a
+    // fine window expires once the coarser aggregate EXISTS; whether the
+    // coarse tier later expires it is the next level's question). The
+    // coarsest tier is pure history and gets no stage. Counters per level
+    // ride each stage's own write via observe.
+    if (ladderHorizons.nonEmpty) {
+      val tiers = Tier.ladder.map(_._1)
+      require(
+        ladderHorizons.size == tiers.size - 1,
+        s"RollupJob: ${tiers.size}-tier ladder needs ${tiers.size - 1} horizons, " +
+          s"got ${ladderHorizons.size}")
+      tiers.init.zip(tiers.tail).zip(ladderHorizons).foreach {
+        case ((fineName, coarseName), horizon) =>
+          val fine = tierSnaps(fineName)
+          val coarse = tierSnaps(coarseName)
+          var retObs: Option[org.apache.spark.sql.Observation] = None
+          stage(
+            s"tier_${fineName}_retained",
+            s"retention_$fineName",
+            s"fine=${fine.snap.uid};coarse=${coarse.snap.uid};h=$horizon",
+            extraMetrics = () =>
+              retObs.toSeq.flatMap { o =>
+                Seq(
+                  "retained_uncovered_rows" ->
+                    o.get("uncovered").asInstanceOf[Long].toDouble,
+                  "survivor_rows" -> o.get("survivors").asInstanceOf[Long].toDouble)
+              }) {
+            val obs = org.apache.spark.sql.Observation(
+              s"retention-$fineName-${fine.snap.uid}-$horizon")
+            retObs = Some(obs)
+            graft.operators.Retention
+              .safeExpire(
+                store.read(spark, fine.snap),
+                store.read(spark, coarse.snap),
+                coarseName,
+                horizon)
+              .observe(
+                obs,
+                coalesce(sum(expr("CAST(retained_uncovered AS LONG)")), lit(0L))
+                  .as("uncovered"),
+                count(lit(1)).as("survivors"))
+          }
       }
     }
     results

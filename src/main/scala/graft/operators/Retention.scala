@@ -71,4 +71,39 @@ object Retention {
       .withColumn("retained_uncovered", lit(true))
     live.unionByName(uncovered)
   }
+
+  /** Per-tier horizons over the WHOLE ladder (the TimescaleDB per-policy
+   * shape: every tier has its own retention window, fine tiers short,
+   * coarse tiers long): each level runs [[safeExpire]] against the NEXT
+   * tier as coverage, and the coarsest tier — pure history — passes
+   * through (compose [[expire]] on it separately if it ever needs a
+   * horizon). Returns the union of every level's surviving rows; each
+   * row keeps its `tier` label and the `retained_uncovered` audit flag
+   * (false for the coarsest level).
+   *
+   * Coverage at level i is tier i+1 AS GIVEN (pre-expiry): expiry of a
+   * fine window only needs the coarser aggregate to EXIST — whether the
+   * coarser tier later expires that window is its own level's question,
+   * answered against the tier above it. Ordering between levels
+   * therefore doesn't matter and no level's output feeds another: the
+   * chain is independent bounded joins, no cross-level shuffle.
+   *
+   * `ladder` is fine -> coarse as (tierTable, tierName);
+   * `horizons(i)` is level i's horizonStart (one per non-coarsest tier;
+   * the sane policy is NONINCREASING fine -> coarse: finer tiers keep
+   * less history, so their oldest-kept timestamp is more recent). */
+  def ladderExpire(
+      ladder: Seq[(DataFrame, String)],
+      horizons: Seq[Long]): DataFrame = {
+    require(
+      ladder.size == horizons.size + 1,
+      s"ladderExpire: ${ladder.size} tiers need ${ladder.size - 1} horizons, " +
+        s"got ${horizons.size}")
+    val expired = ladder.init.zip(ladder.tail).zip(horizons).map {
+      case (((fine, _), (coarse, coarseTier)), h) =>
+        safeExpire(fine, coarse, coarseTier, h)
+    }
+    val coarsest = ladder.last._1.withColumn("retained_uncovered", lit(false))
+    (expired :+ coarsest).reduce(_ unionByName _)
+  }
 }

@@ -160,6 +160,23 @@ object TokenRollupQueries {
       Retention.safeExpire(t1m, coarse, Tier.FiveMinutes, 300L)
     }),
 
+    // Retention across the FULL ladder (Retention.ladderExpire): three
+    // chained compact-then-expire levels with per-tier horizons
+    // (1m and 5m keep >= 240, 1h keeps everything — the sf-scaled stand-in
+    // for '1m keeps a day, 5m a month'; 240 sits inside BOTH tiers' window
+    // ranges so every branch fires: live, dropped-covered, and the flagged
+    // uncovered survivors from the DELIBERATE coverage hole at EACH
+    // level: the 5m tier aggregates only source < 'src5', the 1h tier
+    // only source < 'src3').
+    "q_retention_ladder" -> ((s, dir) => {
+      val t1m = Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute)
+      val t5m = Rollup.reaggregate(t1m.filter(col("source") < "src5"), Tier.FiveMinutes)
+      val t1h = Rollup.reaggregate(t5m.filter(col("source") < "src3"), Tier.OneHour)
+      Retention.ladderExpire(
+        Seq(t1m -> Tier.OneMinute, t5m -> Tier.FiveMinutes, t1h -> Tier.OneHour),
+        Seq(240L, 240L))
+    }),
+
     // Proportional sampling weights (indexer get_proportional_probabilities,
     // hf_dataset_indexer.py:119-139): per-doc weight = n_tok / Σ n_tok of
     // its source, in exact parts-per-billion integer arithmetic.
@@ -287,6 +304,81 @@ object TokenRollupQueries {
          |FROM g WHERE g.window_start < 300 AND NOT EXISTS (
          |  SELECT 1 FROM c WHERE c.source = g.source AND c.bucket = g.bucket
          |    AND c.cw = g.window_start - g.window_start % 300)""".stripMargin,
+    // three levels, each its own horizon + NOT EXISTS coverage cascade;
+    // the coarsest tier passes through unexpired
+    "q_retention_ladder" ->
+      s"""$PtsCte,
+         |f1 AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket, '1m' AS tier,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         min(tok) AS min_tok, max(tok) AS max_tok,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+         |         CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
+         |  FROM pts GROUP BY 1, 2, 3, 4),
+         |f5 AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket, '5m' AS tier,
+         |         CAST((pos // 300) * 300 AS INT) AS window_start,
+         |         min(tok) AS min_tok, max(tok) AS max_tok,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+         |         CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
+         |  FROM pts WHERE source < 'src5' GROUP BY 1, 2, 3, 4),
+         |fh AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket, '1h' AS tier,
+         |         CAST((pos // 3600) * 3600 AS INT) AS window_start,
+         |         min(tok) AS min_tok, max(tok) AS max_tok,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok, count(*) AS cnt_tok,
+         |         CAST(sum(CAST(tok AS BIGINT) * tok) AS BIGINT) AS sumsq_tok
+         |  FROM pts WHERE source < 'src3' GROUP BY 1, 2, 3, 4),
+         |g1 AS (
+         |  SELECT *, CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE) AS avg_tok,
+         |         CASE WHEN cnt_tok > 1 THEN
+         |           (CAST(sumsq_tok AS DOUBLE) - CAST(sum_tok AS DOUBLE) * CAST(sum_tok AS DOUBLE)
+         |            / CAST(cnt_tok AS DOUBLE)) / CAST(cnt_tok - 1 AS DOUBLE)
+         |         ELSE NULL END AS var_tok
+         |  FROM f1),
+         |g5 AS (
+         |  SELECT *, CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE) AS avg_tok,
+         |         CASE WHEN cnt_tok > 1 THEN
+         |           (CAST(sumsq_tok AS DOUBLE) - CAST(sum_tok AS DOUBLE) * CAST(sum_tok AS DOUBLE)
+         |            / CAST(cnt_tok AS DOUBLE)) / CAST(cnt_tok - 1 AS DOUBLE)
+         |         ELSE NULL END AS var_tok
+         |  FROM f5),
+         |gh AS (
+         |  SELECT *, CAST(sum_tok AS DOUBLE) / CAST(cnt_tok AS DOUBLE) AS avg_tok,
+         |         CASE WHEN cnt_tok > 1 THEN
+         |           (CAST(sumsq_tok AS DOUBLE) - CAST(sum_tok AS DOUBLE) * CAST(sum_tok AS DOUBLE)
+         |            / CAST(cnt_tok AS DOUBLE)) / CAST(cnt_tok - 1 AS DOUBLE)
+         |         ELSE NULL END AS var_tok
+         |  FROM fh),
+         |c5 AS (SELECT DISTINCT source, bucket, window_start AS cw FROM f5
+         |       WHERE window_start < 240),
+         |ch AS (SELECT DISTINCT source, bucket, window_start AS cw FROM fh
+         |       WHERE window_start < 240)
+         |SELECT source, bucket, tier, window_start, min_tok, max_tok, sum_tok, cnt_tok,
+         |       avg_tok, sumsq_tok, var_tok, FALSE AS retained_uncovered
+         |FROM g1 WHERE window_start >= 240
+         |UNION ALL
+         |SELECT g1.source, g1.bucket, g1.tier, g1.window_start, g1.min_tok, g1.max_tok,
+         |       g1.sum_tok, g1.cnt_tok, g1.avg_tok, g1.sumsq_tok, g1.var_tok,
+         |       TRUE AS retained_uncovered
+         |FROM g1 WHERE g1.window_start < 240 AND NOT EXISTS (
+         |  SELECT 1 FROM c5 WHERE c5.source = g1.source AND c5.bucket = g1.bucket
+         |    AND c5.cw = g1.window_start - g1.window_start % 300)
+         |UNION ALL
+         |SELECT source, bucket, tier, window_start, min_tok, max_tok, sum_tok, cnt_tok,
+         |       avg_tok, sumsq_tok, var_tok, FALSE AS retained_uncovered
+         |FROM g5 WHERE window_start >= 240
+         |UNION ALL
+         |SELECT g5.source, g5.bucket, g5.tier, g5.window_start, g5.min_tok, g5.max_tok,
+         |       g5.sum_tok, g5.cnt_tok, g5.avg_tok, g5.sumsq_tok, g5.var_tok,
+         |       TRUE AS retained_uncovered
+         |FROM g5 WHERE g5.window_start < 240 AND NOT EXISTS (
+         |  SELECT 1 FROM ch WHERE ch.source = g5.source AND ch.bucket = g5.bucket
+         |    AND ch.cw = g5.window_start - g5.window_start % 3600)
+         |UNION ALL
+         |SELECT source, bucket, tier, window_start, min_tok, max_tok, sum_tok, cnt_tok,
+         |       avg_tok, sumsq_tok, var_tok, FALSE AS retained_uncovered
+         |FROM gh""".stripMargin,
     "q_rollup_1m" -> tierOracle("1m", 60),
     // the merge path must bit-equal the full recompute
     "q_rollup_late" -> tierOracle("1m", 60),

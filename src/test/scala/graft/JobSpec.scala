@@ -190,6 +190,44 @@ class JobSpec extends SparkSpec {
     assert(!r3("retention_1m").resumed)
   }
 
+  test("ladder retention stages: per-level survivors bit-exact vs the operator, resumable") {
+    val base = tmpDir().toString
+    val dir = sf("sf0.001")
+    // nonincreasing fine -> coarse: finer tiers keep less history
+    val horizons = Seq(120L, 60L, 0L)
+    val results = RollupJob.run(spark, dir, base, ladderHorizons = horizons)
+    val stages = Seq("retention_1m", "retention_5m", "retention_1h")
+    assert(stages.forall(results.contains))
+    val store = new SnapshotStore(base)
+    val ladder = Rollup.ladder(TokenTable.points(spark, dir))
+    val pairs = Seq(
+      (Tier.OneMinute, Tier.FiveMinutes, 120L, "tier_1m_retained"),
+      (Tier.FiveMinutes, Tier.OneHour, 60L, "tier_5m_retained"),
+      (Tier.OneHour, Tier.OneDay, 0L, "tier_1h_retained"))
+    for ((f, c, h, table) <- pairs) {
+      val want = graft.operators.Retention
+        .safeExpire(ladder(f), ladder(c), c, h)
+        .collect()
+        .map(_.toSeq)
+        .toSet
+      assert(tierRows(dir, store, table) == want, s"$table mismatch")
+    }
+    // the finest level must actually expire rows
+    assert(
+      tierRows(dir, store, "tier_1m_retained").size < ladder(Tier.OneMinute).count())
+    // the last-committed metrics snapshot carries the 1h level's counters
+    val m = store
+      .read(spark, store.latest("metrics").get)
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(
+      m("survivor_rows") == tierRows(dir, store, "tier_1h_retained").size.toDouble)
+    // all three stages are snapshot-fingerprinted: a re-run resumes each
+    val r2 = RollupJob.run(spark, dir, base, ladderHorizons = horizons)
+    assert(stages.forall(r2(_).resumed))
+  }
+
   test("curation job: funnel counters partition the corpus and match the labeled table") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
