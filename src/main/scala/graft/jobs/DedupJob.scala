@@ -83,4 +83,136 @@ object DedupJob {
       store.commit(metricsDf, "metrics", "metrics_dedup_lsh", s"v$v-${keepSnap.uid}")
     Result(pairsSnap, keepSnap, metricsSnap, cand, ver, kept, dropped)
   }
+
+  final case class DeltaResult(
+      pairsDelta: SnapshotInfo,
+      keep: SnapshotInfo,
+      resumed: Boolean,
+      candidatePairs: Long,
+      verifiedPairs: Long,
+      keptDocs: Long,
+      droppedDocs: Long)
+
+  /** Incremental (delta) dedup maintenance — the production answer to
+   * q_dedup_incremental's documented query-shape cost (the query re-runs
+   * the pair join once per batch branch because a query builder has no
+   * persist release point; this job pays one linear candidate pass and
+   * verifies ONLY delta-touching pairs).
+   *
+   * Reads the prior run's committed labeling (`dedup_keep`), discovers
+   * and verifies only the pairs touching `newDocIds`
+   * ([[Dedup.minHashLshDeltaPairs]] — old-vs-old pairs are never
+   * re-verified), folds them into the committed labels from a warm start
+   * ([[ConnectedComponents.incrementalComponents]]: rounds scale with the
+   * newly-merged subgraph's diameter), and commits
+   *  - the verified DELTA pairs as their own log-structured snapshot
+   *    (`dedup_pairs` grows by appended versions, never rewritten), and
+   *  - the new full labeling over `allDocs`,
+   * both exactly-once: the fingerprints carry the upstream snapshot uid,
+   * the chain parameters and the delta count, so a crashed-and-retried
+   * delta run RESUMES instead of double-folding (getOrCompute, the
+   * RollupJob stage discipline). Candidate/verified telemetry rides the
+   * pair write via observe, zero extra scans. */
+  def runDelta(
+      spark: SparkSession,
+      allDocs: DataFrame,
+      newDocIds: DataFrame,
+      store: SnapshotStore,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DeltaResult = {
+    val prevKeep = store
+      .latest("dedup_keep")
+      .getOrElse(throw new IllegalStateException(
+        "DedupJob.runDelta: no committed dedup_keep labeling to fold into — " +
+          "run DedupJob.run for the initial corpus first"))
+    // the delta's identity is its CONTENT fingerprint (count + order-free
+    // hash sum — the streaming commitBatchOnce discipline), NOT the prev
+    // labeling's uid: a crash-retried or duplicate-delivered delta must
+    // RESUME even though the first attempt already advanced
+    // `dedup_keep` — and skipping is correct, not just safe, because
+    // folding an already-folded pair set into the closure is a no-op.
+    // (Docs are immutable under a given id in this store — re-submitting
+    // an id set with MUTATED text is out of contract, as everywhere else
+    // snapshots are fingerprinted by inputs.)
+    val fpRow = newDocIds
+      .select(col(newDocIds.columns.head).cast("long").as("_nid"))
+      .distinct()
+      .agg(
+        count(lit(1)),
+        coalesce(
+          sum(xxhash64(col("_nid")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+      .head()
+    val nNew = fpRow.getLong(0)
+    val idFp = String.valueOf(fpRow.getDecimal(1))
+    val params =
+      s"delta-n$n-h$numHashes-b$bands-t$threshold-new$nNew-fp$idFp"
+
+    val obsCand = Observation(s"delta_candidates_$params")
+    val obsVer = Observation(s"delta_verified_$params")
+    val (deltaPairs, release) = Dedup.minHashLshDeltaPairs(
+      allDocs, newDocIds, "doc_id", "text", n, numHashes, bands, threshold,
+      Some((obsCand, obsVer)))
+    val (pairsSnap, pairsResumed) =
+      store.getOrCompute("dedup_pairs", "lsh_pairs_delta", params)(deltaPairs)
+    release()
+    // a resumed pair stage never ran its observe action — the counters
+    // are only defined on the computing run (the metrics table holds the
+    // historical values)
+    val (cand, ver) =
+      if (pairsResumed) (-1L, -1L)
+      else (
+        obsCand.get("candidate_pairs").asInstanceOf[Long],
+        obsVer.get("verified_pairs").asInstanceOf[Long])
+
+    val prevLabels = store
+      .read(spark, prevKeep)
+      .filter(!col("keep")) // singleton labels are self-loops; drop early
+      .select(col("doc_id").as("node"), col("rep_id").as("rep"))
+    val obsKeep = Observation(s"delta_keep_$params")
+    // fingerprinted by the pair delta alone: "this delta has been folded
+    // into this table" — the labeling the fold would produce from any
+    // later prev state is identical (closure monotonicity)
+    val (keepSnap, keepResumed) = store.getOrCompute(
+      "dedup_keep", "keep_list_delta", s"pairs=${pairsSnap.uid}") {
+      val comp = ConnectedComponents
+        .incrementalComponents(
+          prevLabels, store.read(spark, pairsSnap), "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      allDocs
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_id"))
+        .withColumn("keep", col("doc_id") === col("rep_id"))
+        .observe(
+          obsKeep,
+          count(when(col("keep"), lit(1))).as("kept"),
+          count(when(!col("keep"), lit(1))).as("dropped"))
+    }
+    val (kept, dropped) =
+      if (keepResumed) (-1L, -1L)
+      else (
+        obsKeep.get("kept").asInstanceOf[Long],
+        obsKeep.get("dropped").asInstanceOf[Long])
+
+    if (!pairsResumed && !keepResumed) {
+      val v = keepSnap.version.toLong
+      val metricsDf = spark
+        .createDataFrame(
+          Seq(
+            ("dedup_delta", v, "new_docs", nNew.toDouble),
+            ("dedup_delta", v, "candidate_pairs", cand.toDouble),
+            ("dedup_delta", v, "verified_pairs", ver.toDouble),
+            ("dedup_delta", v, "candidates_per_new_doc",
+              if (nNew > 0) cand.toDouble / nNew else 0.0),
+            ("dedup_delta", v, "kept_docs", kept.toDouble),
+            ("dedup_delta", v, "dropped_docs", dropped.toDouble)))
+        .toDF("stage", "snapshot_id", "metric", "value")
+      store.commit(metricsDf, "metrics", "metrics_dedup_delta", s"v$v-${keepSnap.uid}")
+    }
+    DeltaResult(
+      pairsSnap, keepSnap, pairsResumed && keepResumed, cand, ver, kept, dropped)
+  }
 }

@@ -192,6 +192,53 @@ object Dedup {
     (LshPairs(pairs, release), obsCand, obsVer)
   }
 
+  /** Delta variant of the LSH chain for incremental dedup maintenance
+   * ([[graft.jobs.DedupJob]]'s delta run): shingling and banding run over
+   * the FULL corpus — both LINEAR, one shuffle, and unavoidable without
+   * committed signature tables — but only candidate pairs TOUCHING the
+   * delta id set go through exact-Jaccard verification. The old-vs-old
+   * pair set is already committed from prior runs and is neither
+   * re-verified nor re-emitted, so per-batch cost is
+   * O(corpus) row-local + O(delta-touching candidates) join work, not
+   * the full chain's verification volume.
+   *
+   * `newIds`' single column is the delta's doc ids; the set is broadcast
+   * (a delta batch is small by nature — a bulk backfill should re-run the
+   * full chain). Returns (verified delta pairs, shingle-cache release
+   * hook); `obs` mirrors [[minHashLshPairsObserved]] over the DELTA
+   * candidates/pairs. */
+  def minHashLshDeltaPairs(
+      docs: DataFrame,
+      newIds: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      obs: Option[(Observation, Observation)] = None): (DataFrame, () => Unit) = {
+    val sets = shingleHashes(docs, idCol, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = newIds
+      .select(col(newIds.columns.head).cast("long").as("_nid"))
+      .distinct()
+    val touching0 = bandCandidates(signaturesFromSets(sets, numHashes), bands)
+      .join(
+        broadcast(ids.select(col("_nid").as("_na"))), col("_id") === col("_na"), "left")
+      .join(
+        broadcast(ids.select(col("_nid").as("_nb"))), col("_idb") === col("_nb"), "left")
+      .filter(col("_na").isNotNull || col("_nb").isNotNull)
+      .select(col("_id"), col("_idb"))
+    val touching = obs
+      .map { case (c, _) => touching0.observe(c, count(lit(1)).as("candidate_pairs")) }
+      .getOrElse(touching0)
+    val verified0 = verifyAgainstSets(touching, sets, threshold)
+    val verified = obs
+      .map { case (_, v) => verified0.observe(v, count(lit(1)).as("verified_pairs")) }
+      .getOrElse(verified0)
+    (verified, () => { sets.unpersist(blocking = false); () })
+  }
+
   /** The shared chain: shingle ONCE, derive signatures and verification
    * sets from the same persisted shingle table. Shingling is the chain's
    * single most CPU-expensive row-local stage (string walk + FNV per

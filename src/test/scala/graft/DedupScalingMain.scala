@@ -39,7 +39,7 @@ object DedupScalingMain {
    * a near-dup of its predecessor (one word changed -> Jaccard ~0.87), so
    * the verify stage has real work at every scale. Built row-locally in a
    * typed map (same discipline as the production shingler). */
-  private def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._
     spark
       .range(nDocs)

@@ -151,6 +151,44 @@ class JobSpec extends SparkSpec {
     assert(m("candidates_per_doc") == res.candidatePairs.toDouble / nDocs)
   }
 
+  test("delta dedup job: warm-start labeling equals the full-corpus keep list; resumable") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir().toString
+    val store = new SnapshotStore(base)
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val isNew = col("doc_id") % 3 === 0
+    // initial run over the old corpus commits pairs + labels
+    graft.jobs.DedupJob.run(spark, docs.filter(!isNew), store)
+    // the delta batch arrives: fold it into the committed state
+    val r = graft.jobs.DedupJob
+      .runDelta(spark, docs, docs.filter(isNew).select("doc_id"), store)
+    assert(!r.resumed)
+    val got = store.read(spark, r.keep).collect().map(_.toSeq).toSet
+    val want = graft.operators.ConnectedComponents
+      .keepList(
+        docs,
+        "doc_id",
+        graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(got == want, "delta labeling must equal never-having-batched")
+    assert(r.keptDocs + r.droppedDocs == docs.count())
+    assert(r.verifiedPairs > 0, "the corpus plants near-dups across the batch split")
+    assert(r.candidatePairs >= r.verifiedPairs)
+    // the delta pair snapshot holds ONLY delta-touching pairs (log-structured)
+    val deltaPairs = store.read(spark, r.pairsDelta)
+    assert(deltaPairs.count() == r.verifiedPairs)
+    val newIds = docs.filter(isNew).select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(
+      deltaPairs.collect().forall(p => newIds(p.getLong(0)) || newIds(p.getLong(1))),
+      "old-vs-old pairs must not be re-emitted by a delta run")
+    // exactly-once: an identical retry resumes both stages
+    val r2 = graft.jobs.DedupJob
+      .runDelta(spark, docs, docs.filter(isNew).select("doc_id"), store)
+    assert(r2.resumed && r2.keep.uid == r.keep.uid)
+  }
+
   test("retention stage: survivors bit-exact, observed counters in metrics, resumable") {
     val base = tmpDir().toString
     val dir = sf("sf0.001")
