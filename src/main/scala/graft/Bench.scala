@@ -103,12 +103,6 @@ object Bench {
           .filter(q => only.forall(_.contains(q._1)))
           .sortBy(_._1)
       else Seq.empty
-    val best = scala.collection.mutable.LinkedHashMap(suite.map(_._1 -> Double.MaxValue): _*)
-    // a failed pass must NOT feed math.min — a query that dies quickly
-    // would otherwise report an artificially fast best time with the
-    // failure visible only on stderr (round-4 ADVICE); failures are
-    // carried into the JSON artifact instead
-    val failedPassNames = scala.collection.mutable.LinkedHashSet[String]()
     // ~1-2 s host-noise CONTROL bracketing the suite: a fixed-size rollup
     // (the engine's primary-metric job, small enough to dodge the
     // minutes-scale frequency troughs documented in BENCH.md) run before
@@ -120,25 +114,67 @@ object Bench {
     val controlTokens = 256
     def controlRun(): Double =
       if (!runSuite) Double.NaN else rollupRun(spark, controlDocs, controlTokens)._2
-    val controlBefore = controlRun()
-    for (_ <- 1 to passes; (name, fn) <- suite) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
-      else failedPassNames += name
+    final case class SuiteRun(
+        results: Seq[(String, Double)],
+        failed: Seq[String],
+        flaky: Seq[String],
+        controlSec: Double) {
+      def controlPps: Double =
+        if (controlSec.isNaN) Double.NaN else controlDocs * controlTokens / controlSec
     }
-    val controlAfter = controlRun()
-    val controlSec = math.min(controlBefore, controlAfter)
-    val results = suite.collect { case (name, _) if best(name) != Double.MaxValue => name -> best(name) }
-    // "failed" = queries that NEVER produced a timing (absent from the
-    // queries map); a query that failed in one pass but timed in another is
-    // "flaky_passes" — the two were previously conflated in one list
-    val failed = suite.collect {
-      case (name, _) if best(name) == Double.MaxValue && failedPassNames.contains(name) => name
+    def runPasses(): SuiteRun = {
+      val best =
+        scala.collection.mutable.LinkedHashMap(suite.map(_._1 -> Double.MaxValue): _*)
+      // a failed pass must NOT feed math.min — a query that dies quickly
+      // would otherwise report an artificially fast best time with the
+      // failure visible only on stderr (round-4 ADVICE); failures are
+      // carried into the JSON artifact instead
+      val failedPassNames = scala.collection.mutable.LinkedHashSet[String]()
+      val controlBefore = controlRun()
+      for (_ <- 1 to passes; (name, fn) <- suite) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+        else failedPassNames += name
+      }
+      val controlAfter = controlRun()
+      val results =
+        suite.collect { case (name, _) if best(name) != Double.MaxValue => name -> best(name) }
+      // "failed" = queries that NEVER produced a timing (absent from the
+      // queries map); a query that failed in one pass but timed in another is
+      // "flaky_passes" — the two were previously conflated in one list
+      val failed = suite.collect {
+        case (name, _) if best(name) == Double.MaxValue && failedPassNames.contains(name) => name
+      }
+      SuiteRun(
+        results, failed, failedPassNames.toSeq.filterNot(failed.toSet),
+        math.min(controlBefore, controlAfter))
     }
-    val flaky = failedPassNames.toSeq.filterNot(failed.toSet)
+    // CONTROL-FLOOR GATE on the artifact of record: a run whose bracketing
+    // control shows the host in a frequency trough (round-6's committed
+    // artifact measured 70.2 s at control 14.4 M pts/s — ~2x the same
+    // binary's healthy-window 51.8 s at 35.7 M) must not become the round's
+    // number. If the control is below the floor, re-execute the passes (up
+    // to SPARK_GRAFT_CONTROL_ATTEMPTS total) and keep the attempt with the
+    // healthiest window; per-query mins are NOT pooled across attempts so
+    // the artifact stays one self-consistent (timings, control) pair.
+    val controlFloorPps = sys.env.getOrElse("SPARK_GRAFT_CONTROL_FLOOR", "28000000").toDouble
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_CONTROL_ATTEMPTS", "3").toInt
+    var run = runPasses()
+    var attempts = 1
+    while (runSuite && run.controlPps < controlFloorPps && attempts < maxAttempts) {
+      System.err.println(
+        f"[bench] control ${run.controlPps / 1e6}%.1f M pts/s below floor " +
+          f"${controlFloorPps / 1e6}%.1f M (host trough) — re-executing passes " +
+          s"(attempt ${attempts + 1}/$maxAttempts)")
+      val retry = runPasses()
+      if (retry.controlPps > run.controlPps) run = retry
+      attempts += 1
+    }
+    val (results, failed, flaky, controlSec) =
+      (run.results, run.failed, run.flaky, run.controlSec)
     spark.stop()
 
     // -- Part 2: primary metric at two cluster sizes ---------------------
@@ -180,13 +216,26 @@ object Bench {
           s.stop()
           (bestWall, bestCpu)
         }
+        // the same ~1-2 s control that brackets the suite also brackets the
+        // scaling measurement (round-7 discipline): each scaling row carries
+        // the host window it was captured in, so the gate tally can be
+        // reported over healthy-window runs only instead of mixing
+        // frequency-trough samples into the median
+        def scalingControl(): Double = {
+          val s = session(n * 4)
+          val (pts, sec) = { rollupRun(s, 50000, 256); rollupRun(s, 200000, 256) }
+          s.stop()
+          pts / sec
+        }
+        val ctlBefore = scalingControl()
         var (wN, cN) = (Double.MaxValue, Double.MaxValue)
         var (w4N, c4N) = (Double.MaxValue, Double.MaxValue)
         for (_ <- 1 to 2) {
           val a = level(n); wN = math.min(wN, a._1); cN = math.min(cN, a._2)
           val b = level(n * 4); w4N = math.min(w4N, b._1); c4N = math.min(c4N, b._2)
         }
-        Some(Scaling(docsN * tokens, n, wN, w4N, cN, c4N))
+        val ctl = math.max(ctlBefore, scalingControl())
+        Some(Scaling(docsN * tokens, n, wN, w4N, cN, c4N, ctl))
       }
 
     // -- Part 3: per-retention-tier ladder throughput ---------------------
@@ -255,7 +304,18 @@ object Bench {
       if (!runSuite || controlSec.isNaN) ""
       else {
         val pts = controlDocs * controlTokens
-        f""","control":{"points":$pts,"sec":$controlSec%.3f,"pps":${pts / controlSec}%.0f}"""
+        f""","control":{"points":$pts,"sec":$controlSec%.3f,"pps":${pts / controlSec}%.0f,"floor_pps":$controlFloorPps%.0f,"attempts":$attempts}"""
+      }
+    // control-normalized total beside the raw one: value scaled by what the
+    // host delivered during THIS run vs the recorded reference window, so
+    // cross-round comparisons don't mistake a frequency trough for a code
+    // regression (round-6 artifact: raw 70.2 s at control 14.4 M ~ 2x the
+    // same binary's healthy-window time)
+    val normalizedJson =
+      if (!runSuite || controlSec.isNaN) ""
+      else {
+        val total0 = run.results.map(_._2).sum
+        f""","value_normalized":${total0 * run.controlPps / ReferenceControlPps}%.3f,"normalized_ref_pps":$ReferenceControlPps%.0f"""
       }
     val rollupJson = scaling
       .map { sc =>
@@ -266,11 +326,11 @@ object Bench {
           if (sc.pts < 1000000000L)
             ""","note":"short run: fixed per-run CPU inflates the ratio; gate evidence at >=1B points in BENCH.md""""
           else ""
-        f""","rollup":{"points":${sc.pts},"n_cores":${sc.n},"n_sec":${sc.wN}%.3f,"4n_sec":${sc.w4N}%.3f,"n_pps":${sc.ppsN}%.0f,"4n_pps":${sc.pps4N}%.0f,"scaling_efficiency":${sc.eff}%.3f,"n_cpu_sec":${sc.cN}%.1f,"4n_cpu_sec":${sc.c4N}%.1f,"cpu_per_point_ratio":${sc.cpuRatio}%.3f$note}"""
+        f""","rollup":{"points":${sc.pts},"n_cores":${sc.n},"n_sec":${sc.wN}%.3f,"4n_sec":${sc.w4N}%.3f,"n_pps":${sc.ppsN}%.0f,"4n_pps":${sc.pps4N}%.0f,"scaling_efficiency":${sc.eff}%.3f,"n_cpu_sec":${sc.cN}%.1f,"4n_cpu_sec":${sc.c4N}%.1f,"cpu_per_point_ratio":${sc.cpuRatio}%.3f,"control_pps":${sc.ctlPps}%.0f$note}"""
       }
       .getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qs$failedJson$controlJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
+      s"""{"metric":"total","value":$total$normalizedJson,"unit":"sec","suite_passes":$passes,"queries":$qs$failedJson$controlJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
     // Compact stdout line: same shape, but "queries" carries only the 8
     // slowest (min-of-passes) timings plus a pointer to the full map. The
     // driver's stdout tail-capture truncates long lines from the HEAD
@@ -278,7 +338,7 @@ object Bench {
     // null); keeping the one stdout JSON line short is the fix, and
     // bench_out.json is the durable complete copy.
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json"$failedJson$controlJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
+      s"""{"metric":"total","value":$total$normalizedJson,"unit":"sec","suite_passes":$passes,"queries":$qsCompact,"queries_full":"bench_out.json"$failedJson$controlJson,"sf":"$sfDir"$rollupJson$ladderJson}"""
     // Only a SUITE run may overwrite the durable per-query artifact — a
     // scaling-only run (SPARK_GRAFT_SUITE=0) would otherwise clobber the
     // complete query map with an empty one.
@@ -303,7 +363,7 @@ object Bench {
       val variant =
         if (sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") == "1") " (tier_stats UDAF)" else ""
       val row =
-        f"| ${java.time.Instant.now()}$variant | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f |"
+        f"| ${java.time.Instant.now()}$variant | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f | ${sc.ctlPps / 1e6}%.1f M |"
       val benchMd = Paths.get("BENCH.md")
       val sentinel = "<!-- bench-rows -->"
       if (!Files.exists(benchMd)) {
@@ -311,8 +371,8 @@ object Bench {
           benchMd,
           (s"""# BENCH — measured throughput + N vs 4N scaling evidence
              |
-             || run (UTC) | points | N | N wall | N pts/s | 4N | 4N wall | 4N pts/s | wall efficiency | cpu s (N/4N) |
-             ||---|---|---|---|---|---|---|---|---|---|
+             || run (UTC) | points | N | N wall | N pts/s | 4N | 4N wall | 4N pts/s | wall efficiency | cpu s (N/4N) | control |
+             ||---|---|---|---|---|---|---|---|---|---|---|
              |$sentinel
              |""".stripMargin).getBytes(StandardCharsets.UTF_8))
       }
@@ -325,10 +385,21 @@ object Bench {
     }
   }
 
-  final case class Scaling(pts: Long, n: Int, wN: Double, w4N: Double, cN: Double, c4N: Double) {
+  final case class Scaling(
+      pts: Long, n: Int, wN: Double, w4N: Double, cN: Double, c4N: Double,
+      ctlPps: Double) {
     def ppsN: Double = pts / wN
     def pps4N: Double = pts / w4N
     def eff: Double = pps4N / (4.0 * ppsN)
     def cpuRatio: Double = c4N / cN // ~1.0 => no contention added by 4x threads
   }
+
+  /** Reference healthy-window control throughput for cross-round
+   * normalization: the fixed 51.2M-point control rollup has measured
+   * 30-37 M pts/s in every healthy host window across rounds 4-7 (BENCH.md
+   * interpretation section); 32 M is the recorded midpoint. A suite total
+   * is normalized as `value * control_pps / ReferenceControlPps`, so a
+   * trough-window artifact (e.g. round 6: 70.2 s at 14.4 M) and a
+   * healthy-window one compare on the same scale. */
+  val ReferenceControlPps: Double = 32000000.0
 }
