@@ -239,6 +239,100 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming tier MAINTENANCE — the lifecycle composed into one sink
+   * (ingest -> merge -> compact-then-expire), the continuous face of
+   * [[graft.operators.Retention.safeExpire]] beside [[tierMergeSink]].
+   * Each micro-batch of raw points:
+   *   1. folds into the COARSE tier FIRST
+   *      ([[graft.operators.Rollup.mergeLateReleasable]] against its
+   *      latest snapshot) — the coarse tier is the retention policy's
+   *      coverage and keeps full history;
+   *   2. folds into the FINE tier, then compacts-then-expires it against
+   *      the just-committed coarse table: the horizon trails the fine
+   *      tier's own frontier by `keepWindows` windows, and a fine row
+   *      older than it is dropped only where its coarse coverage exists
+   *      (here it always does — the SAME batch advanced coarse first, and
+   *      a coarse parent window never starts after its fine child). The
+   *      horizon is MONOTONE across batches (the frontier never
+   *      regresses), so an expired window cannot resurrect: late points
+   *      for it still merge into the coarse tier, and the fine window
+   *      they re-create is re-expired inside the same commit.
+   * Both tables commit exactly-once per batch under the
+   * [[commitBatchOnce]] content-fingerprint contract, independently: a
+   * crash between the two commits replays the batch, skips the
+   * already-committed coarse version, and completes the fine one. The
+   * stored fine table carries safeExpire's `retained_uncovered` audit
+   * flag (always false in this self-covering composition; meaningful
+   * when a caller points the sink at an externally-maintained coarse
+   * table via [[graft.operators.Retention.safeExpire]] directly).
+   * Input schema: (source string, pos, tok). */
+  def tierMaintenanceSink(
+      points: DataFrame,
+      store: graft.jobs.SnapshotStore,
+      fineTable: String,
+      coarseTable: String,
+      queryName: String,
+      checkpointDir: String,
+      fineTier: String,
+      coarseTier: String,
+      keepWindows: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepWindows >= 1, s"tierMaintenanceSink: keepWindows must be >= 1, got $keepWindows")
+    val fineWidth = graft.core.Tier.widths(fineTier)
+    require(
+      graft.core.Tier.widths(coarseTier) > fineWidth,
+      s"tierMaintenanceSink: coverage tier $coarseTier must be coarser than $fineTier")
+    points.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        def mergeInto(
+            prev: Option[graft.jobs.SnapshotInfo],
+            tier: String): (DataFrame, () => Unit) =
+          prev match {
+            case Some(p) =>
+              graft.operators.Rollup.mergeLateReleasable(
+                // the stored fine table carries the audit flag; the merge
+                // kernel re-derives it from scratch each batch
+                store.read(spark, p).drop("retained_uncovered"), batch, tier)
+            case None =>
+              (graft.operators.Rollup.rollupFromPoints(batch, tier), () => ())
+          }
+        // coarse first: it is the fine tier's expiry coverage
+        var relCoarse: () => Unit = () => ()
+        try {
+          commitBatchOnce(store, coarseTable, s"stream_$queryName", batchId, batch) { snaps =>
+            val (m, rel) = mergeInto(snaps.lastOption, coarseTier)
+            relCoarse = rel
+            m
+          }
+        } finally relCoarse()
+        var relFine: () => Unit = () => ()
+        try {
+          commitBatchOnce(store, fineTable, s"stream_$queryName", batchId, batch) { snaps =>
+            val (merged, rel) = mergeInto(snaps.lastOption, fineTier)
+            relFine = rel
+            // frontier over the (cardinality-bounded) TIER, not the points;
+            // monotone across batches because the merge never drops the max
+            val maxW = merged
+              .agg(expr("CAST(max(window_start) AS BIGINT)"))
+              .head()
+              .getLong(0)
+            val horizon = maxW - (keepWindows - 1) * fineWidth
+            val coarseNow = store
+              .latest(coarseTable)
+              .getOrElse(throw new IllegalStateException(
+                s"tierMaintenanceSink: coverage table $coarseTable has no " +
+                  "snapshot — the coarse merge commits first"))
+            graft.operators.Retention
+              .safeExpire(merged, store.read(spark, coarseNow), coarseTier, horizon)
+          }
+        } finally relFine()
+        ()
+      }
+  }
+
   /** One payload-segment row per (source, bucket) of a finalized-window
    * batch: timestamps delta-of-delta encoded, values Gorilla- AND
    * Chimp-encoded (the batch table's exact column shape). */

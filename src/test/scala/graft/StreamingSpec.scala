@@ -332,6 +332,85 @@ class StreamingSpec extends SparkSpec {
       s"expected the legacy-fingerprint refusal, got: ${err2.getMessage}")
   }
 
+  test("streaming tier maintenance sink: expire trails the frontier; fine == one-shot safeExpire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.jobs.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-maint-").toString
+    val store = new SnapshotStore(base)
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingOps
+      .tierMaintenanceSink(
+        in.toDF().toDF("source", "pos", "tok"),
+        store,
+        "tier_1m_live",
+        "tier_1h_cov",
+        "mainttest",
+        s"$base/_ckpt",
+        graft.core.Tier.OneMinute,
+        graft.core.Tier.OneHour,
+        keepWindows = 2)
+      .start()
+    // batch 1: two 1m windows; frontier 60 -> horizon 0, nothing expires.
+    // batch 2: LATE points into batch-1 windows; frontier unchanged.
+    // batch 3: the frontier jumps to 3660 -> horizon 3600: every older
+    // fine window is covered (the SAME batches advanced the 1h tier
+    // first) and must be dropped; the late data stays in the 1h tier.
+    val b1 = Seq(("a", 0, 5), ("a", 61, 7), ("b", 2, 4))
+    val b2 = Seq(("a", 1, 9), ("b", 62, 6))
+    val b3 = Seq(("a", 3700, 2))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2 ++ b3).toDF("source", "pos", "tok")
+    // coarse table: exact full history == one-shot 1h rollup
+    val coarseGot = store
+      .read(spark, store.latest("tier_1h_cov").get)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val coarseWant = graft.operators.Rollup
+      .rollupFromPoints(all, graft.core.Tier.OneHour)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(coarseGot == coarseWant, "coarse coverage tier != one-shot rollup")
+    // fine table: == one-shot rollup compact-then-expired at the final
+    // horizon (surviving windows were never expired mid-stream because the
+    // horizon is monotone, so their merge history is complete)
+    val fineGot = store
+      .read(spark, store.latest("tier_1m_live").get)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val fineWant = graft.operators.Retention
+      .safeExpire(
+        graft.operators.Rollup.rollupFromPoints(all, graft.core.Tier.OneMinute),
+        graft.operators.Rollup.rollupFromPoints(all, graft.core.Tier.OneHour),
+        graft.core.Tier.OneHour,
+        horizonStart = 3600L)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(fineGot == fineWant, "maintained fine tier != one-shot safeExpire")
+    // the expiry was real: batch-1/2 windows are gone from fine, and the
+    // self-covering composition never leaves an uncovered flag
+    assert(fineGot.size == 1 && fineWant.size == 1)
+    assert(
+      store.read(spark, store.latest("tier_1m_live").get)
+        .filter(org.apache.spark.sql.functions.col("retained_uncovered"))
+        .isEmpty)
+    // one snapshot version per batch per table; replayed batch resumes
+    val fineSnaps = store.snapshots("tier_1m_live")
+    assert(fineSnaps.size == 3 && store.snapshots("tier_1h_cov").size == 3)
+    val (snap, resumed) =
+      store.getOrCompute("tier_1m_live", "stream_mainttest", fineSnaps.head.fingerprint) {
+        fail("replayed batch must not recompute"); null
+      }
+    assert(resumed && snap.version == fineSnaps.head.version)
+  }
+
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
