@@ -183,6 +183,198 @@ object SeriesAnalytics {
         col("roll_sum").cast("double") / col("roll_pts").cast("double"))
   }
 
+  /** Counter-rate over a tier — the PromQL `increase`/`rate` shape
+   * (reset-aware monotonic-counter delta): per (source, bucket) ordered
+   * by window_start, `increase` = value - previous value, except a DROP
+   * in a monotonic counter marks a counter RESET and the increase since
+   * the reset is the value itself (the PromQL convention; a reset's
+   * pre-drop residual is unobservable). `rate_per_unit` divides by the
+   * ACTUAL spacing to the previous window, so gaps in the tier dilute
+   * the rate instead of inflating it. First window of each key has no
+   * predecessor: NULL increase/rate, kept (the caller sees the series
+   * head explicitly).
+   *
+   * One shuffle on the tier's own key; the lag frame never leaves the
+   * partition. Exact: value/increase are BIGINTs, the rate is one
+   * division of exact operands. */
+  def counterRate(tier: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("window_start"))
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).cast("long").as("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(byKey))
+      .withColumn("prev_window", lag(col("window_start"), 1).over(byKey))
+      .withColumn(
+        "increase",
+        when(col("prev_value").isNull, lit(null).cast("long"))
+          .when(col("value") >= col("prev_value"), col("value") - col("prev_value"))
+          .otherwise(col("value")))
+      .withColumn(
+        "rate_per_unit",
+        col("increase").cast("double") /
+          (col("window_start") - col("prev_window")).cast("double"))
+      .drop("prev_value", "prev_window")
+  }
+
+  /** M4 downsampling over a tier (Jugel et al., PVLDB 2014): per
+   * (source, bucket, pixel) keep ONLY the up-to-4 anchor windows — first,
+   * last, value-min, value-max — the set that makes a line rendering of
+   * the downsample pixel-identical to rendering all points. The exact
+   * complement to LTTB (which optimizes perceived shape; M4 guarantees
+   * the raster). Ties on min/max value resolve to the EARLIEST window
+   * (deterministic cross-engine); one row per surviving window with
+   * boolean role flags (a window can hold several roles).
+   *
+   * One shuffle on (source, bucket, pixel); every aggregate is a window
+   * function over that partition, and the filter keeps <= 4 rows per
+   * pixel, so output is bounded by pixels x 4, never by windows. */
+  def m4Downsample(tier: DataFrame, valueCol: String, pixelWidth: Long): DataFrame = {
+    require(pixelWidth >= 1, s"pixelWidth must be >= 1, got $pixelWidth")
+    import org.apache.spark.sql.expressions.Window
+    val byPix = Window.partitionBy(col("source"), col("bucket"), col("pixel"))
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).cast("long").as("value"))
+      .withColumn("pixel", expr(s"window_start DIV $pixelWidth"))
+      .withColumn("_ws_min", min(col("window_start")).over(byPix))
+      .withColumn("_ws_max", max(col("window_start")).over(byPix))
+      .withColumn("_v_min", min(col("value")).over(byPix))
+      .withColumn("_v_max", max(col("value")).over(byPix))
+      .withColumn(
+        "_ws_of_vmin",
+        min(when(col("value") === col("_v_min"), col("window_start"))).over(byPix))
+      .withColumn(
+        "_ws_of_vmax",
+        min(when(col("value") === col("_v_max"), col("window_start"))).over(byPix))
+      .filter(
+        col("window_start") === col("_ws_min") ||
+          col("window_start") === col("_ws_max") ||
+          col("window_start") === col("_ws_of_vmin") ||
+          col("window_start") === col("_ws_of_vmax"))
+      .select(
+        col("source"),
+        col("bucket"),
+        col("pixel"),
+        col("window_start"),
+        col("value"),
+        (col("window_start") === col("_ws_min")).as("is_first"),
+        (col("window_start") === col("_ws_max")).as("is_last"),
+        (col("window_start") === col("_ws_of_vmin")).as("is_min"),
+        (col("window_start") === col("_ws_of_vmax")).as("is_max"))
+  }
+
+  /** Exact autocorrelation moments per (source, bucket) and lag 1..maxLag
+   * over a tier's value column: pairs (x_t, x_{t+lag}) are formed ONLY
+   * for strictly adjacent windows (y's window_start must equal
+   * window_start + lag x windowWidth — a gap breaks the pair, the
+   * conservative convention matching consecutiveBreaches), accumulated
+   * as the six exact BIGINT moments, with the Pearson ACF derived in one
+   * fixed double formula (the sourceCorrelation discipline; NULL on zero
+   * variance).
+   *
+   * ONE window shuffle computes all lags: the per-row lead() family
+   * lands in a single array that explodes into (lag, y) pairs — maxLag
+   * columns wide, never a second exchange — then one partial-aggregated
+   * groupBy on (source, bucket, lag) whose shuffle volume is bounded by
+   * keys x maxLag. */
+  def autocorrelation(
+      tier: DataFrame,
+      valueCol: String,
+      windowWidth: Int,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("window_start"))
+    val leads = array((1 to maxLag).map { l =>
+      struct(
+        lit(l).as("lag"),
+        lead(col("x"), l).over(byKey).as("y"),
+        lead(col("window_start"), l).over(byKey).as("y_ws"))
+    }: _*)
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).cast("long").as("x"))
+      // the window family must materialize in its own projection — Spark
+      // rejects window expressions inside a generator's input
+      .withColumn("_leads", leads)
+      .withColumn("_l", explode(col("_leads")))
+      .drop("_leads")
+      .filter(
+        col("_l.y").isNotNull &&
+          col("_l.y_ws") === col("window_start") + col("_l.lag") * windowWidth)
+      .groupBy(col("source"), col("bucket"), col("_l.lag").as("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"),
+        sum(col("_l.y")).as("sy"),
+        sum(col("x") * col("_l.y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("_l.y") * col("_l.y")).as("syy"))
+      .withColumn(
+        "acf",
+        expr("""
+          CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+          THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          ELSE NULL END"""))
+  }
+
+  /** PAA + SAX symbolization of the raw token arrays (Lin et al., DMKD
+   * 2007, on the raw value domain): each document's token series is cut
+   * into `segLen`-point segments (arr_chunk — disjoint, so the explode
+   * copies each token exactly once, no window amplification), each
+   * segment reduced to its exact milli-scaled mean
+   * (`sum x 1000 DIV len` — Piecewise Aggregate Approximation in
+   * integer fixed point), then symbolized by the ordered `breakpoints`
+   * (milli-token thresholds; letters 'a', 'b', ... per interval).
+   * Shuffle-free: a map + generate over the document scan. */
+  def paaSax(raw: DataFrame, segLen: Int, breakpoints: Seq[Long]): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    require(
+      breakpoints == breakpoints.sorted && breakpoints.nonEmpty,
+      "breakpoints must be nonempty ascending")
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    val letters = ('a' to 'z').take(breakpoints.size + 1).map(_.toString)
+    val sax = breakpoints.zip(letters.init).foldRight(lit(letters.last)) {
+      case ((bp, letter), acc) => when(col("paa_milli") < bp, lit(letter)).otherwise(acc)
+    }
+    raw
+      .select(
+        col("doc_id"),
+        col("source"),
+        posexplode(call_function("arr_chunk", col("tokens"), lit(segLen)))
+          .as(Seq("seg_idx", "seg")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("seg_idx"),
+        size(col("seg")).as("seg_len"),
+        call_function("arr_sum", col("seg")).as("seg_sum"))
+      .withColumn("paa_milli", expr("seg_sum * 1000 DIV seg_len"))
+      .withColumn("sax", sax)
+  }
+
   /** Exact-integer Pearson correlation between sources over their
    * ALIGNED tier windows: for each source pair (a < b), correlate the
    * window sums at identical (bucket, window_start) keys. All six

@@ -157,6 +157,52 @@ object TextAnalysis {
           col("rep_bigram_ok") && col("rep_trigram_ok"))
   }
 
+  /** Unigram language-model quality score — the CCNet-style perplexity
+   * filter reduced to its SQL-exact core: an add-1-smoothed unigram LM is
+   * fit on the corpus itself, and each document is scored by its total
+   * and mean negative log-likelihood under it (low mean NLL = typical
+   * text, high = junk/outlier vocabulary — the standard LM-quality
+   * ranking signal for pretraining curation).
+   *
+   * Exactness discipline: per-word-occurrence NLL is fixed-pointed as
+   * `FLOOR(-ln((c_w + 1) / (N + V)) * 1e9)` nano-nats in BIGINT — ln is
+   * bit-identical JVM vs DuckDB libm on the verified host (the q_eval_nll
+   * precedent), FLOOR is engine-agnostic, and the per-doc SUM is integer,
+   * so the score is order-independent and hash-exact; `avg_nll` is the
+   * fixed double derivation `sum / 1e9 / n`.
+   *
+   * Scale shape: one groupBy(word) builds the count table (shuffle
+   * bounded by vocabulary, not corpus); the corpus totals (N, V) are a
+   * 1-row aggregate broadcast onto it via a literal equi-key (never a
+   * cross join); the per-occurrence join shuffles words once keyed by
+   * word and the final per-doc groupBy once by doc. At web scale the
+   * vocab table is GBs (shuffle join, exactly what Spark picks); nothing
+   * here is driver-side. */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = counts
+      .agg(
+        sum(col("cw")).cast("long").as("n_total"),
+        count(lit(1)).as("v_distinct"))
+      .withColumn("_j", lit(1))
+    val nll = counts
+      .withColumn("_j", lit(1))
+      .join(broadcast(totals), Seq("_j"))
+      .select(
+        col("w"),
+        expr(
+          "CAST(FLOOR(-LN(CAST(cw + 1 AS DOUBLE) / CAST(n_total + v_distinct AS DOUBLE)) * 1e9) AS BIGINT)")
+          .as("nll_nano"))
+    words
+      .join(nll, Seq("w")) // self-trained: every corpus word is in-vocab
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nll_nano")).as("nll_nano_sum"))
+      .withColumn(
+        "avg_nll",
+        expr("CAST(nll_nano_sum AS DOUBLE) / 1e9 / CAST(n_words AS DOUBLE)"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over words —
    * fp = sum_i ascii(first char of w_i) * ((i*31 + 7) mod 97), mod 1e9+7
    * (1-based i). Pure integer arithmetic, reproducible in any engine. */

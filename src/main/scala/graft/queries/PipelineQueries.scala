@@ -171,6 +171,12 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
 
+    // Unigram-LM quality score (the CCNet perplexity filter's SQL-exact
+    // core): add-1 smoothed self-trained unigram NLL per doc, fixed-point
+    // nano-nats so the sum is order-independent and hash-exact.
+    "q_lm_quality" -> ((s, dir) =>
+      TextAnalysis.unigramLogLoss(docs(s, dir), "doc_id", "text")),
+
     // The composed curation verdict: every gate its own boolean column
     // plus the conjunction — the end-to-end quality-filter face of the
     // text ops above.
@@ -496,6 +502,20 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS stopword_ratio,
         |       CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS distinct_ratio
         |FROM w GROUP BY doc_id, n_chars""".stripMargin,
+    "q_lm_quality" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS cw FROM w GROUP BY 1),
+        |t AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total, count(*) AS v_distinct FROM c),
+        |p AS (
+        |  SELECT w, CAST(FLOOR(-LN(CAST(cw + 1 AS DOUBLE)
+        |                           / CAST(n_total + v_distinct AS DOUBLE)) * 1e9)
+        |            AS BIGINT) AS nll_nano
+        |  FROM c, t)
+        |SELECT doc_id, count(*) AS n_words,
+        |       CAST(sum(nll_nano) AS BIGINT) AS nll_nano_sum,
+        |       CAST(sum(nll_nano) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE) AS avg_nll
+        |FROM w JOIN p USING (w)
+        |GROUP BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (

@@ -253,7 +253,39 @@ object TokenRollupQueries {
         "avg_tok",
         25200.0,
         2,
-        60))
+        60)),
+
+    // PromQL-style reset-aware counter rate over the 1m tier's window
+    // sums (gauge drops exercise the reset branch on real data).
+    "q_counter_rate" -> ((s, dir) =>
+      SeriesAnalytics.counterRate(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "sum_tok")),
+
+    // M4 downsample: the <=4 raster-exact anchor windows per 10-window
+    // pixel (first / last / value-min / value-max, earliest-tie).
+    "q_m4_downsample" -> ((s, dir) =>
+      SeriesAnalytics.m4Downsample(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "sum_tok",
+        600L)),
+
+    // Autocorrelation at lags 1..3 over strictly adjacent 1m windows;
+    // six exact BIGINT moments per (source, bucket, lag) + derived ACF.
+    "q_acf_lags" -> ((s, dir) =>
+      SeriesAnalytics.autocorrelation(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "sum_tok",
+        60,
+        3)),
+
+    // PAA segment means (milli fixed point) + SAX letters over the raw
+    // token arrays; breakpoints at the vocab quartiles.
+    "q_sax_symbols" -> ((s, dir) =>
+      SeriesAnalytics.paaSax(
+        TokenTable.raw(s, dir),
+        64,
+        Seq(12564000L, 25128000L, 37692000L)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -541,6 +573,109 @@ object TokenRollupQueries {
          |                 AS INT) AS run_len
          |  FROM b)
          |SELECT source, bucket, window_start, value, run_len
-         |FROM runs WHERE run_len >= 2""".stripMargin
+         |FROM runs WHERE run_len >= 2""".stripMargin,
+    "q_counter_rate" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS value
+         |  FROM pts GROUP BY 1, 2, 3),
+         |l AS (
+         |  SELECT *,
+         |         lag(value) OVER w AS prev_value,
+         |         lag(window_start) OVER w AS prev_window
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY source, bucket ORDER BY window_start))
+         |SELECT source, bucket, window_start, value,
+         |       CASE WHEN prev_value IS NULL THEN NULL
+         |            WHEN value >= prev_value THEN value - prev_value
+         |            ELSE value END AS increase,
+         |       CAST(CASE WHEN prev_value IS NULL THEN NULL
+         |                 WHEN value >= prev_value THEN value - prev_value
+         |                 ELSE value END AS DOUBLE)
+         |         / CAST(window_start - prev_window AS DOUBLE) AS rate_per_unit
+         |FROM l""".stripMargin,
+    "q_m4_downsample" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS value
+         |  FROM pts GROUP BY 1, 2, 3),
+         |e AS (
+         |  SELECT *, window_start // 600 AS pixel FROM t),
+         |m AS (
+         |  SELECT *,
+         |         min(window_start) OVER p AS ws_min,
+         |         max(window_start) OVER p AS ws_max,
+         |         min(value) OVER p AS v_min,
+         |         max(value) OVER p AS v_max
+         |  FROM e
+         |  WINDOW p AS (PARTITION BY source, bucket, pixel)),
+         |a AS (
+         |  SELECT *,
+         |         min(CASE WHEN value = v_min THEN window_start END) OVER p AS ws_of_vmin,
+         |         min(CASE WHEN value = v_max THEN window_start END) OVER p AS ws_of_vmax
+         |  FROM m
+         |  WINDOW p AS (PARTITION BY source, bucket, pixel))
+         |SELECT source, bucket, pixel, window_start, value,
+         |       window_start = ws_min AS is_first,
+         |       window_start = ws_max AS is_last,
+         |       window_start = ws_of_vmin AS is_min,
+         |       window_start = ws_of_vmax AS is_max
+         |FROM a
+         |WHERE window_start = ws_min OR window_start = ws_max
+         |   OR window_start = ws_of_vmin OR window_start = ws_of_vmax""".stripMargin,
+    "q_acf_lags" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS x
+         |  FROM pts GROUP BY 1, 2, 3),
+         |pairs AS (
+         |  SELECT source, bucket, g.lag AS lag, x,
+         |         lead(x, g.lag) OVER w AS y,
+         |         lead(window_start, g.lag) OVER w AS y_ws,
+         |         window_start
+         |  FROM t, (SELECT unnest(range(1, 4)) AS lag) g
+         |  WINDOW w AS (PARTITION BY source, bucket, g.lag ORDER BY window_start)),
+         |agg AS (
+         |  SELECT source, bucket, CAST(lag AS INT) AS lag,
+         |         count(*) AS n_pairs,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM pairs
+         |  WHERE y IS NOT NULL AND y_ws = window_start + lag * 60
+         |  GROUP BY 1, 2, 3)
+         |SELECT *,
+         |       CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |             AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |       THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |            / (SQRT(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |               * SQRT(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |       ELSE NULL END AS acf
+         |FROM agg""".stripMargin,
+    "q_sax_symbols" ->
+      s"""$PtsCte
+         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |       CAST(pos // 64 AS INT) AS seg_idx,
+         |       CAST(count(*) AS INT) AS seg_len,
+         |       CAST(sum(tok) AS BIGINT) AS seg_sum,
+         |       CAST(sum(tok) AS BIGINT) * 1000 // count(*) AS paa_milli,
+         |       CASE WHEN CAST(sum(tok) AS BIGINT) * 1000 // count(*) < 12564000 THEN 'a'
+         |            WHEN CAST(sum(tok) AS BIGINT) * 1000 // count(*) < 25128000 THEN 'b'
+         |            WHEN CAST(sum(tok) AS BIGINT) * 1000 // count(*) < 37692000 THEN 'c'
+         |            ELSE 'd' END AS sax
+         |FROM pts GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -374,6 +374,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("PAA/SAX symbolization is a shuffle-free map over the document scan") {
+    val df = graft.operators.SeriesAnalytics.paaSax(
+      TokenTable.raw(spark, sf("sf0.001")), 64, Seq(12564000L, 25128000L, 37692000L))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"paaSax must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("counter rate and M4 downsample: one exchange each, no join") {
+    val tier = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+    for (
+      df <- Seq(
+        graft.operators.SeriesAnalytics.counterRate(tier, "sum_tok"),
+        graft.operators.SeriesAnalytics.m4Downsample(tier, "sum_tok", 600L))
+    ) {
+      val plan = planOf(df)
+      // one exchange builds the tier, one repartitions for the window —
+      // the operator itself must not add joins or further shuffles
+      assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+      assert(!plan.contains("Join"), s"window ops must be join-free:\n$plan")
+    }
+  }
+
+  test("autocorrelation computes all lags from ONE window pass; partial-aggregates pairs") {
+    val tier = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+    val df = graft.operators.SeriesAnalytics.autocorrelation(tier, "sum_tok", 60, 3)
+    val plan = planOf(df)
+    // tier build + window = 2 exchanges, exactly one Window; the final
+    // groupBy on (source, bucket, lag) adds NO exchange — the window's
+    // (source, bucket) hash partitioning already clusters the superset key
+    assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+    assert("Window".r.findAllIn(plan).size == 1, s"one window pass for all lags:\n$plan")
+    assert(plan.contains("partial_sum"), s"pair moments must partial-aggregate:\n$plan")
+  }
+
   test("decontamination broadcasts the test shingles; no sort-merge join") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val plan = planOf(
