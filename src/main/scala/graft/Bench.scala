@@ -313,10 +313,8 @@ object Bench {
     // same binary's healthy-window time)
     val normalizedJson =
       if (!runSuite || controlSec.isNaN) ""
-      else {
-        val total0 = run.results.map(_._2).sum
-        f""","value_normalized":${total0 * run.controlPps / ReferenceControlPps}%.3f,"normalized_ref_pps":$ReferenceControlPps%.0f"""
-      }
+      else
+        f""","value_normalized":${total * run.controlPps / ReferenceControlPps}%.3f,"normalized_ref_pps":$ReferenceControlPps%.0f"""
     val rollupJson = scaling
       .map { sc =>
         // short (<1B-point) runs inflate the CPU ratio with fixed per-run

@@ -84,6 +84,15 @@ object DedupJob {
     Result(pairsSnap, keepSnap, metricsSnap, cand, ver, kept, dropped)
   }
 
+  /** `keep` is the labeling version THIS delta produced — or, when
+   * `resumed`, the version its original fold produced, which may be
+   * OLDER than the table's head if later deltas have since folded (a
+   * re-delivered old delta resumes to its own version; skipping the
+   * re-fold is correct because its pairs are already in the closure).
+   * Downstream readers that want the current corpus labeling must read
+   * `store.latest("dedup_keep")`, not this snapshot. Counter fields are
+   * -1 when their stage resumed (the metrics table holds the computing
+   * run's values). */
   final case class DeltaResult(
       pairsDelta: SnapshotInfo,
       keep: SnapshotInfo,
@@ -197,18 +206,27 @@ object DedupJob {
         obsKeep.get("kept").asInstanceOf[Long],
         obsKeep.get("dropped").asInstanceOf[Long])
 
-    if (!pairsResumed && !keepResumed) {
+    // metrics accompany every NEW labeling version — including the
+    // crash-retry path where the pairs stage resumed but the keep stage
+    // computed (the candidate counters are then unavailable on this run:
+    // their rows are omitted, the earlier computing run's metrics version
+    // holds them — never -1 sentinels in the table)
+    if (!keepResumed) {
       val v = keepSnap.version.toLong
+      val rows =
+        Seq(
+          ("dedup_delta", v, "new_docs", nNew.toDouble),
+          ("dedup_delta", v, "kept_docs", kept.toDouble),
+          ("dedup_delta", v, "dropped_docs", dropped.toDouble)) ++
+          (if (pairsResumed) Seq.empty
+           else
+             Seq(
+               ("dedup_delta", v, "candidate_pairs", cand.toDouble),
+               ("dedup_delta", v, "verified_pairs", ver.toDouble),
+               ("dedup_delta", v, "candidates_per_new_doc",
+                 if (nNew > 0) cand.toDouble / nNew else 0.0)))
       val metricsDf = spark
-        .createDataFrame(
-          Seq(
-            ("dedup_delta", v, "new_docs", nNew.toDouble),
-            ("dedup_delta", v, "candidate_pairs", cand.toDouble),
-            ("dedup_delta", v, "verified_pairs", ver.toDouble),
-            ("dedup_delta", v, "candidates_per_new_doc",
-              if (nNew > 0) cand.toDouble / nNew else 0.0),
-            ("dedup_delta", v, "kept_docs", kept.toDouble),
-            ("dedup_delta", v, "dropped_docs", dropped.toDouble)))
+        .createDataFrame(rows)
         .toDF("stage", "snapshot_id", "metric", "value")
       store.commit(metricsDf, "metrics", "metrics_dedup_delta", s"v$v-${keepSnap.uid}")
     }

@@ -155,18 +155,24 @@ object RollupJob {
     }
     val t5m = tierSnaps(Tier.FiveMinutes)
 
-    // Stage 5 (opt-in): retention enforcement on the 1m tier —
-    // compact-then-expire against the committed 5m snapshot. The survivor
-    // snapshot replaces the fine tier for readers; uncovered-but-expired
-    // rows are retained and COUNTED (riding the stage's own write via
-    // observe — zero extra scans), so a cascade that has not caught up is
-    // visible in the metrics table, not silently truncated.
-    retentionHorizon.foreach { horizon =>
+    // ONE compact-then-expire stage for a (fine, coarse) tier pair: the
+    // survivor snapshot replaces the fine tier for readers;
+    // uncovered-but-expired rows are retained and COUNTED (riding the
+    // stage's own write via observe — zero extra scans), so a cascade
+    // that has not caught up is visible in the metrics table, not
+    // silently truncated. Shared by Stage 5 and every Stage 5' level —
+    // table/stage/metric names must stay identical between the two paths.
+    def retentionStage(
+        fineName: String,
+        fine: StageResult,
+        coarse: StageResult,
+        coarseName: String,
+        horizon: Long): Unit = {
       var retObs: Option[org.apache.spark.sql.Observation] = None
       stage(
-        "tier_1m_retained",
-        "retention_1m",
-        s"fine=${t1m.snap.uid};coarse=${t5m.snap.uid};h=$horizon",
+        s"tier_${fineName}_retained",
+        s"retention_$fineName",
+        s"fine=${fine.snap.uid};coarse=${coarse.snap.uid};h=$horizon",
         extraMetrics = () =>
           retObs.toSeq.flatMap { o =>
             Seq(
@@ -174,13 +180,14 @@ object RollupJob {
                 o.get("uncovered").asInstanceOf[Long].toDouble,
               "survivor_rows" -> o.get("survivors").asInstanceOf[Long].toDouble)
           }) {
-        val obs = org.apache.spark.sql.Observation(s"retention-${t1m.snap.uid}-$horizon")
+        val obs = org.apache.spark.sql.Observation(
+          s"retention-$fineName-${fine.snap.uid}-$horizon")
         retObs = Some(obs)
         graft.operators.Retention
           .safeExpire(
-            store.read(spark, t1m.snap),
-            store.read(spark, t5m.snap),
-            Tier.FiveMinutes,
+            store.read(spark, fine.snap),
+            store.read(spark, coarse.snap),
+            coarseName,
             horizon)
           .observe(
             obs,
@@ -188,6 +195,13 @@ object RollupJob {
               .as("uncovered"),
             count(lit(1)).as("survivors"))
       }
+      ()
+    }
+
+    // Stage 5 (opt-in): retention enforcement on the 1m tier against the
+    // committed 5m snapshot — the single-level case of the helper.
+    retentionHorizon.foreach { horizon =>
+      retentionStage(Tier.OneMinute, t1m, t5m, Tier.FiveMinutes, horizon)
     }
 
     // Stage 5' (opt-in alternative): retention across the FULL ladder —
@@ -196,8 +210,7 @@ object RollupJob {
     // snapshot (Retention.ladderExpire's coverage-as-given semantics: a
     // fine window expires once the coarser aggregate EXISTS; whether the
     // coarse tier later expires it is the next level's question). The
-    // coarsest tier is pure history and gets no stage. Counters per level
-    // ride each stage's own write via observe.
+    // coarsest tier is pure history and gets no stage.
     if (ladderHorizons.nonEmpty) {
       val tiers = Tier.ladder.map(_._1)
       require(
@@ -206,35 +219,8 @@ object RollupJob {
           s"got ${ladderHorizons.size}")
       tiers.init.zip(tiers.tail).zip(ladderHorizons).foreach {
         case ((fineName, coarseName), horizon) =>
-          val fine = tierSnaps(fineName)
-          val coarse = tierSnaps(coarseName)
-          var retObs: Option[org.apache.spark.sql.Observation] = None
-          stage(
-            s"tier_${fineName}_retained",
-            s"retention_$fineName",
-            s"fine=${fine.snap.uid};coarse=${coarse.snap.uid};h=$horizon",
-            extraMetrics = () =>
-              retObs.toSeq.flatMap { o =>
-                Seq(
-                  "retained_uncovered_rows" ->
-                    o.get("uncovered").asInstanceOf[Long].toDouble,
-                  "survivor_rows" -> o.get("survivors").asInstanceOf[Long].toDouble)
-              }) {
-            val obs = org.apache.spark.sql.Observation(
-              s"retention-$fineName-${fine.snap.uid}-$horizon")
-            retObs = Some(obs)
-            graft.operators.Retention
-              .safeExpire(
-                store.read(spark, fine.snap),
-                store.read(spark, coarse.snap),
-                coarseName,
-                horizon)
-              .observe(
-                obs,
-                coalesce(sum(expr("CAST(retained_uncovered AS LONG)")), lit(0L))
-                  .as("uncovered"),
-                count(lit(1)).as("survivors"))
-          }
+          retentionStage(
+            fineName, tierSnaps(fineName), tierSnaps(coarseName), coarseName, horizon)
       }
     }
     results

@@ -85,7 +85,11 @@ object SeriesAnalytics {
         "island",
         // integer DIV, not double division: double round-trips are exact
         // only below 2^53, and window_start may one day carry epoch-scale
-        // values; DIV matches the oracle's // semantics on the whole domain
+        // values. NOTE the remaining domain assumption: Spark DIV truncates
+        // toward zero while DuckDB // floors — identical for the engine's
+        // NONNEGATIVE window_start convention, divergent for negative
+        // (pre-epoch) offsets; m4Downsample's pixel and paaSax's paa_milli
+        // share the same convention
         expr(s"window_start DIV $windowWidth") - row_number().over(byKey))
     val runs = Window.partitionBy(col("source"), col("bucket"), col("island"))
     breaches
@@ -354,6 +358,11 @@ object SeriesAnalytics {
     require(
       breakpoints == breakpoints.sorted && breakpoints.nonEmpty,
       "breakpoints must be nonempty ascending")
+    // the alphabet is 'a'..'z': more than 25 breakpoints would silently
+    // truncate via the zip below — refuse instead
+    require(
+      breakpoints.size <= 25,
+      s"paaSax: at most 25 breakpoints (26-letter alphabet), got ${breakpoints.size}")
     graft.functions.GraftFunctions.register(raw.sparkSession)
     val letters = ('a' to 'z').take(breakpoints.size + 1).map(_.toString)
     val sax = breakpoints.zip(letters.init).foldRight(lit(letters.last)) {

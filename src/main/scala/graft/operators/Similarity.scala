@@ -192,9 +192,14 @@ object Similarity {
       vecCol: String,
       nPlanes: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    emb.select(
-      col(idCol).as("vec_id"),
-      call_function("lsh_sig_affine", col(vecCol), lit(nPlanes)).as("ann_bucket"))
+    emb
+      // an empty vector has no geometry — every plane dot is 0 and the
+      // sign bucket would be the meaningless all-ones id; drop it (the
+      // oracle's per-element expansion likewise yields no row for it)
+      .filter(size(col(vecCol)) > 0)
+      .select(
+        col(idCol).as("vec_id"),
+        call_function("lsh_sig_affine", col(vecCol), lit(nPlanes)).as("ann_bucket"))
   }
 
   /** IVF (inverted-file) ANN — the FAISS-style coarse-quantizer shape:

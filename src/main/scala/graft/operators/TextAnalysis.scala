@@ -171,16 +171,22 @@ object TextAnalysis {
    * so the score is order-independent and hash-exact; `avg_nll` is the
    * fixed double derivation `sum / 1e9 / n`.
    *
-   * Scale shape: one groupBy(word) builds the count table (shuffle
-   * bounded by vocabulary, not corpus); the corpus totals (N, V) are a
-   * 1-row aggregate broadcast onto it via a literal equi-key (never a
-   * cross join); the per-occurrence join shuffles words once keyed by
-   * word and the final per-doc groupBy once by doc. At web scale the
-   * vocab table is GBs (shuffle join, exactly what Spark picks); nothing
-   * here is driver-side. */
+   * Scale shape: the corpus text is exploded and shuffled ONCE, into
+   * per-(doc, word) occurrence counts — every downstream frame is
+   * bounded by distinct (doc, word) pairs or vocabulary, never raw
+   * occurrences, and both consumers of that frame share one canonical
+   * subplan so the exchange is reused, not recomputed. The corpus totals
+   * (N, V) are a 1-row aggregate broadcast via a literal equi-key (never
+   * a cross join); the word-count table is vocabulary-sized (GBs at web
+   * scale — a shuffle join, exactly what Spark picks); the final groupBy
+   * is doc-keyed. Nothing here is driver-side. */
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    // ONE corpus-sized explode+shuffle: (doc, word) occurrence counts
+    val dw = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("dw_cnt"))
+    val counts = dw.groupBy(col("w")).agg(sum(col("dw_cnt")).as("cw"))
     val totals = counts
       .agg(
         sum(col("cw")).cast("long").as("n_total"),
@@ -194,10 +200,12 @@ object TextAnalysis {
         expr(
           "CAST(FLOOR(-LN(CAST(cw + 1 AS DOUBLE) / CAST(n_total + v_distinct AS DOUBLE)) * 1e9) AS BIGINT)")
           .as("nll_nano"))
-    words
+    dw
       .join(nll, Seq("w")) // self-trained: every corpus word is in-vocab
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("nll_nano")).as("nll_nano_sum"))
+      .agg(
+        sum(col("dw_cnt")).as("n_words"),
+        sum(col("dw_cnt") * col("nll_nano")).as("nll_nano_sum"))
       .withColumn(
         "avg_nll",
         expr("CAST(nll_nano_sum AS DOUBLE) / 1e9 / CAST(n_words AS DOUBLE)"))

@@ -409,6 +409,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"pair moments must partial-aggregate:\n$plan")
   }
 
+  test("unigram LM score explodes the corpus once (the (doc,word) exchange is reused)") {
+    val df = graft.operators.TextAnalysis.unigramLogLoss(
+      spark.read.parquet(s"${sf("sf0.001")}/documents.parquet"), "doc_id", "text")
+    val plan = planOf(df)
+    // the per-(doc, word) count subplan feeds both the vocab table and the
+    // final scoring join; its shuffle must be REUSED, leaving exactly one
+    // corpus scan in the executed plan
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"the (doc,word) exchange must be reused:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"corpus must be scanned once:\n$plan")
+  }
+
   test("decontamination broadcasts the test shingles; no sort-merge join") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val plan = planOf(
