@@ -344,6 +344,66 @@ object SeriesAnalytics {
           ELSE NULL END"""))
   }
 
+  /** One-sided CUSUM drift detection per tier key (Page 1954): the
+   * classic recursion S_t = max(0, S_{t-1} + (x_t - k)) rewritten via the
+   * prefix-min identity S_t = P_t - min(0, min_{j<=t} P_j) with
+   * P_t = sum_{i<=t}(x_i - k) — so the sequential fold becomes TWO window
+   * aggregates over one partition (running sum, running min), fully
+   * parallel within Spark's window machinery and expressible identically
+   * in any SQL engine. `k` is the per-window allowance (reference drift),
+   * `h` the alarm threshold; all arithmetic exact BIGINT. One shuffle on
+   * the tier's own key. */
+  def cusum(tier: DataFrame, valueCol: String, k: Long, h: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefix = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).cast("long").as("value"))
+      .withColumn("_p", sum(col("value") - lit(k)).over(prefix))
+      .withColumn("cusum", col("_p") - least(min(col("_p")).over(prefix), lit(0L)))
+      .withColumn("alarm", col("cusum") > h)
+      .drop("_p")
+  }
+
+  /** Seasonal decomposition over a tier (seasonal-means method): each
+   * window's phase is its position in a `period`-window cycle, the
+   * seasonal component is the exact milli-scaled mean of the key's
+   * windows sharing that phase, and the residual is the milli-scaled
+   * deviation from it — all integer arithmetic
+   * (sum x 1000 DIV count), so the decomposition hash-matches any SQL
+   * engine. One shuffle on (source, bucket, phase); the seasonal means
+   * are window aggregates over that partition (no second pass, no
+   * join-back). */
+  def seasonalDecompose(
+      tier: DataFrame,
+      valueCol: String,
+      windowWidth: Int,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    import org.apache.spark.sql.expressions.Window
+    val byPhase = Window.partitionBy(col("source"), col("bucket"), col("phase"))
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).cast("long").as("value"))
+      .withColumn(
+        "phase",
+        expr(s"CAST((window_start DIV $windowWidth) % $period AS INT)"))
+      .withColumn("_ssum", sum(col("value")).over(byPhase))
+      .withColumn("_scnt", count(lit(1)).over(byPhase))
+      .withColumn("seasonal_milli", expr("_ssum * 1000 DIV _scnt"))
+      .withColumn("resid_milli", col("value") * 1000 - col("seasonal_milli"))
+      .drop("_ssum", "_scnt")
+  }
+
   /** PAA + SAX symbolization of the raw token arrays (Lin et al., DMKD
    * 2007, on the raw value domain): each document's token series is cut
    * into `segLen`-point segments (arr_chunk — disjoint, so the explode

@@ -177,6 +177,11 @@ object PipelineQueries {
     "q_lm_quality" -> ((s, dir) =>
       TextAnalysis.unigramLogLoss(docs(s, dir), "doc_id", "text")),
 
+    // Top-5 tf-idf keywords per doc, exact fixed-point idf, deterministic
+    // rank ties (score desc, word asc).
+    "q_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfIdfKeywords(docs(s, dir), "doc_id", "text", 5)),
+
     // The composed curation verdict: every gate its own boolean column
     // plus the conjunction — the end-to-end quality-filter face of the
     // text ops above.
@@ -516,6 +521,23 @@ object PipelineQueries {
         |       CAST(sum(nll_nano) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE) AS avg_nll
         |FROM w JOIN p USING (w)
         |GROUP BY doc_id""".stripMargin,
+    "q_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dw AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM dw GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT dw.doc_id, dw.w, CAST(dw.tf AS BIGINT) AS tf,
+        |         CAST(dfq.df AS BIGINT) AS df,
+        |         CAST(dw.tf AS BIGINT)
+        |           * CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE))
+        |                        * 1e9) AS BIGINT) AS tfidf_nano
+        |  FROM dw JOIN dfq USING (w), n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf_nano DESC, w ASC) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, w, tf, df, tfidf_nano, rank FROM r WHERE rank <= 5""".stripMargin,
     "q_text_langid" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (

@@ -285,7 +285,26 @@ object TokenRollupQueries {
       SeriesAnalytics.paaSax(
         TokenTable.raw(s, dir),
         64,
-        Seq(12564000L, 25128000L, 37692000L)))
+        Seq(12564000L, 25128000L, 37692000L))),
+
+    // One-sided CUSUM drift detection over the 1m tier's window sums
+    // (k = the expected per-window sum, h = 5 windows of full-scale
+    // drift) — the sequential fold as two window aggregates.
+    "q_cusum" -> ((s, dir) =>
+      SeriesAnalytics.cusum(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "sum_tok",
+        1507710L,
+        150000L)),
+
+    // Seasonal decomposition: phase-of-4 seasonal means + residuals over
+    // the 1m tier, exact milli fixed point.
+    "q_seasonal" -> ((s, dir) =>
+      SeriesAnalytics.seasonalDecompose(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "sum_tok",
+        60,
+        4))
   )
 
   val oracle: Map[String, String] = Map(
@@ -676,6 +695,44 @@ object TokenRollupQueries {
          |            WHEN CAST(sum(tok) AS BIGINT) * 1000 // count(*) < 25128000 THEN 'b'
          |            WHEN CAST(sum(tok) AS BIGINT) * 1000 // count(*) < 37692000 THEN 'c'
          |            ELSE 'd' END AS sax
-         |FROM pts GROUP BY 1, 2, 3""".stripMargin
+         |FROM pts GROUP BY 1, 2, 3""".stripMargin,
+    "q_cusum" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS value
+         |  FROM pts GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT *, CAST(sum(value - 1507710) OVER w AS BIGINT) AS pp
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY source, bucket ORDER BY window_start
+         |               ROWS UNBOUNDED PRECEDING)),
+         |c AS (
+         |  SELECT *, pp - LEAST(CAST(min(pp) OVER w AS BIGINT), 0) AS cusum
+         |  FROM p
+         |  WINDOW w AS (PARTITION BY source, bucket ORDER BY window_start
+         |               ROWS UNBOUNDED PRECEDING))
+         |SELECT source, bucket, window_start, value, cusum,
+         |       cusum > 150000 AS alarm
+         |FROM c""".stripMargin,
+    "q_seasonal" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS value
+         |  FROM pts GROUP BY 1, 2, 3),
+         |e AS (
+         |  SELECT *, CAST((window_start // 60) % 4 AS INT) AS phase FROM t),
+         |m AS (
+         |  SELECT *, CAST(sum(value) OVER p AS BIGINT) AS ssum,
+         |         count(*) OVER p AS scnt
+         |  FROM e
+         |  WINDOW p AS (PARTITION BY source, bucket, phase))
+         |SELECT source, bucket, window_start, value, phase,
+         |       ssum * 1000 // scnt AS seasonal_milli,
+         |       value * 1000 - (ssum * 1000 // scnt) AS resid_milli
+         |FROM m""".stripMargin
   )
 }

@@ -395,6 +395,56 @@ object StreamingOps {
       }
   }
 
+  final case class RateIn(key: String, window_start: Long, value: Long)
+  final case class RateOut(
+      key: String,
+      window_start: Long,
+      value: Long,
+      increase: Option[Long],
+      rate_per_unit: Option[Double])
+  final case class RateState(lastWindow: Long, lastValue: Long)
+
+  /** Streaming counter rate — the continuous face of
+   * [[graft.operators.SeriesAnalytics.counterRate]]: per key, the
+   * reset-aware increase and gap-diluted rate against the PREVIOUS
+   * window, with the last (window, value) carried in keyed state so the
+   * lag crosses micro-batch boundaries (the gapFillStream O(1)-per-key
+   * state discipline). Within a batch rows sort by window; rows at or
+   * before the state's last window are dropped (late/duplicate —
+   * mirroring the batch operator's strict ordering); a key's first-ever
+   * window emits None increase/rate, exactly as the batch lag does. */
+  def counterRateStream(in: Dataset[RateIn]): Dataset[RateOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[RateIn], state: GroupState[RateState]) =>
+          val sorted = rows.toSeq.sortBy(_.window_start)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateOut]
+          sorted.foreach { r =>
+            if (st == null) {
+              out += RateOut(key, r.window_start, r.value, None, None)
+              st = RateState(r.window_start, r.value)
+            } else if (r.window_start > st.lastWindow) {
+              val inc =
+                if (r.value >= st.lastValue) r.value - st.lastValue
+                else r.value // counter reset: increase since the restart
+              out += RateOut(
+                key,
+                r.window_start,
+                r.value,
+                Some(inc),
+                Some(inc.toDouble / (r.window_start - st.lastWindow).toDouble))
+              st = RateState(r.window_start, r.value)
+            } // else: late/duplicate window — dropped
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class AsOfIn(key: String, ts: Long, is_right: Boolean, value: Double)
   final case class AsOfOut(key: String, ts: Long, asof_value: Option[Double])
   final case class AsOfState(rightTs: Long, rightValue: Double)

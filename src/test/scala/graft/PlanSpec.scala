@@ -387,7 +387,9 @@ class PlanSpec extends SparkSpec {
     for (
       df <- Seq(
         graft.operators.SeriesAnalytics.counterRate(tier, "sum_tok"),
-        graft.operators.SeriesAnalytics.m4Downsample(tier, "sum_tok", 600L))
+        graft.operators.SeriesAnalytics.m4Downsample(tier, "sum_tok", 600L),
+        graft.operators.SeriesAnalytics.cusum(tier, "sum_tok", 1507710L, 150000L),
+        graft.operators.SeriesAnalytics.seasonalDecompose(tier, "sum_tok", 60, 4))
     ) {
       val plan = planOf(df)
       // one exchange builds the tier, one repartitions for the window —

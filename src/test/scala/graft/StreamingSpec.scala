@@ -411,6 +411,54 @@ class StreamingSpec extends SparkSpec {
     assert(resumed && snap.version == fineSnaps.head.version)
   }
 
+  test("streaming counter rate: matches batch counterRate across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.RateIn]
+    val q = StreamingOps
+      .counterRateStream(in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("rate_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    import StreamingOps.RateIn
+    // batch 1: in-batch out-of-order rows; batch 2: the lag CROSSES the
+    // boundary, includes a counter RESET (value drops 10 -> 3) and a late
+    // duplicate window that must be dropped
+    in.addData(RateIn("a", 60, 10), RateIn("a", 0, 4), RateIn("b", 0, 7))
+    q.processAllAvailable()
+    in.addData(RateIn("a", 180, 3), RateIn("b", 60, 9), RateIn("a", 60, 99))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .sql("""SELECT key, window_start, value, increase, rate_per_unit
+              FROM rate_stream ORDER BY key, window_start""")
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq
+    // golden: the BATCH operator over the same (deduped) windows
+    val tier = Seq(
+      ("a", 0, 0L, 4L), ("a", 0, 60L, 10L), ("a", 0, 180L, 3L),
+      ("b", 0, 0L, 7L), ("b", 0, 60L, 9L))
+      .toDF("source", "bucket", "window_start", "v")
+    val want = graft.operators.SeriesAnalytics
+      .counterRate(tier, "v")
+      .orderBy("source", "window_start")
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == want, s"stream != batch:\n$got\n$want")
+    // the reset row really is a reset (increase = restarted value)
+    assert(got.exists(r => r._1 == "a" && r._2 == 180L && r._4.contains(3L)))
+  }
+
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
