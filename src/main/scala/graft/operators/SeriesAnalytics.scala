@@ -167,6 +167,31 @@ object SeriesAnalytics {
       .agg(min(col("bin")).as("p50_bin"), min(col("total_cnt")).as("total_cnt"))
   }
 
+  /** Arbitrary histogram quantiles per (source, bucket) from the exact
+   * histogram — the [[histogramMedianBin]] rule generalized: for each
+   * requested permille q, the smallest bin whose cumulative count
+   * reaches q‰ of the total (pure integer arithmetic,
+   * cum x 1000 >= q x total). One window pass computes every quantile —
+   * the permille list explodes onto the cumulated rows and the final
+   * groupBy on (key, q) reuses the window's key partitioning (superset
+   * clustering, no extra exchange). */
+  def histogramQuantileBins(hist: DataFrame, permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty, "permilles must be nonempty")
+    require(
+      permilles.forall(q => q >= 1 && q <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("source"), col("bucket"))
+    val cum = byKey.orderBy(col("bin"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("total_cnt", sum(col("cnt")).over(byKey))
+      .withColumn("q_permille", explode(array(permilles.map(lit(_)): _*)))
+      .filter(col("cum") * 1000 >= col("q_permille") * col("total_cnt"))
+      .groupBy(col("source"), col("bucket"), col("q_permille"))
+      .agg(min(col("bin")).as("q_bin"), min(col("total_cnt")).as("total_cnt"))
+  }
+
   /** Trailing-k-window rolling stats over a tier: per (source, bucket)
    * ordered by window_start, the exact sums of the last k windows and
    * the derived rolling average token. One shuffle on the tier's own

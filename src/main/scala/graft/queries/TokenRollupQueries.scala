@@ -231,6 +231,13 @@ object TokenRollupQueries {
       SeriesAnalytics.histogramMedianBin(
         SeriesAnalytics.tierHistogram(TokenTable.points(s, dir), 5026))),
 
+    // Generalized histogram quantiles: p50/p90/p99 bins in ONE window
+    // pass (the permille list explodes onto the cumulated rows).
+    "q_hist_quantiles" -> ((s, dir) =>
+      SeriesAnalytics.histogramQuantileBins(
+        SeriesAnalytics.tierHistogram(TokenTable.points(s, dir), 5026),
+        Seq(500, 900, 990))),
+
     // Trailing-3-window rolling stats over the 1m tier.
     "q_rolling_tier" -> ((s, dir) =>
       SeriesAnalytics.rollingTierStats(
@@ -543,6 +550,24 @@ object TokenRollupQueries {
          |SELECT source, bucket, CAST(min(bin) AS INT) AS p50_bin,
          |       CAST(min(total_cnt) AS BIGINT) AS total_cnt
          |FROM c WHERE cum * 2 >= total_cnt GROUP BY 1, 2""".stripMargin,
+    "q_hist_quantiles" ->
+      s"""$PtsCte,
+         |h AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST(tok // 5026 AS INT) AS bin, count(*) AS cnt
+         |  FROM pts GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY source, bucket ORDER BY bin) AS cum,
+         |         sum(cnt) OVER (PARTITION BY source, bucket) AS total_cnt
+         |  FROM h),
+         |e AS (
+         |  SELECT c.*, q.q_permille
+         |  FROM c, (SELECT unnest([500, 900, 990]) AS q_permille) q)
+         |SELECT source, bucket, CAST(q_permille AS INT) AS q_permille,
+         |       CAST(min(bin) AS INT) AS q_bin,
+         |       CAST(min(total_cnt) AS BIGINT) AS total_cnt
+         |FROM e WHERE cum * 1000 >= q_permille * total_cnt
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_rolling_tier" ->
       s"""$PtsCte,
          |t AS (

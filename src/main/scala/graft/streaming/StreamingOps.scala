@@ -445,6 +445,48 @@ object StreamingOps {
       }
   }
 
+  final case class CusumIn(key: String, window_start: Long, value: Long)
+  final case class CusumOut(
+      key: String,
+      window_start: Long,
+      value: Long,
+      cusum: Long,
+      alarm: Boolean)
+  final case class CusumState(lastWindow: Long, p: Long, minP: Long)
+
+  /** Streaming CUSUM — the continuous face of
+   * [[graft.operators.SeriesAnalytics.cusum]], via the same prefix-min
+   * identity: keyed state carries (last window, running sum P of
+   * (value - k), running min of P seeded at P_0 = 0), so
+   * S = P - min(P-so-far) needs O(1) state per key and no replay of
+   * history. Within a batch rows sort by window; rows at or before the
+   * state's last window are dropped (the counterRateStream late
+   * discipline). After any batching the emitted (window, cusum, alarm)
+   * rows equal the batch operator's. */
+  def cusumStream(in: Dataset[CusumIn], k: Long, h: Long): Dataset[CusumOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CusumIn], state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(_.window_start)
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          sorted.foreach { r =>
+            if (r.window_start > st.lastWindow) {
+              val p = st.p + (r.value - k)
+              val minP = math.min(st.minP, p)
+              st = CusumState(r.window_start, p, minP)
+              val s = p - minP
+              out += CusumOut(key, r.window_start, r.value, s, s > h)
+            } // else: late/duplicate window — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class AsOfIn(key: String, ts: Long, is_right: Boolean, value: Double)
   final case class AsOfOut(key: String, ts: Long, asof_value: Option[Double])
   final case class AsOfState(rightTs: Long, rightValue: Double)

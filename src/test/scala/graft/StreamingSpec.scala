@@ -459,6 +459,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "a" && r._2 == 180L && r._4.contains(3L)))
   }
 
+  test("streaming CUSUM: O(1) keyed state matches the batch prefix-min identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.CusumIn]
+    val k = 10L
+    val h = 5L
+    val q = StreamingOps
+      .cusumStream(in.toDS(), k, h)
+      .writeStream
+      .format("memory")
+      .queryName("cusum_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    import StreamingOps.CusumIn
+    // drift up (alarm), a deep dip that resets the running min, drift
+    // again — split so the state carries P and minP across batches; a
+    // late duplicate window must be dropped
+    in.addData(CusumIn("a", 0, 13), CusumIn("a", 60, 14), CusumIn("b", 0, 2))
+    q.processAllAvailable()
+    in.addData(CusumIn("a", 120, 1), CusumIn("a", 180, 18), CusumIn("a", 60, 99), CusumIn("b", 60, 25))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .sql("""SELECT key, window_start, value, cusum, alarm
+              FROM cusum_stream ORDER BY key, window_start""")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    val tier = Seq(
+      ("a", 0, 0L, 13L), ("a", 0, 60L, 14L), ("a", 0, 120L, 1L), ("a", 0, 180L, 18L),
+      ("b", 0, 0L, 2L), ("b", 0, 60L, 25L))
+      .toDF("source", "bucket", "window_start", "v")
+    val want = graft.operators.SeriesAnalytics
+      .cusum(tier, "v", k, h)
+      .orderBy("source", "window_start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(got == want, s"stream != batch:\n$got\n$want")
+    // the scenario exercises both regimes: an alarm fires and a dip
+    // resets the running minimum (cusum returns to 0-adjacent levels)
+    assert(got.exists(_._5), "expected at least one alarm")
+    assert(got.exists(r => r._1 == "a" && r._2 == 120L && r._4 == 0L),
+      "the dip must zero the statistic (prefix-min reset)")
+  }
+
   test("streaming as-of join: matches batch asOf across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
