@@ -30,6 +30,7 @@ object GraftFunctions {
     // expressions — see DedupExpressions.scala)
     "shingle_fnv" -> (args => ShingleFnv(args.head, foldInt(args(1)))),
     "ngram_rep_stats" -> (args => NgramRepStats(args.head, foldInt(args(1)))),
+    "simhash_affine" -> (args => SimHashAffine(args.head, foldInt(args(1)))),
     "minhash_sig" -> (args => MinHashSig(args.head, foldInt(args(1)))),
     "lsh_bands" -> (args => LshBands(args.head, foldInt(args(1)))),
     "arr_sorted_inter_size" -> (args => SortedInterSize(args.head, args(1))),

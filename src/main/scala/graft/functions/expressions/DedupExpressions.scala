@@ -110,6 +110,50 @@ object DedupKernels {
     UnsafeArrayData.fromPrimitiveArray(Array(nSh, top, dup))
   }
 
+  /** SQL-reproducible SimHash bucket (the lsh_sig_affine discipline
+   * applied to text): per nonempty space-separated word, a char fold
+   * `h = (h*31 + codepoint) mod 1e9+7`; per bit i, the Lehmer round
+   * `s = (h*1103515245 + i*12345 + 6789) mod 1e9+7` contributes +1 when
+   * 2s >= p else -1; bit i of the bucket is set when its word-summed
+   * contribution is >= 0. Every intermediate fits a signed 64-bit
+   * integer (h < 2^30, h*1103515245 < 2^61), so an external SQL engine
+   * replays the identical arithmetic. ASCII contract (as the fold mirrors
+   * SQL `ascii`): chars are UTF-16 code units — identical to code points
+   * for the engine's ASCII corpora. Returns -1 when the text has no
+   * nonempty word (no geometry — callers filter, the annAssign rule). */
+  def simhashAffine(text: UTF8String, nBits: Int): Long = {
+    val P = 1000000007L
+    val s = text.toString
+    val len = s.length
+    val acc = new Array[Long](nBits)
+    var sawWord = false
+    var i = 0
+    while (i < len) {
+      if (s.charAt(i) != ' ') {
+        var h = 0L
+        while (i < len && s.charAt(i) != ' ') {
+          h = (h * 31L + s.charAt(i).toLong) % P
+          i += 1
+        }
+        sawWord = true
+        var b = 0
+        while (b < nBits) {
+          val r = (h * 1103515245L + b * 12345L + 6789L) % P
+          acc(b) += (if (r * 2 >= P) 1L else -1L)
+          b += 1
+        }
+      } else i += 1
+    }
+    if (!sawWord) return -1L
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      if (acc(b) >= 0L) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** MinHash signature: sig[i] = min over shingles of the i-seeded
    * SplitMix64 permutation (the [[Hash.mix64]] family). */
   def minhashSig(hs: ArrayData, numHashes: Int): ArrayData = {
@@ -253,6 +297,28 @@ case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.ngramRepStats($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
+    copy(child = newChild)
+}
+
+/** `simhash_affine(text, nBits) -> bigint`: the SQL-reproducible twin of
+ * [[SimHash64]]'s bucket assignment — mod-prime char-fold word hashes and
+ * Lehmer-round bit signs instead of xxhash64, so the SimHash ASSIGNMENT
+ * stage can be hash-checked against an external SQL oracle (-1 = no
+ * nonempty word). */
+case class SimHashAffine(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 62, s"simhash_affine requires 1 <= nBits <= 62, got $nBits")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"simhash_affine requires string, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_affine"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.simhashAffine(input.asInstanceOf[UTF8String], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.simhashAffine($c, $nBits);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashAffine =
     copy(child = newChild)
 }
 

@@ -343,6 +343,27 @@ object Dedup {
   def simHashSignature(words: Array[String]): Long =
     SimHash.simhash64(words.iterator)
 
+  /** The SimHash ASSIGNMENT stage on the hard oracle gate: the
+   * `simhash_affine` kernel (mod-prime char-fold word hashes + Lehmer
+   * bit signs — every intermediate a signed 64-bit integer an external
+   * SQL engine reproduces) instead of the production xxhash64 family.
+   * Same shape as [[Similarity.annAssign]]: row-local, shuffle-free;
+   * docs with no nonempty word have no geometry and are dropped (the
+   * kernel returns -1 for them). */
+  def simHashAssign(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBits: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        call_function("simhash_affine", col(textCol).cast("string"), lit(nBits))
+          .as("simhash_bucket"))
+      .filter(col("simhash_bucket") >= 0)
+  }
+
   /** Scale-safe SimHash near-dup pairing: banded Hamming multi-index
    * (Manku, Jarvelin & Sarma, WWW 2007 — the web-crawl simhash dedup
    * paper). The 64-bit signature is split into `maxHamming + 1` bands;

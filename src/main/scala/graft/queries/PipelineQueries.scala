@@ -182,6 +182,12 @@ object PipelineQueries {
     "q_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfIdfKeywords(docs(s, dir), "doc_id", "text", 5)),
 
+    // The SimHash ASSIGNMENT stage hash-checked on its own: 16-bit
+    // buckets from the SQL-reproducible simhash_affine kernel (the
+    // q_ann_assign template applied to text).
+    "q_simhash_assign" -> ((s, dir) =>
+      graft.operators.Dedup.simHashAssign(docs(s, dir), "doc_id", "text", 16)),
+
     // The composed curation verdict: every gate its own boolean column
     // plus the conjunction — the end-to-end quality-filter face of the
     // text ops above.
@@ -521,6 +527,28 @@ object PipelineQueries {
         |       CAST(sum(nll_nano) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE) AS avg_nll
         |FROM w JOIN p USING (w)
         |GROUP BY doc_id""".stripMargin,
+    "q_simhash_assign" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |nz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(w, ''),
+        |                            c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+        |  FROM nz),
+        |b AS (
+        |  SELECT doc_id, g.i AS i,
+        |         sum(CASE WHEN ((h * 1103515245 + g.i * 12345 + 6789) % 1000000007) * 2
+        |                       >= 1000000007
+        |                  THEN 1 ELSE -1 END) AS acc
+        |  FROM h, (SELECT unnest(range(0, 16)) AS i) g
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |            AS BIGINT) AS simhash_bucket
+        |FROM b GROUP BY doc_id""".stripMargin,
     "q_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |dw AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),

@@ -336,6 +336,32 @@ class ArrayKernelSpec extends AnyFunSuite {
     assert(buckets.size > 64, s"poor bucket spread: ${buckets.size} distinct of 256")
   }
 
+  test("simhash_affine matches a split-based Scala reference; no-word docs return -1") {
+    import graft.functions.expressions.DedupKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 1000000007L
+    def ref(text: String, nBits: Int): Long = {
+      val words = text.split(" ", -1).filter(_.nonEmpty)
+      if (words.isEmpty) return -1L
+      val acc = new Array[Long](nBits)
+      for (w <- words) {
+        val h = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+        for (b <- 0 until nBits)
+          acc(b) += (if (((h * 1103515245L + b * 12345L + 6789L) % P) * 2 >= P) 1L else -1L)
+      }
+      (0 until nBits).foldLeft(0L)((m, b) => if (acc(b) >= 0) m | (1L << b) else m)
+    }
+    val wordGen = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val textGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 62)) { (text, nBits) =>
+      DedupKernels.simhashAffine(UTF8String.fromString(text), nBits) == ref(text, nBits)
+    })
+    assert(DedupKernels.simhashAffine(UTF8String.fromString(""), 16) == -1L)
+    assert(DedupKernels.simhashAffine(UTF8String.fromString("   "), 16) == -1L)
+  }
+
   test("arr_pairs pair-bomb guard FIRES (before allocation) on an over-dense bucket") {
     import graft.functions.expressions.DedupKernels
     // a dense (but sane) bucket stays allowed — 1000 ids = 499,500 pairs
