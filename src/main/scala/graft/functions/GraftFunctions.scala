@@ -31,6 +31,8 @@ object GraftFunctions {
     "shingle_fnv" -> (args => ShingleFnv(args.head, foldInt(args(1)))),
     "ngram_rep_stats" -> (args => NgramRepStats(args.head, foldInt(args(1)))),
     "simhash_affine" -> (args => SimHashAffine(args.head, foldInt(args(1)))),
+    "minhash_affine" -> (args =>
+      MinHashAffine(args.head, foldInt(args(1)), foldInt(args(2)))),
     "minhash_sig" -> (args => MinHashSig(args.head, foldInt(args(1)))),
     "lsh_bands" -> (args => LshBands(args.head, foldInt(args(1)))),
     "arr_sorted_inter_size" -> (args => SortedInterSize(args.head, args(1))),

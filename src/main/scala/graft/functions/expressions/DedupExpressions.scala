@@ -154,6 +154,51 @@ object DedupKernels {
     bucket
   }
 
+  /** SQL-reproducible MinHash signature (the [[simhashAffine]]
+   * discipline applied to the shingle chain): per word n-gram, the char
+   * fold `h = (h*31 + codepoint) mod 1e9+7` over the CONTIGUOUS char
+   * range spaces included — identical to folding the words joined by
+   * ' ' (the [[shingleFnv]] reconstruction identity) — then
+   * sig[k] = min over shingles of the Lehmer round
+   * `(h*1103515245 + k*12345 + 6789) mod 1e9+7`. Every intermediate is
+   * a signed 64-bit integer an external SQL engine replays. Fewer than
+   * n words -> empty signature (no shingles, no geometry). */
+  def minhashAffine(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val P = 1000000007L
+    val s = text.toString
+    val len = s.length
+    var words = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') words += 1; i += 1 }
+    val nSh = math.max(words - n + 1, 0)
+    if (nSh == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = len + 1
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var sh = 0
+    while (sh < nSh) {
+      var h = 0L
+      var c = starts(sh)
+      val end = starts(sh + n) - 2 // last char of word sh+n-1
+      while (c <= end) { h = (h * 31L + s.charAt(c).toLong) % P; c += 1 }
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * 1103515245L + k * 12345L + 6789L) % P
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      sh += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
   /** MinHash signature: sig[i] = min over shingles of the i-seeded
    * SplitMix64 permutation (the [[Hash.mix64]] family). */
   def minhashSig(hs: ArrayData, numHashes: Int): ArrayData = {
@@ -319,6 +364,31 @@ case class SimHashAffine(child: Expression, nBits: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.simhashAffine($c, $nBits);")
   override protected def withNewChildInternal(newChild: Expression): SimHashAffine =
+    copy(child = newChild)
+}
+
+/** `minhash_affine(text, n, numHashes) -> array<bigint>`: the
+ * SQL-reproducible twin of the shingle->minhash signature chain, so the
+ * MinHash ASSIGNMENT stage can be hash-checked against an external SQL
+ * oracle (empty array = fewer than n words). */
+case class MinHashAffine(child: Expression, n: Int, numHashes: Int) extends UnaryExpression {
+  require(n >= 1, s"minhash_affine requires n >= 1, got $n")
+  require(
+    numHashes >= 1 && numHashes <= 1024,
+    s"minhash_affine requires 1 <= numHashes <= 1024, got $numHashes")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"minhash_affine requires string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_affine"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.minhashAffine(input.asInstanceOf[UTF8String], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx, ev, c => s"${ev.value} = ${DedupKernelRef.K}.minhashAffine($c, $n, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashAffine =
     copy(child = newChild)
 }
 

@@ -188,6 +188,18 @@ object PipelineQueries {
     "q_simhash_assign" -> ((s, dir) =>
       graft.operators.Dedup.simHashAssign(docs(s, dir), "doc_id", "text", 16)),
 
+    // The MinHash ASSIGNMENT stage hash-checked on its own: per-seed
+    // signature minima from the SQL-reproducible minhash_affine kernel
+    // (3-gram shingles, 8 seeds; docs under 3 words have no shingles and
+    // emit no rows — matching the oracle's n-gram enumeration).
+    "q_minhash_assign" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir).select(
+        col("doc_id"),
+        posexplode(call_function("minhash_affine", col("text"), lit(3), lit(8)))
+          .as(Seq("seed", "min_val")))
+    }),
+
     // The composed curation verdict: every gate its own boolean column
     // plus the conjunction — the end-to-end quality-filter face of the
     // text ops above.
@@ -527,6 +539,24 @@ object PipelineQueries {
         |       CAST(sum(nll_nano) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE) AS avg_nll
         |FROM w JOIN p USING (w)
         |GROUP BY doc_id""".stripMargin,
+    "q_minhash_assign" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(ws, t.i, t.i + 2), ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(gram, ''),
+        |                            c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+        |  FROM g)
+        |SELECT doc_id, CAST(s.k AS INT) AS seed,
+        |       CAST(min((h * 1103515245 + s.k * 12345 + 6789) % 1000000007) AS BIGINT)
+        |         AS min_val
+        |FROM h, (SELECT unnest(range(0, 8)) AS k) s
+        |GROUP BY 1, 2""".stripMargin,
     "q_simhash_assign" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |nz AS (SELECT doc_id, w FROM w WHERE w <> ''),

@@ -362,6 +362,31 @@ class ArrayKernelSpec extends AnyFunSuite {
     assert(DedupKernels.simhashAffine(UTF8String.fromString("   "), 16) == -1L)
   }
 
+  test("minhash_affine matches a split-based Scala reference (empty words preserved)") {
+    import graft.functions.expressions.DedupKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 1000000007L
+    def ref(text: String, n: Int, k: Int): Vector[Long] = {
+      val ws = text.split(" ", -1) // empties preserved — the contiguous-range identity
+      if (ws.length < n) return Vector.empty
+      val sig = Array.fill(k)(Long.MaxValue)
+      for (i <- 0 to ws.length - n) {
+        val h = ws.slice(i, i + n).mkString(" ").foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+        for (s <- 0 until k)
+          sig(s) = math.min(sig(s), (h * 1103515245L + s * 12345L + 6789L) % P)
+      }
+      sig.toVector
+    }
+    val wordGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val textGen = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 4), Gen.chooseNum(1, 16)) { (text, n, k) =>
+      val got = DedupKernels.minhashAffine(UTF8String.fromString(text), n, k)
+      (0 until got.numElements()).map(got.getLong).toVector == ref(text, n, k)
+    })
+  }
+
   test("arr_pairs pair-bomb guard FIRES (before allocation) on an over-dense bucket") {
     import graft.functions.expressions.DedupKernels
     // a dense (but sane) bucket stays allowed — 1000 ids = 499,500 pairs
