@@ -68,6 +68,15 @@ object MergeLateScalingMain {
     sys.env.getOrElse("MERGE_BENCH_STAGE", "merge") match {
       case "full" =>
         Rollup.rollupFromPoints(points(s, frac), Tier.OneMinute).count()
+      case "shuffle" =>
+        // the MIDDLE regime forced (broadcast ceiling zeroed): whole-tier
+        // union + ONE hash re-merge — costs a tier shuffle (millions of
+        // rows) but never touches the (window-width-times-larger) points
+        Rollup
+          .mergeLate(
+            s.read.parquet(tierPath), delta(s, frac), Tier.OneMinute,
+            maxBroadcastWindows = 0L)
+          .count()
       case _ =>
         Rollup
           .mergeLate(s.read.parquet(tierPath), delta(s, frac), Tier.OneMinute)
