@@ -90,9 +90,11 @@ object DedupJob {
    * re-delivered old delta resumes to its own version; skipping the
    * re-fold is correct because its pairs are already in the closure).
    * Downstream readers that want the current corpus labeling must read
-   * `store.latest("dedup_keep")`, not this snapshot. Counter fields are
-   * -1 when their stage resumed (the metrics table holds the computing
-   * run's values). */
+   * `store.latest("dedup_keep")`, not this snapshot. `candidatePairs`,
+   * `keptDocs` and `droppedDocs` are -1 when their stage resumed (the
+   * metrics table holds the computing run's values); `verifiedPairs` is
+   * always real — a resumed pairs stage recovers it from the committed
+   * snapshot's row count. */
   final case class DeltaResult(
       pairsDelta: SnapshotInfo,
       keep: SnapshotInfo,
@@ -167,11 +169,14 @@ object DedupJob {
     val (pairsSnap, pairsResumed) =
       store.getOrCompute("dedup_pairs", "lsh_pairs_delta", params)(deltaPairs)
     release()
-    // a resumed pair stage never ran its observe action — the counters
-    // are only defined on the computing run (the metrics table holds the
-    // historical values)
+    // a resumed pair stage never ran its observe action, so the
+    // CANDIDATE counter is only defined on the computing run — but the
+    // VERIFIED count is the committed snapshot itself (its row count),
+    // recoverable for free from parquet metadata. This matters on the
+    // crash-retry path (pairs committed, keep not): the first attempt
+    // died BEFORE any metrics commit, so nothing else holds the value.
     val (cand, ver) =
-      if (pairsResumed) (-1L, -1L)
+      if (pairsResumed) (-1L, store.read(spark, pairsSnap).count())
       else (
         obsCand.get("candidate_pairs").asInstanceOf[Long],
         obsVer.get("verified_pairs").asInstanceOf[Long])
@@ -208,21 +213,24 @@ object DedupJob {
 
     // metrics accompany every NEW labeling version — including the
     // crash-retry path where the pairs stage resumed but the keep stage
-    // computed (the candidate counters are then unavailable on this run:
-    // their rows are omitted, the earlier computing run's metrics version
-    // holds them — never -1 sentinels in the table)
+    // computed. That path arises precisely when the first attempt died
+    // between the two commits, i.e. BEFORE any metrics commit, so the
+    // only counter genuinely lost with it is candidate_pairs (it exists
+    // only as the computing run's observe); verified_pairs is always
+    // recorded (the snapshot's own row count), and -1 sentinels never
+    // reach the table.
     if (!keepResumed) {
       val v = keepSnap.version.toLong
       val rows =
         Seq(
           ("dedup_delta", v, "new_docs", nNew.toDouble),
+          ("dedup_delta", v, "verified_pairs", ver.toDouble),
           ("dedup_delta", v, "kept_docs", kept.toDouble),
           ("dedup_delta", v, "dropped_docs", dropped.toDouble)) ++
           (if (pairsResumed) Seq.empty
            else
              Seq(
                ("dedup_delta", v, "candidate_pairs", cand.toDouble),
-               ("dedup_delta", v, "verified_pairs", ver.toDouble),
                ("dedup_delta", v, "candidates_per_new_doc",
                  if (nNew > 0) cand.toDouble / nNew else 0.0)))
       val metricsDf = spark

@@ -153,19 +153,11 @@ object SeriesAnalytics {
 
   /** Median bin per (source, bucket) from the exact histogram: the
    * smallest bin whose cumulative count reaches half the total — the
-   * histogram-quantile path that replaces a full sort at scale. Pure
-   * integer arithmetic (2*cum >= total avoids division). */
-  def histogramMedianBin(hist: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byKey = Window.partitionBy(col("source"), col("bucket"))
-    val cum = byKey.orderBy(col("bin"))
-    hist
-      .withColumn("cum", sum(col("cnt")).over(cum))
-      .withColumn("total_cnt", sum(col("cnt")).over(byKey))
-      .filter(col("cum") * 2 >= col("total_cnt"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(min(col("bin")).as("p50_bin"), min(col("total_cnt")).as("total_cnt"))
-  }
+   * q = 500‰ case of [[histogramQuantileBins]] (one rule, one
+   * implementation: the two can never disagree). */
+  def histogramMedianBin(hist: DataFrame): DataFrame =
+    histogramQuantileBins(hist, Seq(500))
+      .select(col("source"), col("bucket"), col("q_bin").as("p50_bin"), col("total_cnt"))
 
   /** Arbitrary histogram quantiles per (source, bucket) from the exact
    * histogram — the [[histogramMedianBin]] rule generalized: for each
@@ -424,7 +416,15 @@ object SeriesAnalytics {
         expr(s"CAST((window_start DIV $windowWidth) % $period AS INT)"))
       .withColumn("_ssum", sum(col("value")).over(byPhase))
       .withColumn("_scnt", count(lit(1)).over(byPhase))
-      .withColumn("seasonal_milli", expr("_ssum * 1000 DIV _scnt"))
+      // FLOOR division on the whole BIGINT domain, not DIV: value is a
+      // caller-chosen column that may legitimately go negative (deltas,
+      // residual metrics), and Spark's DIV truncates toward zero where
+      // SQL floor division rounds down — (a - pmod(a, b)) DIV b is exact
+      // floor for b > 0 on both engines, so the hash-match contract holds
+      // without a nonnegative-domain caveat
+      .withColumn(
+        "seasonal_milli",
+        expr("(_ssum * 1000 - pmod(_ssum * 1000, _scnt)) DIV _scnt"))
       .withColumn("resid_milli", col("value") * 1000 - col("seasonal_milli"))
       .drop("_ssum", "_scnt")
   }

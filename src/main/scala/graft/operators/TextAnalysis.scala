@@ -180,12 +180,23 @@ object TextAnalysis {
    * a cross join); the word-count table is vocabulary-sized (GBs at web
    * scale — a shuffle join, exactly what Spark picks); the final groupBy
    * is doc-keyed. Nothing here is driver-side. */
-  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE corpus-sized explode+shuffle: (doc, word) occurrence counts
-    val dw = docs
+  /** ONE corpus-sized explode+shuffle: (doc, word) occurrence counts —
+   * the shared tokenization contract (space split, empty words
+   * preserved) for every word-statistics operator; downstream frames
+   * built from it are (doc, word)- or vocab-bounded and share its
+   * exchange within a query. */
+  private def docWordCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      countName: String): DataFrame =
+    docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .groupBy(col(idCol), col("w"))
-      .agg(count(lit(1)).as("dw_cnt"))
+      .agg(count(lit(1)).as(countName))
+
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dw = docWordCounts(docs, idCol, textCol, "dw_cnt")
     val counts = dw.groupBy(col("w")).agg(sum(col("dw_cnt")).as("cw"))
     val totals = counts
       .agg(
@@ -229,12 +240,14 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val dw = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .groupBy(col(idCol), col("w"))
-      .agg(count(lit(1)).as("tf"))
+    val dw = docWordCounts(docs, idCol, textCol, "tf")
     val dfreq = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs")).withColumn("_j", lit(1))
+    // corpus size from the already-shuffled (doc, word) frame, NOT a
+    // second documents scan: split always yields >= 1 element, so every
+    // doc appears in dw and countDistinct(id) == count(*) of documents
+    val nDocs = dw
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("_j", lit(1))
     val rank = Window
       .partitionBy(col(idCol))
       .orderBy(col("tfidf_nano").desc, col("w").asc)

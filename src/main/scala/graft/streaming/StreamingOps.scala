@@ -374,7 +374,10 @@ object StreamingOps {
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Obs], state: GroupState[FillState]) =>
-          val sorted = rows.toSeq.sortBy(_.window_start)
+          // (window, value) sort: same-window duplicates inside one batch
+          // resolve to the smallest value deterministically, never by
+          // shuffle arrival order (the counterRateStream discipline)
+          val sorted = rows.toSeq.sortBy(r => (r.window_start, r.value))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Filled]
           sorted.foreach { o =>
@@ -409,10 +412,14 @@ object StreamingOps {
    * reset-aware increase and gap-diluted rate against the PREVIOUS
    * window, with the last (window, value) carried in keyed state so the
    * lag crosses micro-batch boundaries (the gapFillStream O(1)-per-key
-   * state discipline). Within a batch rows sort by window; rows at or
-   * before the state's last window are dropped (late/duplicate —
-   * mirroring the batch operator's strict ordering); a key's first-ever
-   * window emits None increase/rate, exactly as the batch lag does. */
+   * state discipline). Within a batch rows sort by (window, value); rows
+   * at or before the state's last window are dropped (late/duplicate —
+   * mirroring the batch operator's strict ordering), so SAME-WINDOW
+   * duplicates inside one batch resolve deterministically to the
+   * smallest value — shuffle arrival order never decides (a
+   * window-alone sort is stable and would keep whichever duplicate
+   * happened to arrive first). A key's first-ever window emits None
+   * increase/rate, exactly as the batch lag does. */
   def counterRateStream(in: Dataset[RateIn]): Dataset[RateOut] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.key)
@@ -420,7 +427,7 @@ object StreamingOps {
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[RateIn], state: GroupState[RateState]) =>
-          val sorted = rows.toSeq.sortBy(_.window_start)
+          val sorted = rows.toSeq.sortBy(r => (r.window_start, r.value))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[RateOut]
           sorted.foreach { r =>
@@ -459,10 +466,13 @@ object StreamingOps {
    * identity: keyed state carries (last window, running sum P of
    * (value - k), running min of P seeded at P_0 = 0), so
    * S = P - min(P-so-far) needs O(1) state per key and no replay of
-   * history. Within a batch rows sort by window; rows at or before the
-   * state's last window are dropped (the counterRateStream late
-   * discipline). After any batching the emitted (window, cusum, alarm)
-   * rows equal the batch operator's. */
+   * history. Within a batch rows sort by (window, value); rows at or
+   * before the state's last window are dropped (the counterRateStream
+   * late discipline), so same-window duplicates inside one batch
+   * resolve deterministically to the smallest value rather than by
+   * shuffle arrival order. After any batching of a duplicate-free
+   * window sequence the emitted (window, cusum, alarm) rows equal the
+   * batch operator's. */
   def cusumStream(in: Dataset[CusumIn], k: Long, h: Long): Dataset[CusumOut] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.key)
@@ -470,7 +480,7 @@ object StreamingOps {
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[CusumIn], state: GroupState[CusumState]) =>
-          val sorted = rows.toSeq.sortBy(_.window_start)
+          val sorted = rows.toSeq.sortBy(r => (r.window_start, r.value))
           var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
           sorted.foreach { r =>

@@ -189,6 +189,53 @@ class JobSpec extends SparkSpec {
     assert(r2.resumed && r2.keep.uid == r.keep.uid)
   }
 
+  test("delta dedup job: crash-retry (pairs committed, keep lost) still records metrics") {
+    import org.apache.spark.sql.functions._
+    val store = new SnapshotStore(tmpDir().toString)
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val isNew = col("doc_id") % 3 === 0
+    graft.jobs.DedupJob.run(spark, docs.filter(!isNew), store)
+    val newIds = docs.filter(isNew).select("doc_id")
+    // simulate the crash window: commit ONLY the pairs stage, with the
+    // exact fingerprint runDelta derives, then "retry" the whole delta —
+    // the pairs stage must resume, the keep stage must compute, and the
+    // metrics version must carry verified_pairs (recovered from the
+    // snapshot row count) with no candidate rows and no -1 sentinels
+    val fpRow = newIds
+      .select(col("doc_id").cast("long").as("_nid"))
+      .distinct()
+      .agg(
+        count(lit(1)),
+        coalesce(
+          sum(xxhash64(col("_nid")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+      .head()
+    val params =
+      s"delta-n3-h64-b16-t0.5-new${fpRow.getLong(0)}-fp${fpRow.getDecimal(1)}"
+    val (deltaPairs, release) = graft.operators.Dedup
+      .minHashLshDeltaPairs(docs, newIds, "doc_id", "text", 3, 64, 16, 0.5)
+    val (pre, preResumed) =
+      store.getOrCompute("dedup_pairs", "lsh_pairs_delta", params)(deltaPairs)
+    release()
+    assert(!preResumed, "the simulated crash run must have computed the pairs")
+    val r = graft.jobs.DedupJob.runDelta(spark, docs, newIds, store)
+    assert(!r.resumed, "the keep stage must compute on the retry")
+    assert(r.pairsDelta.uid == pre.uid, "the retry must resume the committed pairs")
+    assert(r.candidatePairs == -1L, "candidate counter only exists on the computing run")
+    assert(r.verifiedPairs == store.read(spark, r.pairsDelta).count())
+    val m = store
+      .read(spark, store.latest("metrics").get)
+      .filter(col("stage") === "dedup_delta")
+      .collect()
+      .map(row => row.getString(2) -> row.getDouble(3))
+      .toMap
+    assert(m("verified_pairs") == r.verifiedPairs.toDouble)
+    assert(m("kept_docs") == r.keptDocs.toDouble)
+    assert(m("dropped_docs") == r.droppedDocs.toDouble)
+    assert(!m.contains("candidate_pairs") && !m.contains("candidates_per_new_doc"))
+    assert(m.values.forall(_ >= 0.0), s"no -1 sentinels in the table: $m")
+  }
+
   test("retention stage: survivors bit-exact, observed counters in metrics, resumable") {
     val base = tmpDir().toString
     val dir = sf("sf0.001")
