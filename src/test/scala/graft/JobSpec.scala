@@ -236,6 +236,55 @@ class JobSpec extends SparkSpec {
     assert(m.values.forall(_ >= 0.0), s"no -1 sentinels in the table: $m")
   }
 
+  test("monitor job: alerts + cusum alarms == direct operators; resumes on unchanged tier") {
+    import org.apache.spark.sql.functions._
+    val store = new SnapshotStore(tmpDir().toString)
+    val dir = sf("sf0.001")
+    // commit a 1m tier for the job to monitor
+    val tier = graft.operators.Rollup
+      .rollupFromPoints(graft.sources.TokenTable.points(spark, dir), graft.core.Tier.OneMinute)
+    store.commit(tier, "tier_1m", "rollup_1m", "test-tier")
+    val r = graft.jobs.MonitorJob.run(
+      spark, store,
+      alertThreshold = 25200.0, alertMinRun = 2, windowWidth = 60,
+      cusumK = 1507710L, cusumH = 150000L)
+    assert(!r.resumed)
+    // committed surfaces equal the operators run directly on the tier
+    val alertsWant = graft.operators.SeriesAnalytics
+      .consecutiveBreaches(tier, "avg_tok", 25200.0, 2, 60)
+      .collect().map(_.toSeq).toSet
+    val alertsGot = store.read(spark, r.alerts).collect().map(_.toSeq).toSet
+    assert(alertsGot == alertsWant && r.alertRows == alertsWant.size)
+    val alarmsWant = graft.operators.SeriesAnalytics
+      .cusum(tier, "sum_tok", 1507710L, 150000L)
+      .filter(col("alarm"))
+      .collect().map(_.toSeq).toSet
+    val alarmsGot = store.read(spark, r.cusum).collect().map(_.toSeq).toSet
+    assert(alarmsGot == alarmsWant && r.alarmRows == alarmsWant.size)
+    assert(r.alertRows > 0 && r.alarmRows > 0, "the test data must exercise both surfaces")
+    // counters landed in the metrics table
+    val m = store
+      .read(spark, store.latest("metrics").get)
+      .filter(col("stage") === "monitor")
+      .collect()
+      .map(row => row.getString(2) -> row.getDouble(3))
+      .toMap
+    assert(m("alert_rows") == r.alertRows.toDouble && m("alarm_rows") == r.alarmRows.toDouble)
+    // unchanged tier + params -> both stages resume, nothing recomputes
+    val r2 = graft.jobs.MonitorJob.run(
+      spark, store,
+      alertThreshold = 25200.0, alertMinRun = 2, windowWidth = 60,
+      cusumK = 1507710L, cusumH = 150000L)
+    assert(r2.resumed && r2.alerts.uid == r.alerts.uid && r2.cusum.uid == r.cusum.uid)
+    // a NEW tier version invalidates the monitoring suffix
+    store.commit(tier.filter(col("bucket") === 0), "tier_1m", "rollup_1m", "test-tier-v2")
+    val r3 = graft.jobs.MonitorJob.run(
+      spark, store,
+      alertThreshold = 25200.0, alertMinRun = 2, windowWidth = 60,
+      cusumK = 1507710L, cusumH = 150000L)
+    assert(!r3.resumed && r3.alerts.uid != r.alerts.uid)
+  }
+
   test("retention stage: survivors bit-exact, observed counters in metrics, resumable") {
     val base = tmpDir().toString
     val dir = sf("sf0.001")
