@@ -103,6 +103,66 @@ object GapFill {
       .drop("_cum_sum", "_cum_cnt")
   }
 
+  /** Linear-interpolation gap-fill — the fourth imputation strategy
+   * (pandas `interpolate(method='linear')` semantics on a regular grid):
+   * a missing window between two observations takes the straight line
+   * between them; leading/trailing gaps (no neighbor on one side) stay
+   * NULL so the caller sees un-interpolatable edges explicitly.
+   *
+   * Exact-integer formulation: the interpolated value is milli fixed
+   * point, `prev*1000 + (next - prev)*1000*(t - t_prev) DIV
+   * (t_next - t_prev)` — integer division TRUNCATING TOWARD ZERO,
+   * which is what both Spark's `DIV` and DuckDB's `//` implement
+   * (measured: -7 // 2 = -3 in DuckDB — it does NOT floor), so the
+   * milli value hash-matches cross-engine even when the segment
+   * decreases (negative numerator). Observed windows carry value*1000.
+   *
+   * Scale shape: identical to [[gapFill]] — per-key spine generation
+   * (no cross join), one shuffle on the series key, and the four
+   * neighbor lookups are two frames (unbounded-preceding last +
+   * unbounded-following first) over that one in-partition sort. */
+  def linearInterpolate(
+      obs: DataFrame,
+      keys: Seq[String],
+      windowCol: String,
+      width: Long,
+      valueCol: String): DataFrame = {
+    val spine = denseSpine(obs, keys, windowCol, width)
+    val joined = spine.join(obs, keys :+ windowCol, "left")
+    val back = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(windowCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(windowCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("_pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn(
+        "_pw",
+        last(when(col(valueCol).isNotNull, col(windowCol)), ignoreNulls = true)
+          .over(back))
+      .withColumn("_nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn(
+        "_nw",
+        first(when(col(valueCol).isNotNull, col(windowCol)), ignoreNulls = true)
+          .over(fwd))
+      .withColumn(
+        "_numer",
+        (col("_nv").cast("long") - col("_pv").cast("long")) * 1000L *
+          (col(windowCol).cast("long") - col("_pw").cast("long")))
+      .withColumn("_denom", col("_nw").cast("long") - col("_pw").cast("long"))
+      .withColumn(
+        "interp_milli",
+        when(col(valueCol).isNotNull, col(valueCol).cast("long") * 1000L)
+          .when(
+            col("_pv").isNotNull && col("_nv").isNotNull,
+            col("_pv").cast("long") * 1000L + expr("_numer DIV _denom")))
+      .withColumn("filled", col(valueCol).isNull)
+      .drop("_pv", "_pw", "_nv", "_nw", "_numer", "_denom")
+  }
+
   /** Full gap-fill: spine ⟕ observations, then LOCF on `fillCols` and
    * constant defaults on `zeroCols` (the reference's DummyValueImputation
    * default for leading gaps, transform/imputation.py:32-40). */

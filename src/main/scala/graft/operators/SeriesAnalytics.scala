@@ -85,11 +85,10 @@ object SeriesAnalytics {
         "island",
         // integer DIV, not double division: double round-trips are exact
         // only below 2^53, and window_start may one day carry epoch-scale
-        // values. NOTE the remaining domain assumption: Spark DIV truncates
-        // toward zero while DuckDB // floors — identical for the engine's
-        // NONNEGATIVE window_start convention, divergent for negative
-        // (pre-epoch) offsets; m4Downsample's pixel and paaSax's paa_milli
-        // share the same convention
+        // values. DIV and DuckDB's // BOTH truncate toward zero (measured:
+        // -7 // 2 = -3 — // does NOT floor), so the two agree on the whole
+        // BIGINT domain, negative (pre-epoch) offsets included;
+        // m4Downsample's pixel and paaSax's paa_milli use the same DIV
         expr(s"window_start DIV $windowWidth") - row_number().over(byKey))
     val runs = Window.partitionBy(col("source"), col("bucket"), col("island"))
     breaches
@@ -416,15 +415,15 @@ object SeriesAnalytics {
         expr(s"CAST((window_start DIV $windowWidth) % $period AS INT)"))
       .withColumn("_ssum", sum(col("value")).over(byPhase))
       .withColumn("_scnt", count(lit(1)).over(byPhase))
-      // FLOOR division on the whole BIGINT domain, not DIV: value is a
+      // TRUNCATING division (DIV) on the whole BIGINT domain: value is a
       // caller-chosen column that may legitimately go negative (deltas,
-      // residual metrics), and Spark's DIV truncates toward zero where
-      // SQL floor division rounds down — (a - pmod(a, b)) DIV b is exact
-      // floor for b > 0 on both engines, so the hash-match contract holds
-      // without a nonnegative-domain caveat
-      .withColumn(
-        "seasonal_milli",
-        expr("(_ssum * 1000 - pmod(_ssum * 1000, _scnt)) DIV _scnt"))
+      // residual metrics), and BOTH engines truncate toward zero here —
+      // Spark's DIV by definition, and DuckDB's // as well (measured:
+      // -7 // 2 = -3, i.e. // does NOT floor despite its Python looks).
+      // A floor-division formula on this side would silently diverge
+      // from the oracle's // exactly on negative sums, so the hash-match
+      // contract holds by matching trunc-to-trunc, no domain caveat.
+      .withColumn("seasonal_milli", expr("(_ssum * 1000) DIV _scnt"))
       .withColumn("resid_milli", col("value") * 1000 - col("seasonal_milli"))
       .drop("_ssum", "_scnt")
   }
@@ -467,6 +466,197 @@ object SeriesAnalytics {
         call_function("arr_sum", col("seg")).as("seg_sum"))
       .withColumn("paa_milli", expr("seg_sum * 1000 DIV seg_len"))
       .withColumn("sax", sax)
+  }
+
+  /** Per-key least-squares trend line over a tier: regress `valueCol`
+   * on window_start with the five exact BIGINT moments
+   * (n, Σt, Σx, Σtx, Σt²) accumulated in one partial-aggregated groupBy,
+   * slope/intercept derived in fixed double formulas (the
+   * [[sourceCorrelation]] discipline — order-independent, so any SQL
+   * engine reproduces them bit-for-bit). NULL slope when the key has
+   * fewer than two distinct windows (zero time variance). One shuffle,
+   * bounded by keys. */
+  def trendLine(tier: DataFrame, valueCol: String): DataFrame =
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start").cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(col("t")).as("st"),
+        sum(col("x")).as("sx"),
+        sum(col("t") * col("x")).as("stx"),
+        sum(col("t") * col("t")).as("stt"))
+      .withColumn(
+        "slope",
+        expr("""
+          CASE WHEN CAST(n_win AS DOUBLE) * CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0
+          THEN (CAST(n_win AS DOUBLE) * CAST(stx AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n_win AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+          ELSE NULL END"""))
+      .withColumn(
+        "intercept",
+        expr("""
+          CASE WHEN slope IS NOT NULL
+          THEN (CAST(sx AS DOUBLE) - slope * CAST(st AS DOUBLE))
+               / CAST(n_win AS DOUBLE)
+          ELSE NULL END"""))
+
+  /** Local extrema (peak/trough detection) over a tier: a window is a
+   * PEAK when its value strictly exceeds both neighbors, a TROUGH when
+   * strictly below both — and neighbors must be STRICTLY ADJACENT
+   * (spacing exactly `windowWidth`; a gap disqualifies, the
+   * conservative convention matching [[consecutiveBreaches]]). Series
+   * edges have no two-sided neighborhood and never qualify. One
+   * shuffle on the tier's own key; lag/lead never leave the
+   * partition. */
+  def localExtrema(tier: DataFrame, valueCol: String, windowWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("window_start"))
+    val adjacent =
+      col("_pw") === col("window_start") - windowWidth &&
+        col("_nw") === col("window_start") + windowWidth
+    tier
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col(valueCol).cast("long").as("value"))
+      .withColumn("_pv", lag(col("value"), 1).over(byKey))
+      .withColumn("_pw", lag(col("window_start"), 1).over(byKey))
+      .withColumn("_nv", lead(col("value"), 1).over(byKey))
+      .withColumn("_nw", lead(col("window_start"), 1).over(byKey))
+      .withColumn(
+        "is_peak",
+        adjacent && col("value") > col("_pv") && col("value") > col("_nv"))
+      .withColumn(
+        "is_trough",
+        adjacent && col("value") < col("_pv") && col("value") < col("_nv"))
+      .filter(col("is_peak") || col("is_trough"))
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col("value"),
+        col("is_peak"),
+        col("is_trough"))
+  }
+
+  /** Shannon entropy of the token distribution per tier window, in
+   * exact nano-nats: per-(window, token) counts feed per-token terms
+   * cnt x FLOOR(ln(total/cnt) x 1e9) — each term floored to a BIGINT
+   * BEFORE the sum, so the cross-row accumulation is integer and
+   * order-independent (the unigramLogLoss discipline; ln is
+   * bit-identical JVM vs DuckDB libm on this engine's verified hosts).
+   * `entropy_nats` = nano-sum / total / 1e9 is the one derived double.
+   *
+   * Scale shape: the first groupBy bounds everything downstream by
+   * DISTINCT (key, window, token) pairs — never points; the window
+   * total and final reduction run over that aggregate. The
+   * distribution-health face of the tier store (a collapsing entropy
+   * = a degenerate source). */
+  def windowEntropy(points: DataFrame, windowWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWin = Window.partitionBy(col("source"), col("bucket"), col("window_start"))
+    points
+      .groupBy(
+        col("source"),
+        expr(s"CAST(pos DIV ${graft.core.Tier.BucketWidth} AS INT)").as("bucket"),
+        expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"),
+        col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(byWin))
+      .withColumn(
+        "_term",
+        col("cnt") * expr(
+          "CAST(FLOOR(LN(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)"))
+      .groupBy(col("source"), col("bucket"), col("window_start"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        min(col("total")).as("cnt_tok"),
+        sum(col("_term")).as("entropy_nano_sum"))
+      .withColumn(
+        "entropy_nats",
+        expr("CAST(entropy_nano_sum AS DOUBLE) / 1e9 / CAST(cnt_tok AS DOUBLE)"))
+  }
+
+  /** KL divergence of each tier window's token distribution from its
+   * source's GLOBAL distribution, in exact nano-nats — the
+   * distribution-DRIFT detector (a window whose token mix wanders from
+   * the source's historical mix shows up as a KL spike; CUSUM watches
+   * the mean, this watches the shape). Per-token terms
+   * cnt_w x FLOOR(ln((cnt_w x total_g) / (cnt_g x total_w)) x 1e9)
+   * are floored to BIGINT before the sum ([[windowEntropy]]
+   * discipline); every window token exists in its source's global
+   * counts by construction, so q > 0 always and no smoothing is
+   * needed.
+   *
+   * Scale shape: window counts are one groupBy bounded by distinct
+   * (key, window, token) pairs; the global counts REUSE that aggregate
+   * (a rollup over it — never a second scan of the points) and are
+   * bounded by sources x vocab, which broadcasts. */
+  def klDrift(points: DataFrame, windowWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWin = Window.partitionBy(col("source"), col("bucket"), col("window_start"))
+    val winCnt = points
+      .groupBy(
+        col("source"),
+        expr(s"CAST(pos DIV ${graft.core.Tier.BucketWidth} AS INT)").as("bucket"),
+        expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"),
+        col("tok"))
+      .agg(count(lit(1)).as("cnt_w"))
+    val srcCnt = winCnt
+      .groupBy(col("source"), col("tok"))
+      .agg(sum(col("cnt_w")).as("cnt_g"))
+    val srcTotal = srcCnt
+      .groupBy(col("source"))
+      .agg(sum(col("cnt_g")).as("total_g"))
+    winCnt
+      .withColumn("total_w", sum(col("cnt_w")).over(byWin))
+      .join(broadcast(srcCnt.join(broadcast(srcTotal), Seq("source"))), Seq("source", "tok"))
+      .withColumn(
+        "_term",
+        col("cnt_w") * expr(
+          """CAST(FLOOR(LN(CAST(cnt_w AS DOUBLE) * CAST(total_g AS DOUBLE)
+            |  / (CAST(cnt_g AS DOUBLE) * CAST(total_w AS DOUBLE))) * 1e9) AS BIGINT)""".stripMargin))
+      .groupBy(col("source"), col("bucket"), col("window_start"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        min(col("total_w")).as("cnt_tok"),
+        sum(col("_term")).as("kl_nano_sum"))
+      .withColumn(
+        "kl_nats",
+        expr("CAST(kl_nano_sum AS DOUBLE) / 1e9 / CAST(cnt_tok AS DOUBLE)"))
+  }
+
+  /** Vocabulary growth per source: the window where each (source,
+   * token) pair is FIRST observed, rolled up to novel-token counts per
+   * window plus the running cumulative vocabulary size — Heaps'-law
+   * telemetry for a training corpus (a source whose curve goes flat
+   * has stopped contributing new vocabulary). Two partial-aggregated
+   * groupBys, both bounded by sources x vocab, then one window
+   * cumulation over the per-window aggregate (rows = sources x
+   * windows). */
+  def vocabGrowth(points: DataFrame, windowWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window
+      .partitionBy(col("source"))
+      .orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .groupBy(col("source"), col("tok"))
+      .agg(min(expr(s"CAST(pos - pos % $windowWidth AS INT)")).as("window_start"))
+      .groupBy(col("source"), col("window_start"))
+      .agg(count(lit(1)).as("novel_tokens"))
+      .withColumn("vocab_cum", sum(col("novel_tokens")).over(cum))
   }
 
   /** Exact-integer Pearson correlation between sources over their

@@ -60,6 +60,47 @@ object TimeSeriesQueries {
         zeroCols = Map("cnt_tok" -> lit(0L)))
     }),
 
+    // Linear-interpolation gap-fill on the 1m tier's window sums: every
+    // 4th window dropped at the source level, then interior gaps take the
+    // exact milli fixed-point straight line between neighbors (edge gaps
+    // stay NULL). The fourth imputation strategy beside LOCF / constant /
+    // causal-mean.
+    "q_gapfill_linear" -> ((s, dir) => {
+      val sparse = TokenTable
+        .points(s, dir)
+        .filter(expr("(pos div 60) % 4 != 0"))
+      val tier = Rollup
+        .rollupFromPoints(sparse, Tier.OneMinute)
+        .select("source", "bucket", "window_start", "sum_tok")
+      GapFill.linearInterpolate(
+        tier,
+        keys = Seq("source", "bucket"),
+        windowCol = "window_start",
+        width = 60L,
+        valueCol = "sum_tok")
+    }),
+
+    // Cohort retention over the events table: users grouped by first-seen
+    // day (epoch days), activity counted as distinct users per
+    // (cohort, day-offset) — the classic retention triangle. Exact:
+    // day arithmetic is integer, counts are exact distinct.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(
+          col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("int").as("day"))
+      val cohort = ev
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev
+        .distinct()
+        .join(cohort, Seq("user_id"))
+        .groupBy(
+          col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // As-of join: each purchase gets the most recent at-or-before signup
     // value of the same user (union-tag + LOCF window — one linear shuffle,
     // no range-join blowup).
@@ -317,6 +358,54 @@ object TimeSeriesQueries {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_tok,
          |       COALESCE(o.cnt_tok, 0) AS cnt_tok
          |FROM spine s LEFT JOIN obs o USING (source, bucket, window_start)""".stripMargin,
+    "q_gapfill_linear" ->
+      s"""${TokenRollupQueries.PtsCte},
+         |obs AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS sum_tok
+         |  FROM pts WHERE (pos // 60) % 4 <> 0 GROUP BY 1, 2, 3),
+         |spine AS (
+         |  SELECT source, bucket, CAST(t.w AS INT) AS window_start
+         |  FROM (SELECT source, bucket, min(window_start) AS w0,
+         |               max(window_start) AS w1 FROM obs GROUP BY 1, 2) b,
+         |       LATERAL (SELECT unnest(range(b.w0, b.w1 + 1, 60)) AS w) t),
+         |j AS (
+         |  SELECT s.source, s.bucket, s.window_start, o.sum_tok
+         |  FROM spine s LEFT JOIN obs o USING (source, bucket, window_start)),
+         |n AS (
+         |  SELECT *,
+         |    LAST_VALUE(sum_tok IGNORE NULLS) OVER bk AS pv,
+         |    LAST_VALUE(CASE WHEN sum_tok IS NOT NULL THEN window_start END
+         |               IGNORE NULLS) OVER bk AS pw,
+         |    FIRST_VALUE(sum_tok IGNORE NULLS) OVER fw AS nv,
+         |    FIRST_VALUE(CASE WHEN sum_tok IS NOT NULL THEN window_start END
+         |                IGNORE NULLS) OVER fw AS nw
+         |  FROM j
+         |  WINDOW bk AS (PARTITION BY source, bucket ORDER BY window_start
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         fw AS (PARTITION BY source, bucket ORDER BY window_start
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT source, bucket, window_start, sum_tok,
+         |       CASE WHEN sum_tok IS NOT NULL THEN sum_tok * 1000
+         |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |            THEN pv * 1000 + ((nv - pv) * 1000 *
+         |                 (window_start - pw)) // (nw - pw)
+         |       END AS interp_milli,
+         |       sum_tok IS NULL AS filled
+         |FROM n""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+        |           AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_asof_purchase_signup" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
         |       s.value AS asof_signup_value

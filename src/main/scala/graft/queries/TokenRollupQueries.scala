@@ -311,7 +311,48 @@ object TokenRollupQueries {
         Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
         "sum_tok",
         60,
-        4))
+        4)),
+
+    // Least-squares trend line per (source, bucket) over the 1m tier's
+    // window sums: five exact BIGINT moments + fixed double slope/intercept.
+    "q_trend_slope" -> ((s, dir) =>
+      SeriesAnalytics.trendLine(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        "sum_tok")),
+
+    // Local extrema (peaks/troughs with strict two-sided adjacency) over
+    // per-SOURCE 1m window milli-averages: the bucket key is collapsed
+    // (bucket = 0) because a 64-wide bucket holds at most two 60-wide
+    // windows — no 3-window neighborhood exists inside one bucket — and
+    // the value is the exact milli AVERAGE, not the sum (the raw sum
+    // decays monotonically with window index as shorter docs run out of
+    // positions, which has no extrema by construction).
+    "q_peaks" -> ((s, dir) =>
+      SeriesAnalytics.localExtrema(
+        TokenTable
+          .points(s, dir)
+          .groupBy(
+            col("source"),
+            expr("CAST(0 AS INT)").as("bucket"),
+            expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
+          .agg(expr("CAST(sum(tok) AS BIGINT) * 1000 DIV count(*)").as("avg_milli")),
+        "avg_milli",
+        60)),
+
+    // Shannon entropy of each 1h window's token distribution, exact
+    // nano-nat integer terms (distribution-health telemetry).
+    "q_window_entropy" -> ((s, dir) =>
+      SeriesAnalytics.windowEntropy(TokenTable.points(s, dir), 3600)),
+
+    // KL divergence of each 1h window's token mix from its source's
+    // global mix — distribution-drift detection in exact nano-nats.
+    "q_kl_drift" -> ((s, dir) =>
+      SeriesAnalytics.klDrift(TokenTable.points(s, dir), 3600)),
+
+    // Vocabulary growth: novel tokens per 1h window + running cumulative
+    // vocabulary per source (Heaps'-law telemetry).
+    "q_vocab_growth" -> ((s, dir) =>
+      SeriesAnalytics.vocabGrowth(TokenTable.points(s, dir), 3600))
   )
 
   val oracle: Map[String, String] = Map(
@@ -758,6 +799,123 @@ object TokenRollupQueries {
          |SELECT source, bucket, window_start, value, phase,
          |       ssum * 1000 // scnt AS seasonal_milli,
          |       value * 1000 - (ssum * 1000 // scnt) AS resid_milli
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+    "q_trend_slope" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS BIGINT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS x
+         |  FROM pts GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT source, bucket, count(*) AS n_win,
+         |         CAST(sum(window_start) AS BIGINT) AS st,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(window_start * x) AS BIGINT) AS stx,
+         |         CAST(sum(window_start * window_start) AS BIGINT) AS stt
+         |  FROM t GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT *,
+         |    CASE WHEN CAST(n_win AS DOUBLE) * CAST(stt AS DOUBLE)
+         |              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0
+         |    THEN (CAST(n_win AS DOUBLE) * CAST(stx AS DOUBLE)
+         |          - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         / (CAST(n_win AS DOUBLE) * CAST(stt AS DOUBLE)
+         |            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+         |    ELSE NULL END AS slope
+         |  FROM m)
+         |SELECT source, bucket, n_win, st, sx, stx, stt, slope,
+         |       CASE WHEN slope IS NOT NULL
+         |       THEN (CAST(sx AS DOUBLE) - slope * CAST(st AS DOUBLE))
+         |            / CAST(n_win AS DOUBLE)
+         |       ELSE NULL END AS intercept
+         |FROM sl""".stripMargin,
+    "q_peaks" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(0 AS INT) AS bucket,
+         |         CAST(pos - pos % 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) * 1000 // count(*) AS value
+         |  FROM pts GROUP BY 1, 2, 3),
+         |l AS (
+         |  SELECT *,
+         |         lag(value) OVER w AS pv, lag(window_start) OVER w AS pw,
+         |         lead(value) OVER w AS nv, lead(window_start) OVER w AS nw
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY source, bucket ORDER BY window_start))
+         |SELECT source, bucket, window_start, value,
+         |       (pw = window_start - 60 AND nw = window_start + 60
+         |        AND value > pv AND value > nv) AS is_peak,
+         |       (pw = window_start - 60 AND nw = window_start + 60
+         |        AND value < pv AND value < nv) AS is_trough
+         |FROM l
+         |WHERE (pw = window_start - 60 AND nw = window_start + 60
+         |       AND value > pv AND value > nv)
+         |   OR (pw = window_start - 60 AND nw = window_start + 60
+         |       AND value < pv AND value < nv)""".stripMargin,
+    "q_window_entropy" ->
+      s"""$PtsCte,
+         |c AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST(pos - pos % 3600 AS INT) AS window_start, tok,
+         |         count(*) AS cnt
+         |  FROM pts GROUP BY 1, 2, 3, 4),
+         |w AS (
+         |  SELECT *, CAST(sum(cnt) OVER (
+         |         PARTITION BY source, bucket, window_start) AS BIGINT) AS total
+         |  FROM c),
+         |a AS (
+         |  SELECT source, bucket, window_start,
+         |         count(*) AS n_distinct,
+         |         CAST(min(total) AS BIGINT) AS cnt_tok,
+         |         CAST(sum(cnt * CAST(FLOOR(LN(CAST(total AS DOUBLE)
+         |              / CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+         |           AS entropy_nano_sum
+         |  FROM w GROUP BY 1, 2, 3)
+         |SELECT *, CAST(entropy_nano_sum AS DOUBLE) / 1e9
+         |          / CAST(cnt_tok AS DOUBLE) AS entropy_nats
+         |FROM a""".stripMargin,
+    "q_kl_drift" ->
+      s"""$PtsCte,
+         |c AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST(pos - pos % 3600 AS INT) AS window_start, tok,
+         |         count(*) AS cnt_w
+         |  FROM pts GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT source, tok, CAST(sum(cnt_w) AS BIGINT) AS cnt_g
+         |      FROM c GROUP BY 1, 2),
+         |gt AS (SELECT source, CAST(sum(cnt_g) AS BIGINT) AS total_g
+         |       FROM g GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(sum(cnt_w) OVER (
+         |         PARTITION BY source, bucket, window_start) AS BIGINT) AS total_w
+         |  FROM c),
+         |j AS (
+         |  SELECT w.*, g.cnt_g, gt.total_g
+         |  FROM w JOIN g USING (source, tok) JOIN gt USING (source)),
+         |a AS (
+         |  SELECT source, bucket, window_start,
+         |         count(*) AS n_distinct,
+         |         CAST(min(total_w) AS BIGINT) AS cnt_tok,
+         |         CAST(sum(cnt_w * CAST(FLOOR(LN(
+         |              CAST(cnt_w AS DOUBLE) * CAST(total_g AS DOUBLE)
+         |              / (CAST(cnt_g AS DOUBLE) * CAST(total_w AS DOUBLE)))
+         |              * 1e9) AS BIGINT)) AS BIGINT) AS kl_nano_sum
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT *, CAST(kl_nano_sum AS DOUBLE) / 1e9
+         |          / CAST(cnt_tok AS DOUBLE) AS kl_nats
+         |FROM a""".stripMargin,
+    "q_vocab_growth" ->
+      s"""$PtsCte,
+         |f AS (
+         |  SELECT source, tok, CAST(min(pos - pos % 3600) AS INT) AS window_start
+         |  FROM pts GROUP BY 1, 2),
+         |n AS (SELECT source, window_start, count(*) AS novel_tokens
+         |      FROM f GROUP BY 1, 2)
+         |SELECT source, window_start, novel_tokens,
+         |       CAST(sum(novel_tokens) OVER (
+         |         PARTITION BY source ORDER BY window_start
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+         |FROM n""".stripMargin
   )
 }

@@ -420,4 +420,55 @@ class OperatorExtrasSpec extends SparkSpec {
       }
     assert(got == ref, s"got $got, want $ref")
   }
+
+  test("linear interpolation: exact milli line, trunc division, NULL-valued tail") {
+    import graft.operators.GapFill
+    import spark.implicits._
+    // key "a": observed 1 at w=0, 0 at w=180 (interior gaps 60, 120 take
+    // the decreasing line — numerator negative, so the division must
+    // TRUNCATE like DuckDB's //, not floor), then an observed-but-NULL
+    // row at w=240 extends the spine past the last non-null value
+    val obs = Seq(
+      ("a", 0, Some(1L)),
+      ("a", 180, Some(0L)),
+      ("a", 240, None: Option[Long])).toDF("source", "window_start", "v")
+    val got = GapFill
+      .linearInterpolate(obs, Seq("source"), "window_start", 60L, "v")
+      .collect()
+      .map(r =>
+        // the spine's sequence() widens window_start to LONG
+        r.getLong(1) -> (
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+      .toMap
+    assert(got(0) == (Some(1000L), false))
+    // -60000 DIV 180 = -333 (trunc; floor would give -334 → 666)
+    assert(got(60) == (Some(667L), true))
+    assert(got(120) == (Some(334L), true))
+    assert(got(180) == (Some(0L), false))
+    // no non-null right neighbor → stays NULL, flagged filled
+    assert(got(240) == (None, true))
+    assert(got.size == 5)
+  }
+
+  test("local extrema: gaps and edges disqualify; strict inequalities") {
+    import graft.operators.SeriesAnalytics
+    import spark.implicits._
+    val tier = Seq(
+      // key (s, 0): 1, 5, 2 → peak at w=60; edges never qualify
+      ("s", 0, 0, 1L), ("s", 0, 60, 5L), ("s", 0, 120, 2L),
+      // key (s, 1): middle window has a GAP on the right (w jumps 60→180)
+      ("s", 1, 0, 1L), ("s", 1, 60, 5L), ("s", 1, 180, 2L),
+      // key (s, 2): plateau — equal neighbors are NOT strict extrema
+      ("s", 2, 0, 3L), ("s", 2, 60, 3L), ("s", 2, 120, 3L),
+      // key (s, 3): trough
+      ("s", 3, 0, 9L), ("s", 3, 60, 4L), ("s", 3, 120, 7L))
+      .toDF("source", "bucket", "window_start", "value")
+    val got = SeriesAnalytics
+      .localExtrema(tier, "value", 60)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getBoolean(4), r.getBoolean(5)))
+      .toSet
+    assert(got == Set((0, 60, true, false), (3, 60, false, true)), got)
+  }
 }

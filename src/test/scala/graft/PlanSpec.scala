@@ -475,6 +475,48 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("trend line / local extrema: tier + one op exchange, join-free") {
+    val tier = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
+    for (
+      df <- Seq(
+        graft.operators.SeriesAnalytics.trendLine(tier, "sum_tok"),
+        graft.operators.SeriesAnalytics.localExtrema(tier, "sum_tok", 60))
+    ) {
+      val plan = planOf(df)
+      assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+      assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+    }
+  }
+
+  test("window entropy: final reduction reuses the window's key partitioning") {
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.SeriesAnalytics.windowEntropy(pts, 3600))
+    // (key, window, tok) count = 1 exchange; the window total repartitions
+    // to (key, window) = 1 more; the final groupBy on the SAME key adds
+    // none (superset-key clustering)
+    assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"entropy must be join-free:\n$plan")
+  }
+
+  test("KL drift: global counts broadcast; no sort-merge join; counts partial-agg") {
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.SeriesAnalytics.klDrift(pts, 3600))
+    // the sources x vocab global-count side must broadcast onto the
+    // window-count stream — a sort-merge join would re-sort the big side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"global counts must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("vocab growth: every stage bounded by aggregates (3 exchanges, join-free)") {
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.SeriesAnalytics.vocabGrowth(pts, 3600))
+    // (source, tok) first-seen = 1; per-window novel counts = 1; the
+    // source-ordered cumulation = 1 — all over aggregates, never points
+    assert("Exchange".r.findAllIn(plan).size == 3, s"expected 3 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"vocab growth must be join-free:\n$plan")
+  }
+
   test("IVF assignment: broadcast centroids, one exchange, pair rows collapse map-side") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", 25))
