@@ -600,12 +600,22 @@ object SeriesAnalytics {
    * needed.
    *
    * Scale shape: window counts are one groupBy bounded by distinct
-   * (key, window, token) pairs; the global counts REUSE that aggregate
-   * (a rollup over it — never a second scan of the points) and are
-   * bounded by sources x vocab, which broadcasts. */
+   * (key, window, token) pairs, and that aggregate is consumed by ONE
+   * lineage — per-window totals and per-source global token counts are
+   * attached as window sums over it (exchanges bounded by the pairs),
+   * never as join branches that would re-run the points aggregation
+   * (measured: the branch shape recomputed the heavy aggregate because
+   * exchange reuse does not canonicalize across the join's attribute
+   * dedup — ~2x the cost of this shape). The per-source grand total is
+   * the one separate input: a count-only scan (no 4-column aggregate)
+   * bounded at one row per source, broadcast. No window partitions on
+   * bare `source` (a single source's pairs would serialize into one
+   * task at 10^12 scale); the widest partition key here is
+   * (source, tok). */
   def klDrift(points: DataFrame, windowWidth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byWin = Window.partitionBy(col("source"), col("bucket"), col("window_start"))
+    val byTok = Window.partitionBy(col("source"), col("tok"))
     val winCnt = points
       .groupBy(
         col("source"),
@@ -613,15 +623,13 @@ object SeriesAnalytics {
         expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"),
         col("tok"))
       .agg(count(lit(1)).as("cnt_w"))
-    val srcCnt = winCnt
-      .groupBy(col("source"), col("tok"))
-      .agg(sum(col("cnt_w")).as("cnt_g"))
-    val srcTotal = srcCnt
+    val srcTotal = points
       .groupBy(col("source"))
-      .agg(sum(col("cnt_g")).as("total_g"))
+      .agg(count(lit(1)).as("total_g"))
     winCnt
       .withColumn("total_w", sum(col("cnt_w")).over(byWin))
-      .join(broadcast(srcCnt.join(broadcast(srcTotal), Seq("source"))), Seq("source", "tok"))
+      .withColumn("cnt_g", sum(col("cnt_w")).over(byTok))
+      .join(broadcast(srcTotal), Seq("source"))
       .withColumn(
         "_term",
         col("cnt_w") * expr(

@@ -498,14 +498,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"entropy must be join-free:\n$plan")
   }
 
-  test("KL drift: global counts broadcast; no sort-merge join; counts partial-agg") {
+  test("KL drift: one heavy aggregate lineage; source totals broadcast; no SMJ") {
     val pts = TokenTable.points(spark, sf("sf0.001"))
     val plan = planOf(graft.operators.SeriesAnalytics.klDrift(pts, 3600))
-    // the sources x vocab global-count side must broadcast onto the
-    // window-count stream — a sort-merge join would re-sort the big side
+    // the per-source grand totals must broadcast onto the window-count
+    // stream — a sort-merge join would re-sort the big side
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), s"global counts must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"source totals must broadcast:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    // exactly two source scans: the 4-column window-count aggregate and the
+    // count-only per-source total — the former must NOT be recomputed per
+    // branch (the old join-branch shape re-ran it; exchange reuse does not
+    // canonicalize across the join's attribute dedup)
+    assert("FileScan|ReusedExchange".r.findAllIn(plan).size <= 2
+      && "FileScan".r.findAllIn(plan).size == 2, s"expected exactly 2 scans:\n$plan")
   }
 
   test("vocab growth: every stage bounded by aggregates (3 exchanges, join-free)") {
