@@ -21,6 +21,8 @@ object GraftFunctions {
     // fused single-buffer tier aggregate (TypedImperativeAggregate); the
     // analyzer wraps the bare AggregateFunction into an AggregateExpression
     "tier_stats" -> (args => TierStats(args.head)),
+    // bounded-state k-minimum-values sketch (TypedImperativeAggregate)
+    "kmv_kmin" -> (args => KmvKMin(args.head, foldInt(args(1)))),
     "dot_q" -> (args => DotQ(args.head, args(1))),
     "lsh_sig" -> (args => LshSig(args.head, foldInt(args(1)))),
     "lsh_sig_affine" -> (args => LshSigAffine(args.head, foldInt(args(1)))),

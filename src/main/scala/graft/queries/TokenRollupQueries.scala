@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tier
-import graft.operators.{Retention, Rollup, SeriesAnalytics}
+import graft.operators.{Retention, Rollup, SeriesAnalytics, Sketches}
 import graft.sources.TokenTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -352,7 +352,20 @@ object TokenRollupQueries {
     // Vocabulary growth: novel tokens per 1h window + running cumulative
     // vocabulary per source (Heaps'-law telemetry).
     "q_vocab_growth" -> ((s, dir) =>
-      SeriesAnalytics.vocabGrowth(TokenTable.points(s, dir), 3600))
+      SeriesAnalytics.vocabGrowth(TokenTable.points(s, dir), 3600)),
+
+    // KMV approximate-distinct per 1h window: the bounded-state (k=64
+    // longs per key) sketch twin of q_window_cardinality's exact
+    // countDistinct — deterministic Lehmer hashes, so the whole sketch
+    // hash-checks against a SQL dedup + rank.
+    "q_kmv_distinct" -> ((s, dir) =>
+      Sketches.approxDistinct(TokenTable.points(s, dir), 3600, 64)),
+
+    // Count-min sketch estimates for each source's exact top-20 tokens:
+    // fixed 4x1024 cells per source regardless of vocabulary; the
+    // estimate never under-counts (est_cnt >= cnt row by row).
+    "q_cms_topk" -> ((s, dir) =>
+      Sketches.countMinTopK(TokenTable.points(s, dir), 4, 1024, 20))
   )
 
   val oracle: Map[String, String] = Map(
@@ -916,6 +929,53 @@ object TokenRollupQueries {
          |       CAST(sum(novel_tokens) OVER (
          |         PARTITION BY source ORDER BY window_start
          |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
-         |FROM n""".stripMargin
+         |FROM n""".stripMargin,
+    "q_kmv_distinct" ->
+      s"""$PtsCte,
+         |hs AS (
+         |  SELECT DISTINCT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST(pos - pos % 3600 AS INT) AS window_start,
+         |         (((CAST(tok AS BIGINT) + 1) * 2654435761) % 1000000007)
+         |           * 2654435761 % 1000000007 AS h
+         |  FROM pts),
+         |r AS (
+         |  SELECT *, row_number() OVER w AS rk,
+         |         count(*) OVER (PARTITION BY source, bucket, window_start) AS nd
+         |  FROM hs
+         |  WINDOW w AS (PARTITION BY source, bucket, window_start ORDER BY h))
+         |SELECT source, bucket, window_start,
+         |       CAST(LEAST(nd, 64) AS INT) AS n_kept,
+         |       CASE WHEN nd >= 64 THEN h END AS kth_min,
+         |       CASE WHEN nd >= 64 THEN 63.0 * 1000000007 / CAST(h AS DOUBLE)
+         |            ELSE CAST(LEAST(nd, 64) AS DOUBLE) END AS est_distinct
+         |FROM r WHERE rk = LEAST(nd, 64)""".stripMargin,
+    "q_cms_topk" ->
+      s"""$PtsCte,
+         |e AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM pts GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY cnt DESC, tok) AS INT) AS rank
+         |  FROM e),
+         |rr AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS r),
+         |cells AS (
+         |  SELECT source, rr.r AS r,
+         |         CAST((((CAST(tok AS BIGINT) + 1)
+         |             * (((rr.r + 1) * 2654435761) % 1000000007)
+         |           + ((rr.r + 1) * 40503 + 7) % 1000000007)
+         |           % 1000000007) % 1024 AS INT) AS c,
+         |         CAST(count(*) AS BIGINT) AS cell_cnt
+         |  FROM pts, rr GROUP BY 1, 2, 3),
+         |tke AS (
+         |  SELECT t.source, t.tok, t.cnt, t.rank, rr.r AS r,
+         |         CAST((((CAST(t.tok AS BIGINT) + 1)
+         |             * (((rr.r + 1) * 2654435761) % 1000000007)
+         |           + ((rr.r + 1) * 40503 + 7) % 1000000007)
+         |           % 1000000007) % 1024 AS INT) AS c
+         |  FROM t, rr WHERE t.rank <= 20)
+         |SELECT source, tok, cnt, rank,
+         |       CAST(min(cell_cnt) AS BIGINT) AS est_cnt
+         |FROM tke JOIN cells USING (source, r, c)
+         |GROUP BY 1, 2, 3, 4""".stripMargin
   )
 }

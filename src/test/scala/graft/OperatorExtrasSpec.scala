@@ -451,6 +451,81 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("kmv_kmin: k smallest distinct values, stable across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // key "a": >k distinct values with heavy duplication; key "b": under k
+    val rows =
+      Seq.fill(5000)(("a", rnd.nextInt(500).toLong * 977L)) ++
+        Seq.fill(200)(("b", rnd.nextInt(20).toLong * 977L))
+    def run(nPart: Int): Map[String, Seq[Long]] = rows
+      .toDF("key", "h")
+      .repartition(nPart)
+      .groupBy("key")
+      .agg(call_function("kmv_kmin", col("h"), lit(64)).as("kmin"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    val got = run(7)
+    def ref(key: String): Seq[Long] =
+      rows.filter(_._1 == key).map(_._2).distinct.sorted.take(64)
+    assert(got("a") == ref("a"))
+    assert(got("b") == ref("b"))
+    assert(got("b").size < 64) // under-filled sketch keeps every distinct value
+    // order-independence: a different partitioning merges different partial
+    // buffers but must produce the identical set
+    assert(run(1) == got && run(13) == got)
+  }
+
+  test("KMV estimate: exact below k, within 3 standard errors above") {
+    import graft.operators.{Sketches, SeriesAnalytics}
+    val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
+    val est = Sketches
+      .approxDistinct(pts, 3600, 64)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getInt(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getDouble(5)))
+      .toMap
+    // exact distinct HASHES (the sketch's own universe: token-hash
+    // collisions are part of the estimand, not error)
+    val exact = Sketches
+      .approxDistinct(pts, 3600, 1 << 16) // k >> any window's cardinality
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getInt(3))
+      .toMap
+    assert(est.nonEmpty && est.keySet == exact.keySet)
+    var filled = 0
+    est.foreach { case (key, (nKept, kth, e)) =>
+      val n = exact(key)
+      if (kth.isEmpty) assert(nKept == n && e == n.toDouble, s"$key: $nKept != $n")
+      else {
+        filled += 1
+        // KMV relative standard error ~ 1/sqrt(k-2); 3 sigma at k=64 is ~38%
+        assert(math.abs(e - n) / n < 0.38 * 3, s"$key: est $e vs exact $n")
+      }
+    }
+    info(s"filled sketches: $filled of ${est.size}")
+  }
+
+  test("count-min: never under-counts, exact for a collision-free source") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
+    val got = Sketches.countMinTopK(pts, 4, 1024, 20).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (cnt, est) = (r.getLong(2), r.getLong(4))
+      assert(est >= cnt, s"count-min under-counted: $r")
+    }
+    // a source with ONE distinct token: every cell the token maps to
+    // counts only that token, so the min over rows is exact
+    val solo = Seq.fill(137)(("solo", 42)).toDF("source", "tok")
+    val soloGot = Sketches.countMinTopK(solo, 4, 1024, 20).collect()
+    assert(soloGot.length == 1)
+    assert(soloGot.head.getLong(2) == 137L && soloGot.head.getLong(4) == 137L)
+  }
+
   test("local extrema: gaps and edges disqualify; strict inequalities") {
     import graft.operators.SeriesAnalytics
     import spark.implicits._

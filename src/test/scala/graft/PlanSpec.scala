@@ -523,6 +523,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"vocab growth must be join-free:\n$plan")
   }
 
+  test("KMV sketch: one exchange of bounded buffers; object-hash aggregate path") {
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.Sketches.approxDistinct(pts, 3600, 64))
+    // the TypedImperativeAggregate must partial-aggregate map-side so the
+    // single exchange carries <= k longs per key, never raw hashes
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    assert(!plan.contains("Join"), s"KMV must be join-free:\n$plan")
+  }
+
+  test("count-min: sketch cells partial-agg before exchange; sketch broadcast onto top-k") {
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.Sketches.countMinTopK(pts, 4, 1024, 20))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"sketch must broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"cells must collapse map-side:\n$plan")
+  }
+
   test("IVF assignment: broadcast centroids, one exchange, pair rows collapse map-side") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", 25))
