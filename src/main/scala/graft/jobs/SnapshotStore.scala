@@ -123,6 +123,74 @@ final class SnapshotStore(base: String) {
   def read(spark: SparkSession, snap: SnapshotInfo): DataFrame =
     spark.read.parquet(snap.dataPath)
 
+  /** Time travel: the table as of a committed version (Iceberg
+   * `VERSION AS OF` semantics — a version is immutable data + manifest,
+   * so reading it later returns bit-identical rows regardless of any
+   * newer commits). */
+  def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
+    val snap = snapshots(table)
+      .find(_.version == version)
+      .getOrElse(sys.error(s"$table has no committed version $version"))
+    read(spark, snap)
+  }
+
+  /** Roll the table back to `version` by committing a NEW version whose
+   * manifest points at the old version's (immutable) data — Iceberg's
+   * rollback: no data is copied, deleted or rewritten, and the rolled-
+   * back-over versions remain readable via [[readVersion]]. The new
+   * manifest's stage/fingerprint mark the rollback provenance, so
+   * `find`-based resume never confuses it with the stage that first
+   * produced the data. */
+  def rollbackTo(table: String, version: Int): SnapshotInfo = {
+    val target = snapshots(table)
+      .find(_.version == version)
+      .getOrElse(sys.error(s"$table has no committed version $version to roll back to"))
+    val next = latest(table).map(_.version + 1).getOrElse(1)
+    require(next > version, s"$table: cannot roll back to unwritten future version $version")
+    val uid = System.nanoTime()
+    val info = SnapshotInfo(
+      table,
+      next,
+      uid,
+      stage = s"rollback",
+      fingerprint = s"rollback-to-v$version-uid${target.uid}",
+      rowCount = target.rowCount,
+      dataPath = target.dataPath)
+    Files.createDirectories(snapDir(table))
+    val tmp = snapDir(table).resolve(s".v$next-$uid.json.tmp")
+    Files.write(tmp, render(info).getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(snapDir(table).resolve(s"v$next.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+    info
+  }
+
+  /** Expire snapshots older than the newest `keepLast` versions:
+   * manifests are deleted first (a version stops being visible before
+   * its files go), then each data directory that no SURVIVING manifest
+   * references is removed — a rollback target's data stays on disk as
+   * long as any live version points at it (the Iceberg
+   * expire_snapshots contract: reachable files are never collected).
+   * Returns the expired versions. */
+  def expireSnapshots(table: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
+    val all = snapshots(table)
+    if (all.size <= keepLast) return Seq.empty
+    val (expire, keep) = all.splitAt(all.size - keepLast)
+    val liveData = keep.map(_.dataPath).toSet
+    expire.foreach { s =>
+      Files.deleteIfExists(snapDir(table).resolve(s"v${s.version}.json"))
+    }
+    expire.filterNot(s => liveData.contains(s.dataPath)).foreach { s =>
+      val dir = Paths.get(s.dataPath)
+      if (Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists)
+      }
+    }
+    expire.map(_.version)
+  }
+
   /** Compute-or-resume: return the existing snapshot for (stage,
    * fingerprint) or compute, commit and return a new one. The boolean is
    * true when the stage was resumed (skipped). */

@@ -411,4 +411,39 @@ class JobSpec extends SparkSpec {
     assert(m("dropped_contaminated") == res.droppedContaminated.toDouble)
     assert(m("dropped_quality") == res.droppedQuality.toDouble)
   }
+
+  test("snapshot lifecycle: time travel, zero-copy rollback, reachability-safe expiry") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmpDir().toString)
+    def commitRows(n: Int, stage: String) =
+      store.commit((1 to n).toDF("x"), "t", stage, s"fp-$n")
+    val v1 = commitRows(10, "s1")
+    val v2 = commitRows(20, "s2")
+    val v3 = commitRows(30, "s3")
+    assert(Seq(v1.version, v2.version, v3.version) == Seq(1, 2, 3))
+
+    // time travel: an old version reads bit-identically after newer commits
+    assert(store.readVersion(spark, "t", 2).count() == 20)
+    assert(store.latest("t").get.version == 3)
+
+    // rollback commits a NEW version aliasing v2's immutable data
+    val v4 = store.rollbackTo("t", 2)
+    assert(v4.version == 4 && v4.dataPath == v2.dataPath && v4.rowCount == 20)
+    assert(store.read(spark, store.latest("t").get).count() == 20)
+    // the rolled-back-over version is still readable (nothing was deleted)
+    assert(store.readVersion(spark, "t", 3).count() == 30)
+    // resume bookkeeping: the rollback never masquerades as the producing stage
+    assert(store.find("t", "s2", "fp-20").get.version == 2)
+    intercept[RuntimeException](store.rollbackTo("t", 9))
+
+    // expiry keeps the newest keepLast versions; v4 (latest) references
+    // v2's data, so that directory must SURVIVE expiring v2's manifest
+    val expired = store.expireSnapshots("t", keepLast = 2)
+    assert(expired == Seq(1, 2))
+    assert(store.snapshots("t").map(_.version) == Seq(3, 4))
+    assert(store.read(spark, store.latest("t").get).count() == 20)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(v2.dataPath)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(v1.dataPath)))
+    intercept[RuntimeException](store.readVersion(spark, "t", 1))
+  }
 }
