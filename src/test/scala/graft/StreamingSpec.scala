@@ -624,4 +624,43 @@ class StreamingSpec extends SparkSpec {
     assert(
       rows == Seq((1L, 100L, 0L), (1L, 600L, 0L), (1L, 1400L, 0L), (1L, 9999L, 1L)))
   }
+
+  test("streaming KMV sketch: bounded keyed state merges across micro-batches == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val in = MemoryStream[(String, Long)]
+    val q = in
+      .toDF()
+      .toDF("key", "h")
+      .groupBy(col("key"))
+      .agg(call_function("kmv_kmin", col("h"), lit(8)).as("kmin"))
+      .writeStream
+      .format("memory")
+      .queryName("kmv_stream")
+      .outputMode(OutputMode.Complete())
+      .start()
+    val rnd = new scala.util.Random(7)
+    // key "a" overfills the sketch; key "b" stays under k across batches
+    val b1 = Seq.fill(300)(("a", rnd.nextInt(100).toLong * 31L)) ++
+      Seq.fill(5)(("b", rnd.nextInt(4).toLong))
+    val b2 = Seq.fill(300)(("a", rnd.nextInt(100).toLong * 31L)) ++
+      Seq.fill(5)(("b", 100L + rnd.nextInt(2).toLong))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    val got = spark
+      .sql("SELECT key, kmin FROM kmv_stream")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    q.stop()
+    // the state-store round-trip (serialize/deserialize per batch) must
+    // leave the set property intact: == the batch answer over all data
+    val all = b1 ++ b2
+    def ref(k: String) = all.filter(_._1 == k).map(_._2).distinct.sorted.take(8)
+    assert(got("a") == ref("a"))
+    assert(got("b") == ref("b") && got("b").size < 8)
+  }
 }
