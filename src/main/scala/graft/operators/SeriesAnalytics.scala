@@ -722,4 +722,69 @@ object SeriesAnalytics {
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           ELSE NULL END"""))
   }
+
+  /** Lagged cross-correlation (CCF) between source pairs over aligned
+   * tier windows: for each pair (a < b) and each lag L in
+   * [-maxLag, maxLag], the Pearson correlation of a's value at window w
+   * with b's value at window w + L*windowWidth — positive lag = "a
+   * leads b", negative = "b leads a" (the lag-0 slice is exactly
+   * [[sourceCorrelation]]). The causal-discovery face of the tier
+   * store: a traffic source whose volume moves T minutes after another
+   * shows up as an off-center CCF peak.
+   *
+   * Same exact-moment discipline as [[sourceCorrelation]] — all six
+   * moments are BIGINT sums per (pair, lag), corr one fixed double
+   * formula, NULL on zero variance — and the same quadratic-pair
+   * cardinality warning: the join fans out |sources-in-window|^2 x
+   * (2*maxLag+1) rows per window before the map-side partial aggregate
+   * collapses them to pairs x lags. Fine at survey-scale source
+   * counts; at high source cardinality, prefilter to a candidate pair
+   * set. n_win shrinks as |L| grows (fewer overlapping windows) —
+   * callers comparing lags should normalize on it. */
+  def laggedCrossCorrelation(tier: DataFrame, windowWidth: Int, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag in [1, 64], got $maxLag")
+    val a = tier.select(
+      col("source").as("source_a"),
+      col("bucket"),
+      col("window_start"),
+      col("sum_tok").as("x"))
+    val b = tier
+      .select(
+        col("source").as("source_b"),
+        col("bucket"),
+        col("window_start"),
+        col("sum_tok").as("y"))
+      .select(
+        col("source_b"),
+        col("bucket"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"),
+        col("window_start"),
+        col("y"))
+      // b's window w matches a's window w - L*width: align by shifting
+      .withColumn("window_start", col("window_start") - col("lag") * windowWidth)
+    a.join(b, Seq("bucket", "window_start"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn(
+        "corr",
+        expr("""
+          CASE WHEN CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                AND CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+          THEN (CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          ELSE NULL END"""))
+  }
 }

@@ -223,6 +223,15 @@ object TokenRollupQueries {
       SeriesAnalytics.sourceCorrelation(
         Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute))),
 
+    // Lagged cross-correlation between source pairs over aligned 1m
+    // windows, lags -2..2 (positive lag = source_a leads source_b); the
+    // lag-0 slice equals q_source_corr. Moments exact BIGINTs.
+    "q_ccf_lag" -> ((s, dir) =>
+      SeriesAnalytics.laggedCrossCorrelation(
+        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        60,
+        2)),
+
     // Exact fixed-bin histogram (10 bins over the 50257 vocab) and the
     // histogram-derived median bin — the fixed-memory quantile path.
     "q_tier_histogram" -> ((s, dir) =>
@@ -574,6 +583,39 @@ object TokenRollupQueries {
          |  WHERE a.source < b.source
          |  GROUP BY 1, 2)
          |SELECT source_a, source_b, n_win, sx, sy, sxy, sxx, syy,
+         |  CASE WHEN CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |        AND CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |  THEN (CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |       / (SQRT(CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |          * SQRT(CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |  ELSE NULL END AS corr
+         |FROM p""".stripMargin,
+    "q_ccf_lag" ->
+      s"""$PtsCte,
+         |t AS (
+         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
+         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |         CAST(sum(tok) AS BIGINT) AS st
+         |  FROM pts GROUP BY 1, 2, 3),
+         |l AS (SELECT CAST(unnest(range(-2, 3)) AS INT) AS lag),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, l.lag,
+         |         count(*) AS n_win,
+         |         CAST(sum(a.st) AS BIGINT) AS sx, CAST(sum(b.st) AS BIGINT) AS sy,
+         |         CAST(sum(a.st * b.st) AS BIGINT) AS sxy,
+         |         CAST(sum(a.st * a.st) AS BIGINT) AS sxx,
+         |         CAST(sum(b.st * b.st) AS BIGINT) AS syy
+         |  FROM t a CROSS JOIN l JOIN t b
+         |    ON a.bucket = b.bucket
+         |   AND b.window_start = a.window_start + l.lag * 60
+         |   AND a.source < b.source
+         |  GROUP BY 1, 2, 3)
+         |SELECT source_a, source_b, lag, n_win, sx, sy, sxy, sxx, syy,
          |  CASE WHEN CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
          |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
          |        AND CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)

@@ -526,6 +526,32 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(soloGot.head.getLong(2) == 137L && soloGot.head.getLong(4) == 137L)
   }
 
+  test("lagged cross-correlation: a delayed copy peaks exactly at its lag") {
+    import spark.implicits._
+    import graft.operators.SeriesAnalytics
+    // source "b" is source "a" delayed by ONE 60-wide window; values are
+    // non-monotonic so no other lag correlates perfectly
+    val va = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val tier =
+      va.zipWithIndex.map { case (v, i) => ("a", 0, i * 60, v) } ++
+        va.zipWithIndex.map { case (v, i) => ("b", 0, (i + 1) * 60, v) }
+    val got = SeriesAnalytics
+      .laggedCrossCorrelation(
+        tier.toDF("source", "bucket", "window_start", "sum_tok"),
+        60,
+        2)
+      .collect()
+      .map(r => r.getInt(2) -> (r.getLong(3), r.getDouble(9)))
+      .toMap
+    assert(got.keySet == Set(-2, -1, 0, 1, 2))
+    // positive lag = "a leads b": the delayed copy aligns at lag +1
+    assert(math.abs(got(1)._2 - 1.0) < 1e-12, s"lag +1 must be 1.0: $got")
+    assert(got(1)._1 == va.size) // all 8 windows overlap at the true lag
+    assert(got.filter(_._1 != 1).values.forall(_._2 < 0.999), got)
+    // overlap shrinks away from the true lag
+    assert(got(-2)._1 == va.size - 3)
+  }
+
   test("local extrema: gaps and edges disqualify; strict inequalities") {
     import graft.operators.SeriesAnalytics
     import spark.implicits._
