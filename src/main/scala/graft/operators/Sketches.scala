@@ -37,8 +37,14 @@ object Sketches {
    * distinct hash, NULL below k), and the KMV estimate
    * `est_distinct` = (k-1) * P / kth_min — exact `n_kept` when the key
    * never filled its sketch (the estimator is the identity below k). */
-  def approxDistinct(points: DataFrame, windowWidth: Int, k: Int): DataFrame = {
-    require(k >= 2, s"approxDistinct: k must be >= 2, got $k")
+  def approxDistinct(points: DataFrame, windowWidth: Int, k: Int): DataFrame =
+    estimateDistinct(kmvSketch(points, windowWidth, k), k)
+
+  /** The raw KMV sketch table per (source, bucket, window): key columns
+   * plus the `kmin` array. This is the COMMITTABLE form — sketches
+   * merge ([[mergeSketches]]), estimates don't. */
+  def kmvSketch(points: DataFrame, windowWidth: Int, k: Int): DataFrame = {
+    require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
     graft.functions.GraftFunctions.register(points.sparkSession)
     points
       .select(
@@ -48,6 +54,11 @@ object Sketches {
         expr(tokHash).as("h"))
       .groupBy(col("source"), col("bucket"), col("window_start"))
       .agg(call_function("kmv_kmin", col("h"), lit(k)).as("kmin"))
+  }
+
+  /** Derive (n_kept, kth_min, est_distinct) from a [[kmvSketch]] table. */
+  def estimateDistinct(sketch: DataFrame, k: Int): DataFrame =
+    sketch
       .select(
         col("source"),
         col("bucket"),
@@ -61,6 +72,20 @@ object Sketches {
           col("kth_min").isNotNull,
           lit((k - 1).toDouble) * lit(P.toDouble) / col("kth_min").cast("double"))
           .otherwise(col("n_kept").cast("double")))
+
+  /** Merge two KMV sketch tables (same keys, `kmin` array column) into
+   * one: kmin(kmin(A) ∪ kmin(B)) == kmin(A ∪ B) because the sketch is a
+   * pure set property — so a committed sketch snapshot folds a delta
+   * batch WITHOUT rescanning history (the incremental-maintenance
+   * contract the exact countDistinct can never offer: exact distinct
+   * counts don't merge, sketches do). Cost: explode of ≤k values per
+   * key per side, one bounded exchange. */
+  def mergeSketches(a: DataFrame, b: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    a.unionByName(b)
+      .select(keys.map(col) :+ explode(col("kmin")).as("h"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(call_function("kmv_kmin", col("h"), lit(k)).as("kmin"))
   }
 
   /** Per-(source, row, cell) count-min sketch counts plus the sketch

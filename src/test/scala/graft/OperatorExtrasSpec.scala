@@ -508,6 +508,27 @@ class OperatorExtrasSpec extends SparkSpec {
     info(s"filled sketches: $filled of ${est.size}")
   }
 
+  test("KMV merge: committed sketch + delta sketch == sketch of the union") {
+    import graft.operators.Sketches
+    val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
+    // split the corpus by doc parity: "history" and a "delta" batch
+    val hist = pts.filter(expr("doc_id % 2 = 0"))
+    val delta = pts.filter(expr("doc_id % 2 = 1"))
+    val keys = Seq("source", "bucket", "window_start")
+    def kmins(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Long](3))
+      .toMap
+    val merged = kmins(
+      Sketches.mergeSketches(
+        Sketches.kmvSketch(hist, 3600, 64),
+        Sketches.kmvSketch(delta, 3600, 64),
+        keys,
+        64))
+    val full = kmins(Sketches.kmvSketch(pts, 3600, 64))
+    assert(merged == full, "incremental merge must equal the full-corpus sketch")
+  }
+
   test("count-min: never under-counts, exact for a collision-free source") {
     import spark.implicits._
     import graft.operators.Sketches
