@@ -88,6 +88,31 @@ object Sketches {
       .agg(call_function("kmv_kmin", col("h"), lit(k)).as("kmin"))
   }
 
+  /** Merge two count-min sketch tables (key + (r, c, cell_cnt) rows,
+   * SAME depth/width/hash family) by cell-wise addition — count-min is
+   * a linear sketch, so cms(A) + cms(B) == cms(A ∪ B) exactly, and a
+   * committed sketch folds a delta batch in one exchange bounded by
+   * keys x depth x width. */
+  def mergeCms(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keys ++ Seq("r", "c")).map(col): _*)
+      .agg(sum(col("cell_cnt")).as("cell_cnt"))
+
+  /** The raw committable count-min sketch: per-(source, r, c) counts.
+   * See [[countMinTopK]] for the hash family and scale shape. */
+  def cmsSketch(points: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cmsSketch: depth in [1,8], got $depth")
+    require(width >= 2, s"cmsSketch: width >= 2, got $width")
+    val cell =
+      s"""CAST((((CAST(tok AS BIGINT) + 1) * (((r + 1) * 2654435761) % $P)
+         |  + ((r + 1) * 40503 + 7) % $P) % $P) % $width AS INT)""".stripMargin
+    points
+      .select(col("source"), col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("source"), col("r"), expr(cell).as("c"))
+      .groupBy(col("source"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cell_cnt"))
+  }
+
   /** Per-(source, row, cell) count-min sketch counts plus the sketch
    * estimate for the exact top-k tokens per source. The sketch is
    * depth x width cells per source REGARDLESS of vocabulary — the
@@ -115,11 +140,7 @@ object Sketches {
       s"""CAST((((CAST(tok AS BIGINT) + 1) * (((r + 1) * 2654435761) % $P)
          |  + ((r + 1) * 40503 + 7) % $P) % $P) % $width AS INT)""".stripMargin
     val base = points.select(col("source"), col("tok"))
-    val sketch = base
-      .select(col("source"), col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("source"), col("r"), expr(cell).as("c"))
-      .groupBy(col("source"), col("r"), col("c"))
-      .agg(count(lit(1)).as("cell_cnt"))
+    val sketch = cmsSketch(points, depth, width)
     val rank = Window
       .partitionBy(col("source"))
       .orderBy(col("cnt").desc, col("tok").asc)

@@ -412,6 +412,44 @@ class JobSpec extends SparkSpec {
     assert(m("dropped_quality") == res.droppedQuality.toDouble)
   }
 
+  test("sketch job: delta folds == full-corpus sketch; replayed delta resumes") {
+    import graft.jobs.SketchJob
+    import graft.operators.Sketches
+    val store = new SnapshotStore(tmpDir().toString)
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val hist = pts.filter(org.apache.spark.sql.functions.expr("doc_id % 2 = 0"))
+    val delta = pts.filter(org.apache.spark.sql.functions.expr("doc_id % 2 = 1"))
+
+    val r0 = SketchJob.run(spark, hist, store, 3600, 64)
+    assert(!r0.resumed && r0.sketch.version == 1)
+    val r1 = SketchJob.runDelta(spark, delta, store, 3600, 64)
+    assert(!r1.resumed && r1.sketch.version == 2)
+
+    // the folded sketch equals a from-scratch sketch of the whole corpus
+    def kmins(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Long](3))
+      .toMap
+    assert(
+      kmins(store.read(spark, r1.sketch)) == kmins(Sketches.kmvSketch(pts, 3600, 64)),
+      "incremental job must equal the full recompute")
+
+    // duplicate delivery of the SAME delta resumes (no double fold, no
+    // new version) even though the base has advanced since its commit
+    val r2 = SketchJob.runDelta(spark, delta, store, 3600, 64)
+    assert(r2.resumed && r2.sketch.version == 2 && r2.sketch.uid == r1.sketch.uid)
+    assert(r2.keys == r1.keys)
+
+    // metrics table carries the key count on both paths
+    val m = store
+      .read(spark, r1.metrics)
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(m("keys") == r1.keys.toDouble)
+    assert(m("input_points") == delta.count().toDouble)
+  }
+
   test("snapshot lifecycle: time travel, zero-copy rollback, reachability-safe expiry") {
     import spark.implicits._
     val store = new SnapshotStore(tmpDir().toString)

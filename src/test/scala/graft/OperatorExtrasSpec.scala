@@ -529,6 +529,20 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(merged == full, "incremental merge must equal the full-corpus sketch")
   }
 
+  test("CMS merge: linear sketch — committed cells + delta cells == full-corpus cells") {
+    import graft.operators.Sketches
+    val pts = graft.sources.TokenTable.points(spark, sf("sf0.001"))
+    val hist = pts.filter(expr("doc_id % 2 = 0"))
+    val delta = pts.filter(expr("doc_id % 2 = 1"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val merged = cells(
+      Sketches.mergeCms(Sketches.cmsSketch(hist), Sketches.cmsSketch(delta), Seq("source")))
+    assert(merged == cells(Sketches.cmsSketch(pts)))
+  }
+
   test("count-min: never under-counts, exact for a collision-free source") {
     import spark.implicits._
     import graft.operators.Sketches
