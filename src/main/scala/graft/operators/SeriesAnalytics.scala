@@ -723,6 +723,61 @@ object SeriesAnalytics {
           ELSE NULL END"""))
   }
 
+  /** Time-weighted integrals over an IRREGULAR series (the TimescaleDB
+   * `time_weight` face; tier windows are regular, event streams are
+   * not): per key, the trapezoidal area under the value curve and the
+   * time-weighted average, in BOTH weightings — linear (values
+   * interpolate between observations) and LOCF (a value holds until
+   * the next observation). Exact integer accumulation: `valueCol` must
+   * already be integer fixed-point (e.g. cents), timestamps epoch
+   * micros; `auc2` is 2x the linear area (keeping the /2 out of the
+   * sum keeps every term integer), `auc_locf` the step-function area,
+   * and the TWA doubles derive in one fixed formula each, NULL when
+   * the key spans zero time. Term magnitude is bounded by
+   * 2 x max|value| x total-span (the pair deltas telescope), so BIGINT
+   * holds to ~1e18 value-microsecond units — beyond that, lift the two
+   * sums to DECIMAL(38,0) like the checksum queries.
+   *
+   * One shuffle on the key; lead() never leaves the partition; the
+   * aggregate reuses the window's partitioning (no second exchange). */
+  def timeWeighted(
+      events: DataFrame,
+      keys: Seq[String],
+      tsMicrosCol: String,
+      valueCol: String,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsMicrosCol) +: tieBreak.map(col)).toSeq
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    events
+      .withColumn("_nt", lead(col(tsMicrosCol), 1).over(byKey))
+      .withColumn("_nv", lead(col(valueCol), 1).over(byKey))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsMicrosCol)).as("t_first_us"),
+        max(col(tsMicrosCol)).as("t_last_us"),
+        sum(
+          when(
+            col("_nt").isNotNull,
+            (col(valueCol) + col("_nv")) * (col("_nt") - col(tsMicrosCol)))).as("auc2"),
+        sum(
+          when(col("_nt").isNotNull, col(valueCol) * (col("_nt") - col(tsMicrosCol))))
+          .as("auc_locf"))
+      .withColumn(
+        "twa_linear",
+        expr("""
+          CASE WHEN t_last_us > t_first_us
+          THEN CAST(auc2 AS DOUBLE) / (2.0 * CAST(t_last_us - t_first_us AS DOUBLE))
+          ELSE NULL END"""))
+      .withColumn(
+        "twa_locf",
+        expr("""
+          CASE WHEN t_last_us > t_first_us
+          THEN CAST(auc_locf AS DOUBLE) / CAST(t_last_us - t_first_us AS DOUBLE)
+          ELSE NULL END"""))
+  }
+
   /** Lagged cross-correlation (CCF) between source pairs over aligned
    * tier windows: for each pair (a < b) and each lag L in
    * [-maxLag, maxLag], the Pearson correlation of a's value at window w

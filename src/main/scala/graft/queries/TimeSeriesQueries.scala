@@ -101,6 +101,22 @@ object TimeSeriesQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Time-weighted integrals per user over the IRREGULAR event stream:
+    // trapezoidal area (auc2 = 2x, keeping terms integer) + LOCF step
+    // area over exact cents x micros, TWA doubles derived once.
+    "q_time_weighted" -> ((s, dir) =>
+      graft.operators.SeriesAnalytics.timeWeighted(
+        events(s, dir)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents")),
+        keys = Seq("user_id"),
+        tsMicrosCol = "ts_us",
+        valueCol = "cents",
+        tieBreak = Seq("event_id"))),
+
     // As-of join: each purchase gets the most recent at-or-before signup
     // value of the same user (union-tag + LOCF window — one linear shuffle,
     // no range-join blowup).
@@ -406,6 +422,32 @@ object TimeSeriesQueries {
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lead(ts_us) OVER w AS nt, lead(cents) OVER w AS nv
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         min(ts_us) AS t_first_us, max(ts_us) AS t_last_us,
+        |         CAST(sum(CASE WHEN nt IS NOT NULL
+        |                       THEN (cents + nv) * (nt - ts_us) END) AS BIGINT) AS auc2,
+        |         CAST(sum(CASE WHEN nt IS NOT NULL
+        |                       THEN cents * (nt - ts_us) END) AS BIGINT) AS auc_locf
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_events, t_first_us, t_last_us, auc2, auc_locf,
+        |       CASE WHEN t_last_us > t_first_us
+        |            THEN CAST(auc2 AS DOUBLE)
+        |                 / (2.0 * CAST(t_last_us - t_first_us AS DOUBLE))
+        |       END AS twa_linear,
+        |       CASE WHEN t_last_us > t_first_us
+        |            THEN CAST(auc_locf AS DOUBLE)
+        |                 / CAST(t_last_us - t_first_us AS DOUBLE)
+        |       END AS twa_locf
+        |FROM a""".stripMargin,
     "q_asof_purchase_signup" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
         |       s.value AS asof_signup_value

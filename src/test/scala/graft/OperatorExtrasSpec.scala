@@ -561,6 +561,32 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(soloGot.head.getLong(2) == 137L && soloGot.head.getLong(4) == 137L)
   }
 
+  test("time-weighted integrals: trapezoid and LOCF areas on a hand case") {
+    import spark.implicits._
+    import graft.operators.SeriesAnalytics
+    // key 1: values 100, 300, 200 cents at t = 0, 10, 30 µs
+    //   linear:  auc = (100+300)/2*10 + (300+200)/2*20 = 2000+5000 = 7000
+    //   locf:    auc = 100*10 + 300*20 = 7000  (coincidence is fine)
+    //   twa_linear = 7000/30, twa_locf = 7000/30
+    // key 2: single event — zero span, NULL TWAs, NULL areas (no pairs)
+    val ev = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 300L), (1L, 3L, 30L, 200L),
+      (2L, 4L, 5L, 42L))
+      .toDF("user_id", "event_id", "ts_us", "cents")
+    val got = SeriesAnalytics
+      .timeWeighted(ev, Seq("user_id"), "ts_us", "cents", Seq("event_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val k1 = got(1L)
+    assert(k1.getLong(4) == 14000L, "auc2 = 2x trapezoid area")
+    assert(k1.getLong(5) == 7000L, "LOCF step area")
+    assert(math.abs(k1.getDouble(6) - 7000.0 / 30.0) < 1e-12)
+    assert(math.abs(k1.getDouble(7) - 7000.0 / 30.0) < 1e-12)
+    val k2 = got(2L)
+    assert(k2.getLong(1) == 1L && k2.isNullAt(4) && k2.isNullAt(6))
+  }
+
   test("lagged cross-correlation: a delayed copy peaks exactly at its lag") {
     import spark.implicits._
     import graft.operators.SeriesAnalytics

@@ -523,6 +523,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"vocab growth must be join-free:\n$plan")
   }
 
+  test("time-weighted integrals: one exchange; the aggregate reuses the window's partitioning") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read
+      .parquet(sf("sf0.001") + "/events.parquet")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+    val plan = planOf(graft.operators.SeriesAnalytics
+      .timeWeighted(ev, Seq("user_id"), "ts_us", "cents", Seq("event_id")))
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+  }
+
   test("KMV sketch: one exchange of bounded buffers; object-hash aggregate path") {
     val pts = TokenTable.points(spark, sf("sf0.001"))
     val plan = planOf(graft.operators.Sketches.approxDistinct(pts, 3600, 64))
