@@ -778,6 +778,77 @@ object SeriesAnalytics {
           ELSE NULL END"""))
   }
 
+  /** OHLC (open-high-low-close) downsampling of an irregular stream
+   * into fixed windows — the candlestick face of the tier store. Open
+   * and close are the FIRST and LAST values in the window under a
+   * TOTAL order (time + caller-supplied tie-break: first/last on a
+   * non-unique order is nondeterministic, the [[graft.operators.Sessionize]]
+   * rule), high/low plain max/min. One exchange on (key, window); the
+   * two row_number passes are two sorts over the same partitioning;
+   * the final aggregate reuses it. */
+  def ohlc(
+      events: DataFrame,
+      keys: Seq[String],
+      tsMicrosCol: String,
+      valueCol: String,
+      windowMicros: Long,
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowMicros >= 1, s"windowMicros must be >= 1, got $windowMicros")
+    require(tieBreak.nonEmpty, "ohlc: pass tie-break columns making the order total")
+    val win = expr(
+      s"CAST($tsMicrosCol - $tsMicrosCol % ${windowMicros}L AS BIGINT)").as("window_us")
+    val withWin = events.withColumn("window_us", win)
+    val part = (keys :+ "window_us").map(col)
+    val asc = Window
+      .partitionBy(part: _*)
+      .orderBy((col(tsMicrosCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val desc = Window
+      .partitionBy(part: _*)
+      .orderBy((col(tsMicrosCol) +: tieBreak.map(col)).map(_.desc): _*)
+    withWin
+      .withColumn("_ra", row_number().over(asc))
+      .withColumn("_rd", row_number().over(desc))
+      .groupBy(part: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col("_ra") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("_rd") === 1, col(valueCol))).as("close"))
+  }
+
+  /** Merged-interval coverage per key (interval union): overlapping or
+   * touching intervals fuse into islands (classic gaps-and-islands —
+   * an island starts where `start` exceeds the running max of all
+   * previous ends), and the key's coverage is the exact total length
+   * of the merged islands plus their count. All integer arithmetic.
+   * One exchange on the key; both the island assignment and the two
+   * aggregates reuse that partitioning. */
+  def coveredTime(
+      intervals: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .withColumn(
+        "_new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(run))
+      .groupBy((keys :+ "_island").map(col): _*)
+      .agg(min(col(startCol)).as("_s"), max(col(endCol)).as("_e"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered_us"))
+  }
+
   /** Lagged cross-correlation (CCF) between source pairs over aligned
    * tier windows: for each pair (a < b) and each lag L in
    * [-maxLag, maxLag], the Pearson correlation of a's value at window w

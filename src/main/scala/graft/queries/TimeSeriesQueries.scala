@@ -117,6 +117,36 @@ object TimeSeriesQueries {
         valueCol = "cents",
         tieBreak = Seq("event_id"))),
 
+    // OHLC candlesticks: hourly open/high/low/close of the event value
+    // per event type, open/close under a TOTAL order (ts, event_id).
+    "q_ohlc" -> ((s, dir) =>
+      graft.operators.SeriesAnalytics.ohlc(
+        events(s, dir)
+          .select(
+            col("event_type"),
+            col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("value")),
+        keys = Seq("event_type"),
+        tsMicrosCol = "ts_us",
+        valueCol = "value",
+        windowMicros = 3600000000L,
+        tieBreak = Seq("event_id"))),
+
+    // Merged-interval coverage: per user, the exact union length of the
+    // per-event-type activity spans [first event, last event] — islands
+    // fuse where spans overlap (gaps-and-islands over intervals).
+    "q_covered_time" -> ((s, dir) =>
+      graft.operators.SeriesAnalytics.coveredTime(
+        events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(
+            min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
+            max(unix_micros(col("ts").cast("timestamp"))).as("end_us")),
+        keys = Seq("user_id"),
+        startCol = "start_us",
+        endCol = "end_us")),
+
     // As-of join: each purchase gets the most recent at-or-before signup
     // value of the same user (union-tag + LOCF window — one linear shuffle,
     // no range-join blowup).
@@ -448,6 +478,49 @@ object TimeSeriesQueries {
         |                 / CAST(t_last_us - t_first_us AS DOUBLE)
         |       END AS twa_locf
         |FROM a""".stripMargin,
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |         CAST(epoch_us(ts) - epoch_us(ts) % 3600000000 AS BIGINT)
+        |           AS window_us
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, window_us
+        |                            ORDER BY ts_us, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY event_type, window_us
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, window_us, count(*) AS n_events,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_covered_time" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_type,
+        |         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN prev_max IS NULL OR start_us > prev_max
+        |                  THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY start_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(start_us) AS s, max(end_us) AS e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |       CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin,
     "q_asof_purchase_signup" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
         |       s.value AS asof_signup_value

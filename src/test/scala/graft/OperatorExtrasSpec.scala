@@ -587,6 +587,45 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(k2.getLong(1) == 1L && k2.isNullAt(4) && k2.isNullAt(6))
   }
 
+  test("OHLC: open/close under total order with ties; high/low plain extremes") {
+    import spark.implicits._
+    import graft.operators.SeriesAnalytics
+    // window 0: two events SHARE ts=5 — tie broken by event_id, so open
+    // is id=1's value; window 100: single event
+    val ev = Seq(
+      ("k", 2L, 5L, 9.0), ("k", 1L, 5L, 3.0), ("k", 3L, 50L, 1.0),
+      ("k", 4L, 90L, 7.0),
+      ("k", 5L, 150L, 4.5))
+      .toDF("event_type", "event_id", "ts_us", "value")
+    val got = SeriesAnalytics
+      .ohlc(ev, Seq("event_type"), "ts_us", "value", 100L, Seq("event_id"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got(0L) == ((4L, 3.0, 9.0, 1.0, 7.0)), got) // open=tie id 1, close=last
+    assert(got(100L) == ((1L, 4.5, 4.5, 4.5, 4.5)))
+  }
+
+  test("covered time: overlap fuses, touching fuses, gaps split; nested absorbed") {
+    import spark.implicits._
+    import graft.operators.SeriesAnalytics
+    val iv = Seq(
+      // u1: [0,10] + [5,20] overlap -> [0,20]; [20,25] touches -> fused;
+      //     [30,40] gap -> second island; [32,35] nested -> absorbed
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 40L), (1L, 32L, 35L),
+      // u2: disjoint singletons
+      (2L, 0L, 1L), (2L, 10L, 12L))
+      .toDF("user_id", "start_us", "end_us")
+    val got = SeriesAnalytics
+      .coveredTime(iv, Seq("user_id"), "start_us", "end_us")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((2L, 35L)), got) // [0,25] + [30,40] = 25 + 10
+    assert(got(2L) == ((2L, 3L)))
+  }
+
   test("lagged cross-correlation: a delayed copy peaks exactly at its lag") {
     import spark.implicits._
     import graft.operators.SeriesAnalytics
