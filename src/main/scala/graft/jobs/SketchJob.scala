@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.operators.Sketches
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -47,36 +47,29 @@ object SketchJob {
     (row.getLong(0), String.valueOf(row.getDecimal(1)))
   }
 
-  private def commitSketch(
-      store: SnapshotStore,
-      sketch: DataFrame,
-      stage: String,
-      fingerprint: String): (SnapshotInfo, Boolean, Option[Long]) = {
-    val obs = Observation(s"sketch-$stage-$fingerprint")
-    val observed = sketch.observe(obs, count(lit(1)).as("keys"))
-    val (snap, resumed) = store.getOrCompute(SketchTable, stage, fingerprint)(observed)
-    // a resumed commit never ran the observe action; the key count is the
-    // snapshot's own row count (parquet metadata, no data scan)
-    val keys = if (resumed) None else Some(obs.get("keys").asInstanceOf[Long])
-    (snap, resumed, keys)
-  }
+  // the key count is the sketch snapshot's own row count — commit()
+  // already observes count(1) on the write action (one key per row), so
+  // a separate Observation here would just duplicate snap.rowCount
 
+  /** Metrics are keyed on the SKETCH snapshot's uid and committed via
+   * getOrCompute, so a resumed (duplicate-delivered) run also resumes
+   * its metrics instead of appending a duplicate version per replay —
+   * without this, anyone summing input_points across metric versions
+   * would double-count every retried delta. */
   private def commitMetrics(
       spark: SparkSession,
       store: SnapshotStore,
       snap: SnapshotInfo,
       stage: String,
-      keys: Long,
       inputPoints: Long): SnapshotInfo = {
     import spark.implicits._
-    store.commit(
-      Seq(
-        ("kmv_sketch", snap.version.toLong, "keys", keys.toDouble),
-        ("kmv_sketch", snap.version.toLong, "input_points", inputPoints.toDouble))
-        .toDF("job", "version", "metric", "value"),
-      "metrics",
-      s"metrics_$stage",
-      s"sketch=${snap.uid}")
+    store
+      .getOrCompute("metrics", s"metrics_$stage", s"sketch=${snap.uid}")(
+        Seq(
+          ("kmv_sketch", snap.version.toLong, "keys", snap.rowCount.toDouble),
+          ("kmv_sketch", snap.version.toLong, "input_points", inputPoints.toDouble))
+          .toDF("job", "version", "metric", "value"))
+      ._1
   }
 
   /** Initial build: the full corpus's per-window KMV sketch, committed
@@ -89,11 +82,10 @@ object SketchJob {
       k: Int): Result = {
     val (n, fp) = contentFp(points)
     val params = s"w$windowWidth-k$k-n$n-fp$fp"
-    val (snap, resumed, obsKeys) =
-      commitSketch(store, Sketches.kmvSketch(points, windowWidth, k), "initial", params)
-    val keys = obsKeys.getOrElse(snap.rowCount)
-    val metrics = commitMetrics(spark, store, snap, "initial", keys, n)
-    Result(snap, metrics, resumed, keys)
+    val (snap, resumed) = store.getOrCompute(SketchTable, "initial", params)(
+      Sketches.kmvSketch(points, windowWidth, k))
+    val metrics = commitMetrics(spark, store, snap, "initial", n)
+    Result(snap, metrics, resumed, snap.rowCount)
   }
 
   /** Fold one delta batch into the latest committed sketch. The
@@ -121,9 +113,8 @@ object SketchJob {
       Sketches.kmvSketch(deltaPoints, windowWidth, k),
       Keys,
       k)
-    val (snap, resumed, obsKeys) = commitSketch(store, merged, "delta", params)
-    val keys = obsKeys.getOrElse(snap.rowCount)
-    val metrics = commitMetrics(spark, store, snap, "delta", keys, n)
-    Result(snap, metrics, resumed, keys)
+    val (snap, resumed) = store.getOrCompute(SketchTable, "delta", params)(merged)
+    val metrics = commitMetrics(spark, store, snap, "delta", n)
+    Result(snap, metrics, resumed, snap.rowCount)
   }
 }

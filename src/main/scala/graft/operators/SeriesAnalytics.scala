@@ -745,8 +745,12 @@ object SeriesAnalytics {
       keys: Seq[String],
       tsMicrosCol: String,
       valueCol: String,
-      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+      tieBreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same rule as [[ohlc]]/[[graft.operators.Sessionize]]: lead() over a
+    // non-unique order is nondeterministic, so two events sharing a
+    // timestamp would make the areas depend on arbitrary partition order
+    require(tieBreak.nonEmpty, "timeWeighted: pass tie-break columns making the order total")
     val order = (col(tsMicrosCol) +: tieBreak.map(col)).toSeq
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     events
@@ -849,14 +853,22 @@ object SeriesAnalytics {
         sum(col("_e") - col("_s")).as("covered_us"))
   }
 
-  /** Lagged cross-correlation (CCF) between source pairs over aligned
-   * tier windows: for each pair (a < b) and each lag L in
+  /** Lagged cross-correlation (CCF) between source pairs over PER-SOURCE
+   * window series: for each pair (a < b) and each lag L in
    * [-maxLag, maxLag], the Pearson correlation of a's value at window w
    * with b's value at window w + L*windowWidth — positive lag = "a
-   * leads b", negative = "b leads a" (the lag-0 slice is exactly
-   * [[sourceCorrelation]]). The causal-discovery face of the tier
-   * store: a traffic source whose volume moves T minutes after another
-   * shows up as an off-center CCF peak.
+   * leads b", negative = "b leads a". The causal-discovery face of the
+   * tier store: a traffic source whose volume moves T minutes after
+   * another shows up as an off-center CCF peak.
+   *
+   * Input is a (source, window_start, value) series — deliberately NOT
+   * the (source, bucket, window) tier key: a lag shift crosses bucket
+   * boundaries (60-wide windows fragment across 64-wide buckets), so a
+   * bucket-equality join would correlate mismatched partial-window
+   * fragments at nonzero lags and drop window pairs whose shifted twin
+   * lives in another bucket entirely (measured: a delayed copy scored
+   * −0.93 at its true lag and ±2 lags vanished). Collapse the bucket
+   * BEFORE calling (sum windows per source — the q_peaks rule).
    *
    * Same exact-moment discipline as [[sourceCorrelation]] — all six
    * moments are BIGINT sums per (pair, lag), corr one fixed double
@@ -867,28 +879,25 @@ object SeriesAnalytics {
    * counts; at high source cardinality, prefilter to a candidate pair
    * set. n_win shrinks as |L| grows (fewer overlapping windows) —
    * callers comparing lags should normalize on it. */
-  def laggedCrossCorrelation(tier: DataFrame, windowWidth: Int, maxLag: Int): DataFrame = {
+  def laggedCrossCorrelation(series: DataFrame, windowWidth: Int, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, s"maxLag in [1, 64], got $maxLag")
-    val a = tier.select(
+    val a = series.select(
       col("source").as("source_a"),
-      col("bucket"),
       col("window_start"),
-      col("sum_tok").as("x"))
-    val b = tier
+      col("value").as("x"))
+    val b = series
       .select(
         col("source").as("source_b"),
-        col("bucket"),
         col("window_start"),
-        col("sum_tok").as("y"))
+        col("value").as("y"))
       .select(
         col("source_b"),
-        col("bucket"),
         explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"),
         col("window_start"),
         col("y"))
       // b's window w matches a's window w - L*width: align by shifting
       .withColumn("window_start", col("window_start") - col("lag") * windowWidth)
-    a.join(b, Seq("bucket", "window_start"))
+    a.join(b, Seq("window_start"))
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"), col("lag"))
       .agg(

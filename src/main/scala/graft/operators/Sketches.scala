@@ -23,6 +23,14 @@ object Sketches {
 
   private val P = 1000000007L
 
+  /** The count-min cell for affine row `r` at the given width — ONE
+   * definition shared by the sketch build and the estimate probe: the
+   * two sides must hash tokens to identical cells or the
+   * never-under-counts invariant silently breaks. */
+  private def cellExpr(width: Int): String =
+    s"""CAST((((CAST(tok AS BIGINT) + 1) * (((r + 1) * 2654435761) % $P)
+       |  + ((r + 1) * 40503 + 7) % $P) % $P) % $width AS INT)""".stripMargin
+
   /** Two Lehmer rounds of the token id onto [0, P): the KMV input hash.
    * (tok+1) keeps token 0 off the fixed point at 0. */
   private val tokHash: String =
@@ -103,9 +111,7 @@ object Sketches {
   def cmsSketch(points: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 8, s"cmsSketch: depth in [1,8], got $depth")
     require(width >= 2, s"cmsSketch: width >= 2, got $width")
-    val cell =
-      s"""CAST((((CAST(tok AS BIGINT) + 1) * (((r + 1) * 2654435761) % $P)
-         |  + ((r + 1) * 40503 + 7) % $P) % $P) % $width AS INT)""".stripMargin
+    val cell = cellExpr(width)
     points
       .select(col("source"), col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("source"), col("r"), expr(cell).as("c"))
@@ -136,9 +142,7 @@ object Sketches {
     require(depth >= 1 && depth <= 8, s"countMinTopK: depth in [1,8], got $depth")
     require(width >= 2, s"countMinTopK: width >= 2, got $width")
     import org.apache.spark.sql.expressions.Window
-    val cell =
-      s"""CAST((((CAST(tok AS BIGINT) + 1) * (((r + 1) * 2654435761) % $P)
-         |  + ((r + 1) * 40503 + 7) % $P) % $P) % $width AS INT)""".stripMargin
+    val cell = cellExpr(width)
     val base = points.select(col("source"), col("tok"))
     val sketch = cmsSketch(points, depth, width)
     val rank = Window

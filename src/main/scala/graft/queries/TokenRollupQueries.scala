@@ -223,12 +223,18 @@ object TokenRollupQueries {
       SeriesAnalytics.sourceCorrelation(
         Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute))),
 
-    // Lagged cross-correlation between source pairs over aligned 1m
-    // windows, lags -2..2 (positive lag = source_a leads source_b); the
-    // lag-0 slice equals q_source_corr. Moments exact BIGINTs.
+    // Lagged cross-correlation between source pairs over PER-SOURCE 1m
+    // window sums (bucket collapsed — a lag shift crosses 64-wide bucket
+    // boundaries, the q_peaks rule), lags -2..2 (positive lag = source_a
+    // leads source_b). Moments exact BIGINTs.
     "q_ccf_lag" -> ((s, dir) =>
       SeriesAnalytics.laggedCrossCorrelation(
-        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        TokenTable
+          .points(s, dir)
+          .groupBy(
+            col("source"),
+            expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
+          .agg(expr("CAST(sum(tok) AS BIGINT)").as("value")),
         60,
         2)),
 
@@ -322,11 +328,20 @@ object TokenRollupQueries {
         60,
         4)),
 
-    // Least-squares trend line per (source, bucket) over the 1m tier's
-    // window sums: five exact BIGINT moments + fixed double slope/intercept.
+    // Least-squares trend line per SOURCE over per-source 1m window sums
+    // (bucket collapsed — a 64-wide bucket holds at most two 60-wide
+    // windows, so a per-(source, bucket) regression would degenerate to
+    // the secant through two unequal-coverage fragments; the q_peaks
+    // rule). Five exact BIGINT moments + fixed double slope/intercept.
     "q_trend_slope" -> ((s, dir) =>
       SeriesAnalytics.trendLine(
-        Rollup.rollupFromPoints(TokenTable.points(s, dir), Tier.OneMinute),
+        TokenTable
+          .points(s, dir)
+          .groupBy(
+            col("source"),
+            expr("CAST(0 AS INT)").as("bucket"),
+            expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
+          .agg(expr("CAST(sum(tok) AS BIGINT)").as("sum_tok")),
         "sum_tok")),
 
     // Local extrema (peaks/troughs with strict two-sided adjacency) over
@@ -598,10 +613,9 @@ object TokenRollupQueries {
     "q_ccf_lag" ->
       s"""$PtsCte,
          |t AS (
-         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
-         |         CAST((pos // 60) * 60 AS INT) AS window_start,
+         |  SELECT source, CAST(pos - pos % 60 AS INT) AS window_start,
          |         CAST(sum(tok) AS BIGINT) AS st
-         |  FROM pts GROUP BY 1, 2, 3),
+         |  FROM pts GROUP BY 1, 2),
          |l AS (SELECT CAST(unnest(range(-2, 3)) AS INT) AS lag),
          |p AS (
          |  SELECT a.source AS source_a, b.source AS source_b, l.lag,
@@ -611,8 +625,7 @@ object TokenRollupQueries {
          |         CAST(sum(a.st * a.st) AS BIGINT) AS sxx,
          |         CAST(sum(b.st * b.st) AS BIGINT) AS syy
          |  FROM t a CROSS JOIN l JOIN t b
-         |    ON a.bucket = b.bucket
-         |   AND b.window_start = a.window_start + l.lag * 60
+         |    ON b.window_start = a.window_start + l.lag * 60
          |   AND a.source < b.source
          |  GROUP BY 1, 2, 3)
          |SELECT source_a, source_b, lag, n_win, sx, sy, sxy, sxx, syy,
@@ -858,8 +871,8 @@ object TokenRollupQueries {
     "q_trend_slope" ->
       s"""$PtsCte,
          |t AS (
-         |  SELECT source, CAST(pos // 64 AS INT) AS bucket,
-         |         CAST((pos // 60) * 60 AS BIGINT) AS window_start,
+         |  SELECT source, CAST(0 AS INT) AS bucket,
+         |         CAST(pos - pos % 60 AS BIGINT) AS window_start,
          |         CAST(sum(tok) AS BIGINT) AS x
          |  FROM pts GROUP BY 1, 2, 3),
          |m AS (

@@ -439,6 +439,10 @@ class JobSpec extends SparkSpec {
     val r2 = SketchJob.runDelta(spark, delta, store, 3600, 64)
     assert(r2.resumed && r2.sketch.version == 2 && r2.sketch.uid == r1.sketch.uid)
     assert(r2.keys == r1.keys)
+    // the METRICS commit must resume too — a replay that appended a new
+    // metrics version would double-count input_points for anyone summing
+    // across versions
+    assert(r2.metrics.uid == r1.metrics.uid, "replayed delta must not re-commit metrics")
 
     // metrics table carries the key count on both paths
     val m = store

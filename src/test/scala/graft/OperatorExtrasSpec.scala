@@ -630,14 +630,16 @@ class OperatorExtrasSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.SeriesAnalytics
     // source "b" is source "a" delayed by ONE 60-wide window; values are
-    // non-monotonic so no other lag correlates perfectly
+    // non-monotonic so no other lag correlates perfectly. Input is the
+    // PER-SOURCE series (no bucket key — lag shifts cross bucket
+    // boundaries; the operator doc's fragmentation rule).
     val va = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
-    val tier =
-      va.zipWithIndex.map { case (v, i) => ("a", 0, i * 60, v) } ++
-        va.zipWithIndex.map { case (v, i) => ("b", 0, (i + 1) * 60, v) }
+    val series =
+      va.zipWithIndex.map { case (v, i) => ("a", i * 60, v) } ++
+        va.zipWithIndex.map { case (v, i) => ("b", (i + 1) * 60, v) }
     val got = SeriesAnalytics
       .laggedCrossCorrelation(
-        tier.toDF("source", "bucket", "window_start", "sum_tok"),
+        series.toDF("source", "window_start", "value"),
         60,
         2)
       .collect()
