@@ -723,6 +723,84 @@ object SeriesAnalytics {
           ELSE NULL END"""))
   }
 
+  /** Population-stability drift between CONSECUTIVE windows per source
+   * (PSI over the token mix): [[klDrift]] watches a window against its
+   * source's GLOBAL distribution; this watches window w against w-1 —
+   * the sudden-shift detector (a corpus splice, an ingest bug, a format
+   * change shows up as a PSI spike in exactly one window pair, where
+   * the global-KL view smears it). Per matched token,
+   * floor((p - q) * ln(p / q) * 1e9) with p = cnt_w/total_w and
+   * q = cnt_prev/total_prev — each term is one fixed double expression
+   * floored to BIGINT before the order-independent sum (the
+   * [[windowEntropy]] discipline), and (p-q) and ln(p/q) share sign so
+   * every term is >= 0 like PSI proper. Tokens present on one side
+   * only are REPORTED (n_new / n_gone) rather than smoothed into the
+   * sum — smoothing constants are presentation policy, churn counts
+   * are facts.
+   *
+   * Per-source series, bucket collapsed by construction (a window
+   * shift crosses bucket boundaries — the laggedCrossCorrelation
+   * lesson). Single lineage: each (window, token) count row EXPLODES
+   * into a `cur` role at w and a `prev` role at w+width, and the
+   * role-pivot groupBy pairs consecutive windows with NO self-join —
+   * the join-branch shape would re-run the points aggregation
+   * (exchange reuse does not canonicalize across join attribute dedup,
+   * measured on klDrift). Everything after the first groupBy is
+   * bounded by distinct (source, window, token) pairs x 2. */
+  def distributionShift(points: DataFrame, windowWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWin = Window.partitionBy(col("source"), col("window_start"))
+    val roles = points
+      .groupBy(
+        col("source"),
+        expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"),
+        col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(byWin))
+      .select(
+        col("source"),
+        col("tok"),
+        col("cnt"),
+        col("total"),
+        explode(
+          array(
+            struct(lit("cur").as("role"), col("window_start").as("w")),
+            struct(lit("prev").as("role"), (col("window_start") + windowWidth).as("w"))))
+          .as("r"))
+      .select(col("source"), col("tok"), col("cnt"), col("total"), col("r.role"), col("r.w"))
+    roles
+      .groupBy(col("source"), col("w"), col("tok"))
+      .agg(
+        max(when(col("role") === "cur", col("cnt"))).as("cnt_cur"),
+        max(when(col("role") === "cur", col("total"))).as("total_cur"),
+        max(when(col("role") === "prev", col("cnt"))).as("cnt_prev"),
+        max(when(col("role") === "prev", col("total"))).as("total_prev"))
+      .withColumn(
+        "_term",
+        when(
+          col("cnt_cur").isNotNull && col("cnt_prev").isNotNull,
+          expr("""
+            CAST(FLOOR(
+              (CAST(cnt_cur AS DOUBLE) / CAST(total_cur AS DOUBLE)
+               - CAST(cnt_prev AS DOUBLE) / CAST(total_prev AS DOUBLE))
+              * LN((CAST(cnt_cur AS DOUBLE) / CAST(total_cur AS DOUBLE))
+                   / (CAST(cnt_prev AS DOUBLE) / CAST(total_prev AS DOUBLE)))
+              * 1e9) AS BIGINT)""")))
+      .groupBy(col("source"), col("w").as("window_start"))
+      .agg(
+        count(when(col("cnt_cur").isNotNull && col("cnt_prev").isNotNull, lit(1)))
+          .as("n_matched"),
+        count(when(col("cnt_cur").isNotNull && col("cnt_prev").isNull, lit(1))).as("n_new"),
+        count(when(col("cnt_cur").isNull && col("cnt_prev").isNotNull, lit(1))).as("n_gone"),
+        max(col("total_cur")).as("total_cur"),
+        max(col("total_prev")).as("total_prev"),
+        coalesce(sum(col("_term")), lit(0L)).as("psi_nano_sum"))
+      // a w with no cur data is the phantom slot past a source's last
+      // window — there is no "current" distribution to score
+      .filter(col("total_cur").isNotNull)
+      .withColumn("psi", expr("CAST(psi_nano_sum AS DOUBLE) / 1e9"))
+  }
+
   /** Time-weighted integrals over an IRREGULAR series (the TimescaleDB
    * `time_weight` face; tier windows are regular, event streams are
    * not): per key, the trapezoidal area under the value curve and the

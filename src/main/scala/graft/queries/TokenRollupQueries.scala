@@ -378,6 +378,13 @@ object TokenRollupQueries {
     "q_vocab_growth" -> ((s, dir) =>
       SeriesAnalytics.vocabGrowth(TokenTable.points(s, dir), 3600)),
 
+    // Population-stability drift between CONSECUTIVE 1h windows per
+    // source: PSI in exact nano-nats over matched tokens, with new/gone
+    // token churn counted instead of smoothed. The sudden-shift twin of
+    // q_kl_drift's global-shape drift.
+    "q_dist_shift" -> ((s, dir) =>
+      SeriesAnalytics.distributionShift(TokenTable.points(s, dir), 3600)),
+
     // KMV approximate-distinct per 1h window: the bounded-state (k=64
     // longs per key) sketch twin of q_window_cardinality's exact
     // countDistinct — deterministic Lehmer hashes, so the whole sketch
@@ -985,6 +992,47 @@ object TokenRollupQueries {
          |         PARTITION BY source ORDER BY window_start
          |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
          |FROM n""".stripMargin,
+    "q_dist_shift" ->
+      s"""$PtsCte,
+         |c AS (
+         |  SELECT source, CAST(pos - pos % 3600 AS INT) AS window_start, tok,
+         |         count(*) AS cnt
+         |  FROM pts GROUP BY 1, 2, 3),
+         |t AS (
+         |  SELECT *, CAST(sum(cnt) OVER (
+         |    PARTITION BY source, window_start) AS BIGINT) AS total
+         |  FROM c),
+         |r AS (
+         |  SELECT source, tok, cnt, total, 'cur' AS role, window_start AS w FROM t
+         |  UNION ALL
+         |  SELECT source, tok, cnt, total, 'prev' AS role,
+         |         window_start + 3600 AS w FROM t),
+         |p AS (
+         |  SELECT source, w, tok,
+         |    max(CASE WHEN role = 'cur' THEN cnt END) AS cnt_cur,
+         |    max(CASE WHEN role = 'cur' THEN total END) AS total_cur,
+         |    max(CASE WHEN role = 'prev' THEN cnt END) AS cnt_prev,
+         |    max(CASE WHEN role = 'prev' THEN total END) AS total_prev
+         |  FROM r GROUP BY 1, 2, 3),
+         |s AS (
+         |  SELECT source, w AS window_start,
+         |    count(CASE WHEN cnt_cur IS NOT NULL AND cnt_prev IS NOT NULL
+         |               THEN 1 END) AS n_matched,
+         |    count(CASE WHEN cnt_cur IS NOT NULL AND cnt_prev IS NULL
+         |               THEN 1 END) AS n_new,
+         |    count(CASE WHEN cnt_cur IS NULL AND cnt_prev IS NOT NULL
+         |               THEN 1 END) AS n_gone,
+         |    max(total_cur) AS total_cur, max(total_prev) AS total_prev,
+         |    COALESCE(CAST(sum(CASE WHEN cnt_cur IS NOT NULL AND cnt_prev IS NOT NULL
+         |      THEN CAST(FLOOR(
+         |        (CAST(cnt_cur AS DOUBLE) / CAST(total_cur AS DOUBLE)
+         |         - CAST(cnt_prev AS DOUBLE) / CAST(total_prev AS DOUBLE))
+         |        * LN((CAST(cnt_cur AS DOUBLE) / CAST(total_cur AS DOUBLE))
+         |             / (CAST(cnt_prev AS DOUBLE) / CAST(total_prev AS DOUBLE)))
+         |        * 1e9) AS BIGINT) END) AS BIGINT), 0) AS psi_nano_sum
+         |  FROM p GROUP BY 1, 2)
+         |SELECT *, CAST(psi_nano_sum AS DOUBLE) / 1e9 AS psi
+         |FROM s WHERE total_cur IS NOT NULL""".stripMargin,
     "q_kmv_distinct" ->
       s"""$PtsCte,
          |hs AS (

@@ -587,6 +587,33 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(k2.getLong(1) == 1L && k2.isNullAt(4) && k2.isNullAt(6))
   }
 
+  test("distribution shift: identical windows score zero PSI; churn counted not smeared") {
+    import spark.implicits._
+    import graft.operators.SeriesAnalytics
+    // window width 10. Window 0: toks {1x3, 2x1}. Window 10: same mix ->
+    // PSI 0, matched 2. Window 20: tok 2 gone, tok 3 new, tok 1 shifts
+    // 3/4 -> 2/3 (matched 1, new 1, gone 1, psi > 0).
+    val pts = (
+      Seq.fill(3)(("s", 0, 1)) ++ Seq(("s", 1, 2)) ++
+        Seq.fill(3)(("s", 10, 1)) ++ Seq(("s", 11, 2)) ++
+        Seq.fill(2)(("s", 20, 1)) ++ Seq(("s", 21, 3))
+    ).toDF("source", "pos", "tok")
+    val got = SeriesAnalytics
+      .distributionShift(pts, 10)
+      .collect()
+      .map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7), r.getDouble(8)))
+      .toMap
+    assert(got.keySet == Set(0, 10, 20)) // the phantom w=30 slot is dropped
+    assert(got(0) == ((0L, 2L, 0L, 0L, 0.0))) // no prev: all-new, psi 0
+    assert(got(10) == ((2L, 0L, 0L, 0L, 0.0))) // identical mix
+    val (m, nw, ng, nano, psi) = got(20)
+    assert((m, nw, ng) == ((1L, 1L, 1L)))
+    // term for tok 1: (2/3 - 3/4) * ln((2/3)/(3/4)) = positive
+    val want = (2.0 / 3 - 3.0 / 4) * math.log((2.0 / 3) / (3.0 / 4))
+    assert(nano == math.floor(want * 1e9).toLong && math.abs(psi - nano / 1e9) < 1e-15)
+  }
+
   test("OHLC: open/close under total order with ties; high/low plain extremes") {
     import spark.implicits._
     import graft.operators.SeriesAnalytics

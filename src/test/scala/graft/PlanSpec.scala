@@ -538,6 +538,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"must be join-free:\n$plan")
   }
 
+  test("distribution shift: single points lineage (role explode, no self-join)") {
+    val pts = TokenTable.points(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.SeriesAnalytics.distributionShift(pts, 3600))
+    // consecutive-window pairing must come from the role explode over ONE
+    // aggregate lineage — a self-join shape would re-run the points
+    // aggregation (the klDrift exchange-reuse lesson)
+    assert("FileScan".r.findAllIn(plan).size == 1, s"expected 1 scan:\n$plan")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+  }
+
   test("KMV sketch: one exchange of bounded buffers; object-hash aggregate path") {
     val pts = TokenTable.points(spark, sf("sf0.001"))
     val plan = planOf(graft.operators.Sketches.approxDistinct(pts, 3600, 64))
