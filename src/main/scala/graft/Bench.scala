@@ -43,6 +43,23 @@ object Bench {
     s
   }
 
+  /** Timing action that consumes EVERY output column (one hash-sum
+   * scalar to the driver). `df.count()` is NOT a valid timing action for
+   * aggregate-producing plans: Catalyst prunes aggregate expressions the
+   * action never reads, so a count() over a groupBy times only the
+   * grouping keys (measured: the exact windowCardinality "ran" in 22 KB
+   * of shuffle because the countDistinct was dead code — BENCH.md
+   * "Sketch vs exact"; the 1m rollup itself is 1.18x under full
+   * consumption). Every bench timing goes through here. */
+  private def consumeAll(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, hash, sum, count => cnt, lit}
+    df.select(
+        cnt(lit(1)).as("n"),
+        sum(hash(df.columns.map(col): _*).cast("long")).as("h"))
+      .first()
+      .getLong(0)
+  }
+
   /** Primary-metric job: 1m rollup over `nDocs` synthesized docs
    * (`tokensPerDoc` tokens each). Returns (points, seconds).
    * SPARK_GRAFT_UDAF=1 swaps the five built-in aggregates for the fused
@@ -52,20 +69,27 @@ object Bench {
     val points = TokenTable.rangePoints(spark, nDocs, tokensPerDoc, partitions = 256)
     val useUdaf = sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") == "1"
     val t0 = System.nanoTime()
-    // count() forces the complete aggregation; row count of the tier is
-    // cardinality-bounded so the work is the scan+partial agg+shuffle
+    // consumeAll, NOT count(): count() lets Catalyst prune the five tier
+    // aggregates and times only the key grouping (~1.18x fast) — see
+    // consumeAll's doc. Protocol change 2026-08-18; rows before it carry
+    // the old action.
     if (useUdaf) {
       graft.functions.GraftFunctions.register(spark)
       import org.apache.spark.sql.functions._
-      points
-        .groupBy(
-          col("source"),
-          org.apache.spark.sql.functions.expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
-          org.apache.spark.sql.functions.expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
-        .agg(call_function("tier_stats", col("tok")).as("st"))
-        .count()
+      consumeAll(
+        points
+          .groupBy(
+            col("source"),
+            org.apache.spark.sql.functions.expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
+            org.apache.spark.sql.functions.expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
+          .agg(call_function("tier_stats", col("tok")).as("st"))
+          .select(col("source"), col("bucket"), col("window_start"),
+            col("st.min_tok"), col("st.max_tok"), col("st.sum_tok"),
+            col("st.cnt_tok"), col("st.sumsq_tok")))
+      ()
     } else {
-      Rollup.rollupFromPoints(points, Tier.OneMinute).count()
+      consumeAll(Rollup.rollupFromPoints(points, Tier.OneMinute))
+      ()
     }
     val sec = (System.nanoTime() - t0) / 1e9
     (nDocs * tokensPerDoc, sec)
@@ -134,7 +158,7 @@ object Bench {
       for (_ <- 1 to passes; (name, fn) <- suite) {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { consumeAll(fn(spark, sfDir)); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
         else failedPassNames += name
@@ -267,7 +291,7 @@ object Bench {
           var rows = 0L
           for (_ <- 1 to 2) {
             val t0 = System.nanoTime()
-            rows = df.count()
+            rows = consumeAll(df)
             best = math.min(best, (System.nanoTime() - t0) / 1e9)
           }
           prev = df
