@@ -553,6 +553,43 @@ object StreamingOps {
       }
   }
 
+  /** Continuous cardinality maintenance: each micro-batch's per-window
+   * KMV sketch folds into the committed sketch table
+   * ([[graft.operators.Sketches.mergeSketches]] — a pure set property,
+   * so re-folding identical content is a no-op), committed through the
+   * [[commitBatchOnce]] exactly-once contract: crash-replays of a batch
+   * skip, rewound checkpoints over different content fail loudly. The
+   * streaming face of [[graft.jobs.SketchJob]]: history is never
+   * rescanned — each batch costs its own sketch plus one exchange
+   * bounded by keys x k. */
+  def sketchMaintenanceSink(
+      points: DataFrame,
+      store: graft.jobs.SnapshotStore,
+      table: String,
+      queryName: String,
+      checkpointDir: String,
+      windowWidth: Int,
+      k: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    points.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchOnce(store, table, s"stream_$queryName", batchId, batch) { snaps =>
+          val delta = graft.operators.Sketches.kmvSketch(batch, windowWidth, k)
+          snaps.lastOption match {
+            case Some(p) =>
+              graft.operators.Sketches.mergeSketches(
+                store.read(batch.sparkSession, p),
+                delta,
+                Seq("source", "bucket", "window_start"),
+                k)
+            case None => delta
+          }
+        }
+        ()
+      }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(sessionId: Long, lastTsUs: Long)
   final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)

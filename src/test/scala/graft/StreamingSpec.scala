@@ -663,4 +663,35 @@ class StreamingSpec extends SparkSpec {
     assert(got("a") == ref("a"))
     assert(got("b") == ref("b") && got("b").size < 8)
   }
+
+  test("streaming sketch maintenance: batch sketches fold into snapshots == full corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.jobs.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("graft-sketch-sink-").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sketch-ckpt-").toString
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingOps
+      .sketchMaintenanceSink(
+        in.toDF().toDF("source", "pos", "tok"),
+        store, "kmv_stream", "sketch_sink", ckpt, windowWidth = 10, k = 8)
+      .start()
+    val rnd = new scala.util.Random(11)
+    val b1 = Seq.fill(400)(("s", rnd.nextInt(30), rnd.nextInt(100)))
+    val b2 = Seq.fill(400)(("s", rnd.nextInt(30), rnd.nextInt(100)))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.snapshots("kmv_stream").size == 2) // one version per batch
+    def kmins(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Long](3))
+      .toMap
+    val got = kmins(store.read(spark, store.latest("kmv_stream").get))
+    val want = kmins(graft.operators.Sketches.kmvSketch(
+      (b1 ++ b2).toDF("source", "pos", "tok"), 10, 8))
+    assert(got == want, "folded streaming sketch must equal the full-corpus sketch")
+  }
 }
