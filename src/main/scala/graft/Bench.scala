@@ -67,7 +67,11 @@ object Bench {
    * two physical strategies can be compared on identical input. */
   private def rollupRun(spark: SparkSession, nDocs: Long, tokensPerDoc: Int): (Long, Double) = {
     val points = TokenTable.rangePoints(spark, nDocs, tokensPerDoc, partitions = 256)
-    val useUdaf = sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") == "1"
+    // "1" -> tier_stats (TypedImperativeAggregate, ObjectHashAggregate
+    // path); "decl" -> tier_stats_decl (DeclarativeAggregate, codegen
+    // HashAggregate path); anything else -> the five built-in aggregates
+    val udafMode = sys.env.getOrElse("SPARK_GRAFT_UDAF", "0")
+    val useUdaf = udafMode == "1" || udafMode == "decl"
     val t0 = System.nanoTime()
     // consumeAll, NOT count(): count() lets Catalyst prune the five tier
     // aggregates and times only the key grouping (~1.18x fast) — see
@@ -82,7 +86,9 @@ object Bench {
             col("source"),
             org.apache.spark.sql.functions.expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
             org.apache.spark.sql.functions.expr("CAST(pos - pos % 60 AS INT)").as("window_start"))
-          .agg(call_function("tier_stats", col("tok")).as("st"))
+          .agg(call_function(
+            if (udafMode == "decl") "tier_stats_decl" else "tier_stats",
+            col("tok")).as("st"))
           .select(col("source"), col("bucket"), col("window_start"),
             col("st.min_tok"), col("st.max_tok"), col("st.sum_tok"),
             col("st.cnt_tok"), col("st.sumsq_tok")))
@@ -383,7 +389,11 @@ object Bench {
     // otherwise swallow later rows (the round-1 BENCH.md corruption).
     scaling.foreach { sc =>
       val variant =
-        if (sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") == "1") " (tier_stats UDAF)" else ""
+        sys.env.getOrElse("SPARK_GRAFT_UDAF", "0") match {
+          case "1" => " (tier_stats UDAF)"
+          case "decl" => " (tier_stats_decl)"
+          case _ => ""
+        }
       val row =
         f"| ${java.time.Instant.now()}$variant | ${sc.pts}%,d | local[${sc.n}] | ${sc.wN}%.2f s | ${sc.ppsN / 1e6}%.1f M | local[${sc.n * 4}] | ${sc.w4N}%.2f s | ${sc.pps4N / 1e6}%.1f M | ${sc.eff}%.3f | ${sc.cN}%.1f / ${sc.c4N}%.1f = ${sc.cpuRatio}%.2f | ${sc.ctlPps / 1e6}%.1f M |"
       val benchMd = Paths.get("BENCH.md")

@@ -21,6 +21,9 @@ object GraftFunctions {
     // fused single-buffer tier aggregate (TypedImperativeAggregate); the
     // analyzer wraps the bare AggregateFunction into an AggregateExpression
     "tier_stats" -> (args => TierStats(args.head)),
+    // codegen DeclarativeAggregate twin of tier_stats (same 128-bit-exact
+    // sum of squares; plain-expression update/merge in the hash-agg loop)
+    "tier_stats_decl" -> (args => TierStatsDecl(args.head)),
     // bounded-state k-minimum-values sketch (TypedImperativeAggregate)
     "kmv_kmin" -> (args => KmvKMin(args.head, foldInt(args(1)))),
     "dot_q" -> (args => DotQ(args.head, args(1))),

@@ -44,8 +44,14 @@ object Rollup {
    *
    * sumsq_tok is an exact Long: tok^2 < 2.53e9, so the column is exact up
    * to ~3.6e9 points per (source, bucket, window) group. Beyond that (the
-   * extreme 10^12-doc tail) use [[graft.functions.expressions.TierStats]],
-   * the fused single-buffer aggregate whose sum-of-squares is 128-bit. */
+   * extreme 10^12-doc tail) use
+   * [[graft.functions.expressions.TierStatsDecl]] (`tier_stats_decl`) —
+   * 128-bit-exact sum of squares at measured parity with the built-in
+   * aggregates (codegen DeclarativeAggregate). The TypedImperativeAggregate
+   * form ([[graft.functions.expressions.TierStats]]) computes the same
+   * values but pays ~2-4x for interpreted per-row eval on the
+   * ObjectHashAggregate path — its earlier "parity" reading was a
+   * count()-pruning measurement artifact (BENCH.md protocol change). */
   def rollupFromPoints(points: DataFrame, tier: String): DataFrame = {
     val w = Tier.widths(tier)
     points

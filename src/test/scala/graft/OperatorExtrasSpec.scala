@@ -451,6 +451,37 @@ class OperatorExtrasSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("tier_stats_decl == tier_stats bit-for-bit, including the 128-bit carry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    // group "a": random values (negatives included); group "b": six
+    // Int.MaxValue rows — sumsq = 6 * (2^31-1)^2 ≈ 2.77e19 > 2^64, so the
+    // unsigned-overflow carry MUST fire for the declarative form to agree
+    val rows =
+      Seq.fill(4000)(("a", rnd.nextInt())) ++
+        Seq.fill(6)(("b", Int.MaxValue)) ++
+        Seq(("c", 0)) // single zero: min=max=sum=sumsq=0
+    def agg(fn: String) = rows
+      .toDF("k", "tok")
+      .repartition(7)
+      .groupBy("k")
+      .agg(call_function(fn, col("tok")).as("st"))
+      .select(col("k"), col("st.min_tok"), col("st.max_tok"), col("st.sum_tok"),
+        col("st.cnt_tok"), col("st.sumsq_tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.toSeq.tail)
+      .toMap
+    val imp = agg("tier_stats")
+    val dec = agg("tier_stats_decl")
+    assert(dec == imp, s"decl vs imperative mismatch:\n$dec\n$imp")
+    // and both match the independent BigInt reference on the carry group
+    val want = BigInt(Int.MaxValue.toLong) * Int.MaxValue * 6
+    assert(BigDecimal(imp("b")(4).asInstanceOf[java.math.BigDecimal]) == BigDecimal(want))
+    assert(want > (BigInt(1) << 64), "test must actually exceed 2^64")
+  }
+
   test("kmv_kmin: k smallest distinct values, stable across partitionings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
