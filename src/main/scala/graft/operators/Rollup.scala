@@ -54,17 +54,33 @@ object Rollup {
    * count()-pruning measurement artifact (BENCH.md protocol change). */
   def rollupFromPoints(points: DataFrame, tier: String): DataFrame = {
     val w = Tier.widths(tier)
+    // ONE fused aggregate buffer (tier_stats_decl, codegen
+    // DeclarativeAggregate) instead of five built-in buffers: identical
+    // values, but roughly half the per-point hash-map traffic — measured
+    // at 1.024B points this is the difference between 0.65-0.82 and
+    // 0.91-1.02 N->4N wall efficiency (BENCH.md round-7: the five-buffer
+    // shape saturates shared memory bandwidth at 16 threads; cpu-per-point
+    // ratios 1.15-1.37 vs 0.94-1.06 fused). The 128-bit sumsq is cast
+    // back to LONG for schema stability — past ~3.6e9 points/group the
+    // ANSI cast fails LOUDLY where the old five-buffer sum wrapped
+    // silently; keep the struct form (tier_stats_decl direct) when groups
+    // can exceed that.
+    graft.functions.GraftFunctions.register(points.sparkSession)
     points
       .groupBy(
         col("source"),
         expr(s"CAST(pos DIV ${Tier.BucketWidth} AS INT)").as("bucket"),
         expr(s"CAST(pos - pos % $w AS INT)").as("window_start"))
-      .agg(
-        min(col("tok")).as("min_tok"),
-        max(col("tok")).as("max_tok"),
-        sum(col("tok").cast("long")).as("sum_tok"),
-        count(lit(1)).as("cnt_tok"),
-        sum((col("tok").cast("long")) * col("tok")).as("sumsq_tok"))
+      .agg(call_function("tier_stats_decl", col("tok")).as("_st"))
+      .select(
+        col("source"),
+        col("bucket"),
+        col("window_start"),
+        col("_st.min_tok").as("min_tok"),
+        col("_st.max_tok").as("max_tok"),
+        col("_st.sum_tok").as("sum_tok"),
+        col("_st.cnt_tok").as("cnt_tok"),
+        col("_st.sumsq_tok").cast("long").as("sumsq_tok"))
       .select(
         col("source"),
         col("bucket"),

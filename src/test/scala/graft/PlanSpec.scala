@@ -21,12 +21,16 @@ class PlanSpec extends SparkSpec {
     // text column must be pruned from the parquet scan
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.contains("text"), "scan must not read the text column")
-    // partial (map-side) aggregation before the exchange
+    // partial (map-side) aggregation before the exchange — the fused
+    // tier_stats_decl buffer (one slot, not five; BENCH.md round-7)
     val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
     assert(exchangeIdx > 0, "expected one hash exchange on the group keys")
-    val partialIdx = plan.indexOf("partial_min")
+    val partialIdx = plan.indexOf("partial_tier_stats_decl")
     assert(partialIdx > exchangeIdx,
-      "expected partial (map-side) aggregation below the exchange")
+      "expected partial (map-side) fused aggregation below the exchange")
+    // the fused path must stay on the codegen HashAggregate, never the
+    // interpreted ObjectHashAggregate the imperative UDAF takes
+    assert(!plan.contains("ObjectHashAggregate"), plan)
     // exactly ONE shuffle in the whole rollup
     assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
   }
