@@ -83,6 +83,10 @@ object GraftFunctions {
         foldInt(args(3)),
         foldInt(args(4)),
         foldInt(args(5)))),
+    // eval_pinball_stats(tokens, ctx, hor, stride): fused per-window
+    // pinball / order-statistic reductions (q_eval_pinball/q_eval_extra)
+    "eval_pinball_stats" -> (args =>
+      EvalPinballStats(args.head, foldInt(args(1)), foldInt(args(2)), foldInt(args(3)))),
     "eval_window_stats" -> (args =>
       EvalWindowStats(
         args.head,

@@ -439,6 +439,96 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Fused rolling-window PINBALL/order-statistic stats: one pass over
+   * the series emits one compact struct per window —
+   * {pin (9 per-decile quantized pinball sums), pin_total, say (Σ|y|),
+   * ndq (Σ floor(|y-naive|·1e4+0.5)), medse (Σ (y-med)²)} — replacing the
+   * window_slices → array_sort → posexplode(hor) × 9-decile explode chain
+   * whose W×hor×9 rows each carried a full copy of the sorted context
+   * array (the dominant cost of q_eval_extra/q_eval_pinball, ~18× the
+   * fan-out of this shape).
+   *
+   * Bit-equality with the SQL it replaces:
+   *  - decile forecast p_d = sorted_ctx[(ctx·d+9) DIV 10] (1-based), the
+   *    exact element_at order statistic; med = sorted_ctx[ctx/2].
+   *  - the quantized pinball term floor(((d/10)·(y-p))·1e4 + 0.5) equals
+   *    the exact integer d·1000·(y-p) (resp. (10-d)·1000·(p-y)): the
+   *    double rounding error of (d/10.0)·Δ·1e4 is ≤ ~1e-6 absolute at
+   *    |Δ| ≤ 5e4 while the value is an integer ≤ 4.6e8, so the +0.5 floor
+   *    always lands on it. The kernel therefore sums the integer form.
+   *  - ndq repeats the SQL's double ops verbatim: abs(y - naive)·10000 +
+   *    0.5, floored; naive = ctx_sum/ctx in double, identical to
+   *    arr_sum(ctx)/64.0.
+   * Per-window sums are exact longs (≤ hor·9·4.6e8 ≈ 7e10 ≪ 2^63);
+   * DECIMAL(38,0) accumulation across windows happens SQL-side. */
+  def evalPinballStats(
+      a: ArrayData,
+      isInt: Boolean,
+      ctx: Int,
+      hor: Int,
+      stride: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < ctx + hor) return new GenericArrayData(Array.empty[Any])
+    val nW = (n - (ctx + hor)) / stride + 1
+    probeCovered(a, ctx, hor, stride, nW, "eval_pinball_stats")
+    val out = new Array[Any](nW)
+    val sorted = new Array[Long](ctx)
+    val deciles = new Array[Long](9)
+    val pin = new Array[Long](9)
+    var w = 0
+    while (w < nW) {
+      val fs = ctx + w * stride
+      var ctxSum = 0L
+      var i = 0
+      while (i < ctx) {
+        val x = getLong(a, fs - ctx + i, isInt)
+        sorted(i) = x
+        ctxSum += x
+        i += 1
+      }
+      java.util.Arrays.sort(sorted)
+      val naive = ctxSum.toDouble / ctx
+      val med = sorted(ctx / 2 - 1)
+      var d = 1
+      while (d <= 9) {
+        deciles(d - 1) = sorted((ctx * d + 9) / 10 - 1)
+        pin(d - 1) = 0L
+        d += 1
+      }
+      var say = 0L
+      var ndq = 0L
+      var medse = 0L
+      i = fs
+      while (i < fs + hor) {
+        val y = getLong(a, i, isInt)
+        say += math.abs(y)
+        ndq += math.floor(math.abs(y.toDouble - naive) * 10000 + 0.5).toLong
+        val dm = y - med
+        medse += dm * dm
+        d = 1
+        while (d <= 9) {
+          val p = deciles(d - 1)
+          pin(d - 1) += (if (y > p) d * 1000L * (y - p) else (10 - d) * 1000L * (p - y))
+          d += 1
+        }
+        i += 1
+      }
+      var pinTotal = 0L
+      d = 0
+      while (d < 9) { pinTotal += pin(d); d += 1 }
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          // fromPrimitiveArray copies, so the reused pin buffer is safe
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(pin),
+          pinTotal,
+          say,
+          ndq,
+          medse))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Window SLICES generator: one struct {w, fs, ctx, hor} per window,
    * carrying only that window's context/horizon arrays — for the queries
    * that genuinely need window element ACCESS (order statistics, per-point
@@ -1094,6 +1184,32 @@ case class EvalWindowStats(
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): EvalWindowStats = copy(left = newLeft, right = newRight)
+}
+
+/** `eval_pinball_stats(tokens, ctx, hor, stride) -> array<struct<pin
+ * array<bigint>, pin_total, say, ndq, medse>>`: fused per-window pinball /
+ * order-statistic reductions (see [[ArrayKernels.evalPinballStats]]). */
+case class EvalPinballStats(child: Expression, ctx: Int, hor: Int, stride: Int)
+    extends ArrayKernelExpression {
+  require(ctx >= 10 && hor >= 0 && stride >= 1, s"bad geometry ($ctx, $hor, $stride)")
+  override protected def elemOk(e: DataType): Boolean =
+    e == IntegerType || e == LongType
+  override protected def expects: String = "array<int|bigint>"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pin", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("pin_total", LongType, nullable = false),
+      StructField("say", LongType, nullable = false),
+      StructField("ndq", LongType, nullable = false),
+      StructField("medse", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "eval_pinball_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.evalPinballStats(input.asInstanceOf[ArrayData], elemIsInt, ctx, hor, stride)
+  override protected def genCall(ctx0: CodegenContext, c: String): String =
+    s"${ArrayKernelExpression.K}.evalPinballStats($c, $elemIsInt, $ctx, $hor, $stride)"
+  override protected def withNewChildInternal(newChild: Expression): EvalPinballStats =
+    copy(child = newChild)
 }
 
 /** `window_slices_end(tokens, ctx, hor, distance, nWindows, endOffset) ->

@@ -107,16 +107,36 @@ object Sketches {
       .agg(sum(col("cell_cnt")).as("cell_cnt"))
 
   /** The raw committable count-min sketch: per-(source, r, c) counts.
-   * See [[countMinTopK]] for the hash family and scale shape. */
-  def cmsSketch(points: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+   * See [[countMinTopK]] for the hash family and scale shape.
+   *
+   * Built from the exact per-(source, tok) counts via the linear-sketch
+   * identity cell_cnt = Σ_{tok → (r,c)} cnt(tok): every cell depends only
+   * on (tok, r), so aggregating tokens first and hashing each DISTINCT
+   * token depth times is byte-identical to hashing every point depth
+   * times — at vocab ≪ points that removes the depth×points explode that
+   * used to dominate the build (hash work drops from depth×points to
+   * depth×distinct pairs). */
+  def cmsSketch(points: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsFromCounts(
+      points.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt")),
+      depth,
+      width)
+
+  /** Count-min cells from an exact per-(source, tok) count table —
+   * the linear-sketch identity (see [[cmsSketch]]). */
+  def cmsFromCounts(tokCounts: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 8, s"cmsSketch: depth in [1,8], got $depth")
     require(width >= 2, s"cmsSketch: width >= 2, got $width")
     val cell = cellExpr(width)
-    points
-      .select(col("source"), col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("source"), col("r"), expr(cell).as("c"))
+    tokCounts
+      .select(
+        col("source"),
+        col("tok"),
+        col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("source"), col("r"), expr(cell).as("c"), col("cnt"))
       .groupBy(col("source"), col("r"), col("c"))
-      .agg(count(lit(1)).as("cell_cnt"))
+      .agg(sum(col("cnt")).as("cell_cnt"))
   }
 
   /** Per-(source, row, cell) count-min sketch counts plus the sketch
@@ -143,14 +163,18 @@ object Sketches {
     require(width >= 2, s"countMinTopK: width >= 2, got $width")
     import org.apache.spark.sql.expressions.Window
     val cell = cellExpr(width)
-    val base = points.select(col("source"), col("tok"))
-    val sketch = cmsSketch(points, depth, width)
+    // ONE per-(source, tok) aggregate feeds both the sketch build
+    // (cmsFromCounts linear-sketch identity) and the exact top-k side —
+    // the two subtrees are structurally identical up to the exchange, so
+    // the points scan + partial aggregate execute once (ReusedExchange).
+    val tokCnt = points
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val sketch = cmsFromCounts(tokCnt, depth, width)
     val rank = Window
       .partitionBy(col("source"))
       .orderBy(col("cnt").desc, col("tok").asc)
-    val top = base
-      .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    val top = tokCnt
       .withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
     top

@@ -157,31 +157,36 @@ object MetricQueries {
     // context value (an exact order statistic), loss = q*(y-p) if y>p else
     // (1-q)*(p-y). Reported per (source, decile) — finer than the
     // reference's mean-over-levels, which is recoverable by averaging.
-    "q_eval_pinball" -> ((s, dir) =>
-      EvalQueries
-        .rollingWindows(s, dir)
-        .withColumn("sctx", array_sort(col("ctx")))
+    // The per-window 9-decile pinball sums come from the fused
+    // eval_pinball_stats kernel (one pass per window, exact integer sums
+    // — see ArrayKernels.evalPinballStats for the bit-equality argument);
+    // the old shape exploded W x hor x 9 rows each carrying a full copy
+    // of the sorted context array. n_points per (source, decile) is
+    // hor per window, summed — identical to counting the exploded rows.
+    "q_eval_pinball" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.sources.TokenTable
+        .raw(s, dir)
         .select(
-          col("doc_id"),
           col("source"),
-          col("w"),
-          col("sctx"),
-          posexplode(col("hor")).as(Seq("i", "y")))
-        .withColumn("q_decile", explode(array((1 to 9).map(lit): _*)))
-        .withColumn("p", expr(s"element_at(sctx, CAST(($Ctx * q_decile + 9) DIV 10 AS INT))"))
-        .withColumn(
-          "term",
-          expr(
-            "CASE WHEN y > p THEN (CAST(q_decile AS DOUBLE) / 10.0) * CAST(y - p AS DOUBLE) " +
-              "ELSE (1.0 - CAST(q_decile AS DOUBLE) / 10.0) * CAST(p - y AS DOUBLE) END"))
+          explode(
+            call_function(
+              "eval_pinball_stats",
+              col("tokens"),
+              lit(Ctx),
+              lit(Hor),
+              lit(Stride))).as("st"))
+        .select(col("source"), posexplode(col("st.pin")).as(Seq("d0", "pin_q")))
+        .withColumn("q_decile", col("d0") + 1)
         .groupBy(col("source"), col("q_decile"))
         .agg(
-          count(lit(1)).as("n_points"),
-          sum(expr(tq("term"))).as("pinball_q_sum"))
+          sum(lit(Hor.toLong)).as("n_points"),
+          sum(expr("CAST(pin_q AS DECIMAL(38,0))")).as("pinball_q_sum"))
         .withColumn("pinball_q_sum", decToLong("pinball_q_sum"))
         .withColumn(
           "pinball",
-          expr("CAST(pinball_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))),
+          expr("CAST(pinball_q_sum AS DOUBLE) / 10000.0 / CAST(n_points AS DOUBLE)"))
+    }),
 
     // Normalized point losses (normalized.py:30-260): per-window horizon
     // errors with the PointNormType denominators —
@@ -345,46 +350,30 @@ object MetricQueries {
     //             = 2 * sum(all pinball) / (9 * sum|y|)   [linearity]
     //   MedianMSE = MSE of the 0.5-quantile (median) forecast — (y-med)^2
     //               is an EXACT integer, no quantization needed.
+    // All five accumulators come from the fused eval_pinball_stats kernel
+    // (one compact struct per window; see ArrayKernels.evalPinballStats
+    // for the bit-equality argument) — the old shape carried the sorted
+    // 64-element context array through a hor x 9-decile explode, ~144
+    // array copies per window, and was the slowest query of the suite.
     "q_eval_extra" -> ((s, dir) =>
-      EvalQueries
-        .rollingWindows(s, dir)
-        .withColumn("sctx", array_sort(col("ctx")))
-        // this query carries the ctx array anyway (order statistics), so
-        // the naive mean comes from it rather than the ranged kernel
-        .withColumn("naive", call_function("arr_sum", col("ctx")).cast("double") / Ctx.toDouble)
-        .withColumn("med", expr(s"element_at(sctx, ${Ctx / 2})"))
+      graft.sources.TokenTable
+        .raw(s, dir)
         .select(
           col("source"),
-          col("sctx"),
-          col("naive"),
-          col("med"),
-          posexplode(col("hor")).as(Seq("i", "y")))
-        .withColumn("q_decile", explode(array((1 to 9).map(lit): _*)))
-        .withColumn("p", expr(s"element_at(sctx, CAST(($Ctx * q_decile + 9) DIV 10 AS INT))"))
-        .withColumn(
-          "pin",
-          expr(
-            "CASE WHEN y > p THEN (CAST(q_decile AS DOUBLE) / 10.0) * CAST(y - p AS DOUBLE) " +
-              "ELSE (1.0 - CAST(q_decile AS DOUBLE) / 10.0) * CAST(p - y AS DOUBLE) END"))
+          explode(
+            call_function(
+              "eval_pinball_stats",
+              col("tokens"),
+              lit(Ctx),
+              lit(Hor),
+              lit(Stride))).as("st"))
         .groupBy(col("source"))
         .agg(
-          sum(when(col("q_decile") === 1, 1L).otherwise(0L)).as("n_points"),
-          sum(
-            when(col("q_decile") === 1, expr("CAST(CAST(abs(y) AS BIGINT) AS DECIMAL(38,0))"))
-              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sum_abs_y"),
-          sum(
-            when(
-              col("q_decile") === 1,
-              expr(
-                "CAST(CAST(floor(abs(CAST(y AS DOUBLE) - naive) * 10000 + 0.5) AS BIGINT) " +
-                  "AS DECIMAL(38,0))"))
-              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("nd_q_sum"),
-          sum(
-            when(
-              col("q_decile") === 1,
-              expr("CAST(CAST(y - med AS BIGINT) * (y - med) AS DECIMAL(38,0))"))
-              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("med_se_sum"),
-          sum(expr(tq("pin"))).as("pinball_all_q"))
+          sum(lit(Hor.toLong)).as("n_points"),
+          sum(expr("CAST(st.say AS DECIMAL(38,0))")).as("sum_abs_y"),
+          sum(expr("CAST(st.ndq AS DECIMAL(38,0))")).as("nd_q_sum"),
+          sum(expr("CAST(st.medse AS DECIMAL(38,0))")).as("med_se_sum"),
+          sum(expr("CAST(st.pin_total AS DECIMAL(38,0))")).as("pinball_all_q"))
         .withColumn("sum_abs_y", decToLong("sum_abs_y"))
         .withColumn("nd_q_sum", decToLong("nd_q_sum"))
         .withColumn("med_se_sum", decToLong("med_se_sum"))

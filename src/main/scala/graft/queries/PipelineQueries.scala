@@ -58,13 +58,18 @@ object PipelineQueries {
     // recursive closure — incremental must equal never-having-batched.
     "q_dedup_incremental" -> ((s, dir) => {
       import graft.operators.ConnectedComponents
-      // the pair set feeds both batches; each filtered branch re-runs the
-      // jaccard join (a query builder has no release point for a persist
-      // — the leak would outlive the query). Correctness is unaffected;
-      // production incremental maintenance reads COMMITTED pair
+      // the pair set feeds both batches: materialize it ONCE (narrow id
+      // pairs only) instead of re-running the shingle self-join per
+      // filtered branch. localCheckpoint blocks are reclaimed by the
+      // ContextCleaner when the result DataFrame is dropped — the same
+      // lifetime contract as the closure's own per-round checkpoints
+      // (ConnectedComponents.scala), so no persist leak outlives the
+      // query. Production incremental maintenance reads COMMITTED pair
       // snapshots (DedupJob), where the delta arrives pre-materialized.
       val pairs =
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
       val isNew = (col("doc_a") + col("doc_b")) % 3 === 0
       val prev = ConnectedComponents.components(pairs.filter(!isNew), "doc_a", "doc_b")
       val labels = ConnectedComponents

@@ -387,6 +387,59 @@ class ArrayKernelSpec extends AnyFunSuite {
     })
   }
 
+  test("eval_pinball_stats matches the pre-kernel SQL formulation (sort + element_at + quantized doubles)") {
+    // the SQL shape this kernel replaced (q_eval_extra/q_eval_pinball
+    // round-7): per window, sctx = array_sort(ctx); per horizon point y
+    // and decile d, p = element_at(sctx, (ctx*d+9) DIV 10) and the
+    // DOUBLE-arithmetic quantized term floor(pin*1e4 + 0.5); plus the
+    // q_decile=1 accumulators (|y|, floor(|y-naive|*1e4+0.5), (y-med)^2).
+    // The kernel must reproduce every sum bit-for-bit.
+    val ctxN = 64
+    val horN = 16
+    val stride = 32
+    def ref(tokens: Vector[Int]): Vector[(Vector[Long], Long, Long, Long, Long)] = {
+      if (tokens.size < ctxN + horN) Vector.empty
+      else (0 to (tokens.size - (ctxN + horN)) / stride).toVector.map { w =>
+        val fs = ctxN + w * stride
+        val ctx = tokens.slice(fs - ctxN, fs)
+        val hor = tokens.slice(fs, fs + horN)
+        val sctx = ctx.sorted
+        val naive = ctx.map(_.toLong).sum.toDouble / ctxN.toDouble
+        val med = sctx(ctxN / 2 - 1)
+        val pin = (1 to 9).toVector.map { d =>
+          val p = sctx((ctxN * d + 9) / 10 - 1)
+          hor.map { y =>
+            val t =
+              if (y > p) (d.toDouble / 10.0) * (y - p).toDouble
+              else (1.0 - d.toDouble / 10.0) * (p - y).toDouble
+            math.floor(t * 10000 + 0.5).toLong
+          }.sum
+        }
+        val say = hor.map(y => math.abs(y).toLong).sum
+        val ndq = hor.map(y => math.floor(math.abs(y.toDouble - naive) * 10000 + 0.5).toLong).sum
+        val medse = hor.map(y => (y - med).toLong * (y - med)).sum
+        (pin, pin.sum, say, ndq, medse)
+      }
+    }
+    val tokGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.containerOfN[Vector, Int](n, Gen.chooseNum(0, 50256)))
+    check(Prop.forAll(tokGen) { v =>
+      val a = new GenericArrayData(v.map(Int.box).toArray[Any])
+      val got = ArrayKernels.evalPinballStats(a, isInt = true, ctxN, horN, stride)
+      val rows = (0 until got.numElements()).map { i =>
+        val st = got.getStruct(i, 5)
+        val pin = st.getArray(0)
+        (
+          (0 until pin.numElements()).map(pin.getLong).toVector,
+          st.getLong(1),
+          st.getLong(2),
+          st.getLong(3),
+          st.getLong(4))
+      }.toVector
+      rows == ref(v)
+    })
+  }
+
   test("arr_pairs pair-bomb guard FIRES (before allocation) on an over-dense bucket") {
     import graft.functions.expressions.DedupKernels
     // a dense (but sane) bucket stays allowed — 1000 ids = 499,500 pairs

@@ -15,6 +15,13 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
+  /** Plan minus the intentional fan-out-balancing repartition lines
+   * (TokenTable.points/raw shuffle the tiny pre-explode doc rows to full
+   * parallelism, tagged REPARTITION_BY_NUM) — the assertions below count
+   * only the requirement-driven exchanges each operator itself adds. */
+  private def opsOnly(plan: String): String =
+    plan.linesIterator.filterNot(_.contains("REPARTITION_BY_NUM")).mkString("\n")
+
   test("rollup plan: column pruning reaches the scan; partial aggregation before shuffle") {
     val df = Rollup.rollupFromPoints(TokenTable.points(spark, sf("sf0.001")), Tier.OneMinute)
     val plan = planOf(df)
@@ -23,16 +30,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("text"), "scan must not read the text column")
     // partial (map-side) aggregation before the exchange — the fused
     // tier_stats_decl buffer (one slot, not five; BENCH.md round-7)
-    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val exchangeIdx = opsOnly(plan).indexOf("Exchange hashpartitioning")
     assert(exchangeIdx > 0, "expected one hash exchange on the group keys")
-    val partialIdx = plan.indexOf("partial_tier_stats_decl")
+    val partialIdx = opsOnly(plan).indexOf("partial_tier_stats_decl")
     assert(partialIdx > exchangeIdx,
       "expected partial (map-side) fused aggregation below the exchange")
     // the fused path must stay on the codegen HashAggregate, never the
     // interpreted ObjectHashAggregate the imperative UDAF takes
     assert(!plan.contains("ObjectHashAggregate"), plan)
-    // exactly ONE shuffle in the whole rollup
-    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    // exactly ONE shuffle in the whole rollup (minus fan-out balancing)
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 1, s"expected 1 exchange:\n$plan")
   }
 
   test("filter on n_tok is pushed down to the documents scan") {
@@ -213,7 +220,7 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
     // impute/patchify/index/mask are all row-local; only the final
     // (doc, patch) aggregation may shuffle — map-side partials first
-    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 1, s"expected 1 exchange:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }
 
@@ -232,7 +239,7 @@ class PlanSpec extends SparkSpec {
         "q_eval_mase_freq", "q_eval_msis", "q_eval_msis_freq", "q_eval_nll")) {
       val df = graft.queries.MetricQueries.q(q)(spark, sf("sf0.001"))
       val plan = planOf(df)
-      val exchanges = "Exchange".r.findAllIn(plan).size
+      val exchanges = "Exchange".r.findAllIn(opsOnly(plan)).size
       assert(exchanges == 1, s"$q: expected 1 exchange, got $exchanges:\n$plan")
     }
   }
@@ -382,7 +389,7 @@ class PlanSpec extends SparkSpec {
     val df = graft.operators.SeriesAnalytics.paaSax(
       TokenTable.raw(spark, sf("sf0.001")), 64, Seq(12564000L, 25128000L, 37692000L))
     val plan = planOf(df)
-    assert(!plan.contains("Exchange"), s"paaSax must not shuffle:\n$plan")
+    assert(!opsOnly(plan).contains("Exchange"), s"paaSax must not shuffle:\n$plan")
     assert(plan.contains("Generate"), plan)
   }
 
@@ -398,7 +405,7 @@ class PlanSpec extends SparkSpec {
       val plan = planOf(df)
       // one exchange builds the tier, one repartitions for the window —
       // the operator itself must not add joins or further shuffles
-      assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+      assert("Exchange".r.findAllIn(opsOnly(plan)).size == 2, s"expected 2 exchanges:\n$plan")
       assert(!plan.contains("Join"), s"window ops must be join-free:\n$plan")
     }
   }
@@ -410,7 +417,7 @@ class PlanSpec extends SparkSpec {
     // tier build + window = 2 exchanges, exactly one Window; the final
     // groupBy on (source, bucket, lag) adds NO exchange — the window's
     // (source, bucket) hash partitioning already clusters the superset key
-    assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 2, s"expected 2 exchanges:\n$plan")
     assert("Window".r.findAllIn(plan).size == 1, s"one window pass for all lags:\n$plan")
     assert(plan.contains("partial_sum"), s"pair moments must partial-aggregate:\n$plan")
   }
@@ -451,14 +458,14 @@ class PlanSpec extends SparkSpec {
   test("patch outlier detection is shuffle-free (kernel + generate, no exchange)") {
     val raw = graft.sources.TokenTable.raw(spark, sf("sf0.001"))
     val plan = planOf(graft.operators.SeriesAnalytics.patchOutliers(raw, 64, 2.0))
-    assert(!plan.contains("Exchange"), s"per-row kernel must not shuffle:\n$plan")
+    assert(!opsOnly(plan).contains("Exchange"), s"per-row kernel must not shuffle:\n$plan")
     assert(plan.contains("arr_zscore_outliers"), plan)
   }
 
   test("repetition scores are a shuffle-free codegen'd map over the document scan") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val plan = planOf(graft.operators.TextAnalysis.repetitionScores(docs, "doc_id", "text"))
-    assert(!plan.contains("Exchange"), s"per-row kernel must not shuffle:\n$plan")
+    assert(!opsOnly(plan).contains("Exchange"), s"per-row kernel must not shuffle:\n$plan")
     assert(plan.contains("ngram_rep_stats"), plan)
     // the projection (incl. the kernel) sits inside a codegen span
     assert(plan.contains("*(1)"), s"expected a whole-stage-codegen span:\n$plan")
@@ -487,7 +494,7 @@ class PlanSpec extends SparkSpec {
         graft.operators.SeriesAnalytics.localExtrema(tier, "sum_tok", 60))
     ) {
       val plan = planOf(df)
-      assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+      assert("Exchange".r.findAllIn(opsOnly(plan)).size == 2, s"expected 2 exchanges:\n$plan")
       assert(!plan.contains("Join"), s"must be join-free:\n$plan")
     }
   }
@@ -498,7 +505,7 @@ class PlanSpec extends SparkSpec {
     // (key, window, tok) count = 1 exchange; the window total repartitions
     // to (key, window) = 1 more; the final groupBy on the SAME key adds
     // none (superset-key clustering)
-    assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 2, s"expected 2 exchanges:\n$plan")
     assert(!plan.contains("Join"), s"entropy must be join-free:\n$plan")
   }
 
@@ -514,8 +521,11 @@ class PlanSpec extends SparkSpec {
     // count-only per-source total — the former must NOT be recomputed per
     // branch (the old join-branch shape re-ran it; exchange reuse does not
     // canonicalize across the join's attribute dedup)
-    assert("FileScan|ReusedExchange".r.findAllIn(plan).size <= 2
-      && "FileScan".r.findAllIn(plan).size == 2, s"expected exactly 2 scans:\n$plan")
+    // the fan-out-balancing repartition is a shared AQE stage, so the
+    // count-only per-source branch may ride a ReusedExchange (1 scan);
+    // what must NOT happen is a third scan from a recomputed aggregate
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected the heavy aggregate to execute once:\n$plan")
   }
 
   test("vocab growth: every stage bounded by aggregates (3 exchanges, join-free)") {
@@ -523,7 +533,7 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(graft.operators.SeriesAnalytics.vocabGrowth(pts, 3600))
     // (source, tok) first-seen = 1; per-window novel counts = 1; the
     // source-ordered cumulation = 1 — all over aggregates, never points
-    assert("Exchange".r.findAllIn(plan).size == 3, s"expected 3 exchanges:\n$plan")
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 3, s"expected 3 exchanges:\n$plan")
     assert(!plan.contains("Join"), s"vocab growth must be join-free:\n$plan")
   }
 
@@ -538,7 +548,7 @@ class PlanSpec extends SparkSpec {
         expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
     val plan = planOf(graft.operators.SeriesAnalytics
       .timeWeighted(ev, Seq("user_id"), "ts_us", "cents", Seq("event_id")))
-    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 1, s"expected 1 exchange:\n$plan")
     assert(!plan.contains("Join"), s"must be join-free:\n$plan")
   }
 
@@ -558,7 +568,7 @@ class PlanSpec extends SparkSpec {
     // the TypedImperativeAggregate must partial-aggregate map-side so the
     // single exchange carries <= k longs per key, never raw hashes
     assert(plan.contains("ObjectHashAggregate"), plan)
-    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    assert("Exchange".r.findAllIn(opsOnly(plan)).size == 1, s"expected 1 exchange:\n$plan")
     assert(!plan.contains("Join"), s"KMV must be join-free:\n$plan")
   }
 
@@ -568,6 +578,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"sketch must broadcast:\n$plan")
     assert(plan.contains("partial_count"), s"cells must collapse map-side:\n$plan")
+    // the linear-sketch build (cmsFromCounts) and the exact top-k side
+    // share ONE per-(source, tok) aggregate: the second consumer must ride
+    // a ReusedExchange, not re-run the points scan + partial aggregate
+    assert(plan.contains("ReusedExchange"), s"(source, tok) exchange must be shared:\n$plan")
   }
 
   test("IVF assignment: broadcast centroids, one exchange, pair rows collapse map-side") {
