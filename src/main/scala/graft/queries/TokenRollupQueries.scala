@@ -261,11 +261,11 @@ object TokenRollupQueries {
 
     // Exact per-window distinct cardinality (1h windows).
     "q_tier_distinct" -> ((s, dir) =>
-      SeriesAnalytics.windowCardinality(TokenTable.points(s, dir), 3600)),
+      SeriesAnalytics.windowCardinality(TokenTable.points(s, dir, balanceFanout = true), 3600)),
 
     // Exact top-3 heavy-hitter tokens per (source, bucket).
     "q_tier_topk_tokens" -> ((s, dir) =>
-      SeriesAnalytics.heavyHitters(TokenTable.points(s, dir), 3)),
+      SeriesAnalytics.heavyHitters(TokenTable.points(s, dir, balanceFanout = true), 3)),
 
     // Continuous alerting: >= 2 strictly adjacent 1m windows whose avg
     // exceeds the threshold (gaps-and-islands run detection).
@@ -366,37 +366,37 @@ object TokenRollupQueries {
     // Shannon entropy of each 1h window's token distribution, exact
     // nano-nat integer terms (distribution-health telemetry).
     "q_window_entropy" -> ((s, dir) =>
-      SeriesAnalytics.windowEntropy(TokenTable.points(s, dir), 3600)),
+      SeriesAnalytics.windowEntropy(TokenTable.points(s, dir, balanceFanout = true), 3600)),
 
     // KL divergence of each 1h window's token mix from its source's
     // global mix — distribution-drift detection in exact nano-nats.
     "q_kl_drift" -> ((s, dir) =>
-      SeriesAnalytics.klDrift(TokenTable.points(s, dir), 3600)),
+      SeriesAnalytics.klDrift(TokenTable.points(s, dir, balanceFanout = true), 3600)),
 
     // Vocabulary growth: novel tokens per 1h window + running cumulative
     // vocabulary per source (Heaps'-law telemetry).
     "q_vocab_growth" -> ((s, dir) =>
-      SeriesAnalytics.vocabGrowth(TokenTable.points(s, dir), 3600)),
+      SeriesAnalytics.vocabGrowth(TokenTable.points(s, dir, balanceFanout = true), 3600)),
 
     // Population-stability drift between CONSECUTIVE 1h windows per
     // source: PSI in exact nano-nats over matched tokens, with new/gone
     // token churn counted instead of smoothed. The sudden-shift twin of
     // q_kl_drift's global-shape drift.
     "q_dist_shift" -> ((s, dir) =>
-      SeriesAnalytics.distributionShift(TokenTable.points(s, dir), 3600)),
+      SeriesAnalytics.distributionShift(TokenTable.points(s, dir, balanceFanout = true), 3600)),
 
     // KMV approximate-distinct per 1h window: the bounded-state (k=64
     // longs per key) sketch twin of q_window_cardinality's exact
     // countDistinct — deterministic Lehmer hashes, so the whole sketch
     // hash-checks against a SQL dedup + rank.
     "q_kmv_distinct" -> ((s, dir) =>
-      Sketches.approxDistinct(TokenTable.points(s, dir), 3600, 64)),
+      Sketches.approxDistinct(TokenTable.points(s, dir, balanceFanout = true), 3600, 64)),
 
     // Count-min sketch estimates for each source's exact top-20 tokens:
     // fixed 4x1024 cells per source regardless of vocabulary; the
     // estimate never under-counts (est_cnt >= cnt row by row).
     "q_cms_topk" -> ((s, dir) =>
-      Sketches.countMinTopK(TokenTable.points(s, dir), 4, 1024, 20))
+      Sketches.countMinTopK(TokenTable.points(s, dir, balanceFanout = true), 4, 1024, 20))
   )
 
   val oracle: Map[String, String] = Map(
