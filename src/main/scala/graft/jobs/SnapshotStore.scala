@@ -184,8 +184,13 @@ final class SnapshotStore(base: String) {
       val dir = Paths.get(s.dataPath)
       if (Files.isDirectory(dir)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        // close the walk stream deterministically — an unclosed directory
+        // stream holds a file descriptor until GC, which accumulates when
+        // expiring many versions (round-7 ADVICE)
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.deleteIfExists)
+        finally walk.close()
       }
     }
     expire.map(_.version)

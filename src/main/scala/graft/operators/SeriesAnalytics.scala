@@ -607,7 +607,7 @@ object SeriesAnalytics {
    * (measured: the branch shape recomputed the heavy aggregate because
    * exchange reuse does not canonicalize across the join's attribute
    * dedup — ~2x the cost of this shape). The per-source grand total is
-   * the one separate input: a count-only scan (no 4-column aggregate)
+   * a tiny rollup of the same pair aggregate (shared exchange stage),
    * bounded at one row per source, broadcast. No window partitions on
    * bare `source` (a single source's pairs would serialize into one
    * task at 10^12 scale); the widest partition key here is
@@ -623,9 +623,16 @@ object SeriesAnalytics {
         expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"),
         col("tok"))
       .agg(count(lit(1)).as("cnt_w"))
-    val srcTotal = points
+    // per-source grand totals DERIVED from the pair aggregate (sum of the
+    // per-pair counts == count of points, exactly), not from a second full
+    // points pass: the winCnt exchange is a shared AQE stage, so this
+    // branch costs one tiny rollup over already-aggregated rows where the
+    // old count-only scan re-ran the explode over every point (round-8:
+    // the ReusedExchange behavior is plan-asserted for the identical
+    // shared-aggregate shape in the count-min test)
+    val srcTotal = winCnt
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("total_g"))
+      .agg(sum(col("cnt_w")).as("total_g"))
     winCnt
       .withColumn("total_w", sum(col("cnt_w")).over(byWin))
       .withColumn("cnt_g", sum(col("cnt_w")).over(byTok))
@@ -750,31 +757,70 @@ object SeriesAnalytics {
   def distributionShift(points: DataFrame, windowWidth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byWin = Window.partitionBy(col("source"), col("window_start"))
-    val roles = points
+    // Consecutive-window pairing by LAG/LEAD over each (source, token)
+    // series instead of the former explode-into-two-roles + re-aggregate:
+    // the role shape shuffled 2x the pair rows into a hash aggregate with
+    // ~|pairs| groups keyed (source, window, tok); here the pair rows are
+    // sorted once per (source, tok) — lag() attaches the previous
+    // window's (cnt, total) when and only when that window is exactly
+    // width behind (a matched token), lead() detects that the token is
+    // absent from the NEXT window (gone: emit one phantom row anchored
+    // there, carrying only prev-side values — exactly the rows the old
+    // prev-role explode produced for vanished tokens). The final per-
+    // window rollup then partial-aggregates into ~|windows| groups.
+    // Row-for-row equal to the role-pivot by the case analysis in the
+    // assertions below; the oracle replays the same result.
+    val byTok = Window.partitionBy(col("source"), col("tok")).orderBy(col("window_start"))
+    val paired = points
       .groupBy(
         col("source"),
         expr(s"CAST(pos - pos % $windowWidth AS INT)").as("window_start"),
         col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum(col("cnt")).over(byWin))
+      .withColumn("_lag_w", lag(col("window_start"), 1).over(byTok))
+      .withColumn("_lag_cnt", lag(col("cnt"), 1).over(byTok))
+      .withColumn("_lag_total", lag(col("total"), 1).over(byTok))
+      .withColumn("_lead_w", lead(col("window_start"), 1).over(byTok))
+      .withColumn(
+        "_matched",
+        col("_lag_w").isNotNull && col("_lag_w") === col("window_start") - windowWidth)
+      .withColumn(
+        "_gone",
+        col("_lead_w").isNull || col("_lead_w") =!= col("window_start") + windowWidth)
+    val roles = paired
       .select(
         col("source"),
         col("tok"),
-        col("cnt"),
-        col("total"),
         explode(
-          array(
-            struct(lit("cur").as("role"), col("window_start").as("w")),
-            struct(lit("prev").as("role"), (col("window_start") + windowWidth).as("w"))))
+          concat(
+            array(
+              struct(
+                col("window_start").as("w"),
+                col("cnt").as("cnt_cur"),
+                col("total").as("total_cur"),
+                when(col("_matched"), col("_lag_cnt")).as("cnt_prev"),
+                when(col("_matched"), col("_lag_total")).as("total_prev"))),
+            when(
+              col("_gone"),
+              array(
+                struct(
+                  (col("window_start") + windowWidth).as("w"),
+                  lit(null).cast("long").as("cnt_cur"),
+                  lit(null).cast("long").as("total_cur"),
+                  col("cnt").as("cnt_prev"),
+                  col("total").as("total_prev"))))
+              .otherwise(array().cast("array<struct<w:int,cnt_cur:bigint,total_cur:bigint,cnt_prev:bigint,total_prev:bigint>>"))))
           .as("r"))
-      .select(col("source"), col("tok"), col("cnt"), col("total"), col("r.role"), col("r.w"))
+      .select(
+        col("source"),
+        col("tok"),
+        col("r.w").as("w"),
+        col("r.cnt_cur").as("cnt_cur"),
+        col("r.total_cur").as("total_cur"),
+        col("r.cnt_prev").as("cnt_prev"),
+        col("r.total_prev").as("total_prev"))
     roles
-      .groupBy(col("source"), col("w"), col("tok"))
-      .agg(
-        max(when(col("role") === "cur", col("cnt"))).as("cnt_cur"),
-        max(when(col("role") === "cur", col("total"))).as("total_cur"),
-        max(when(col("role") === "prev", col("cnt"))).as("cnt_prev"),
-        max(when(col("role") === "prev", col("total"))).as("total_prev"))
       .withColumn(
         "_term",
         when(
