@@ -83,6 +83,8 @@ object GraftFunctions {
         foldInt(args(3)),
         foldInt(args(4)),
         foldInt(args(5)))),
+    // lttb_select(pts, threshold): per-series LTTB selection kernel
+    "lttb_select" -> (args => LttbSelect(args.head, foldInt(args(1)))),
     // eval_pinball_stats(tokens, ctx, hor, stride): fused per-window
     // pinball / order-statistic reductions (q_eval_pinball/q_eval_extra)
     "eval_pinball_stats" -> (args =>

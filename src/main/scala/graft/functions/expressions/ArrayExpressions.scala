@@ -1186,6 +1186,35 @@ case class EvalWindowStats(
       newRight: Expression): EvalWindowStats = copy(left = newLeft, right = newRight)
 }
 
+/** `lttb_select(pts array<struct<x:double,y:double>>, threshold) ->
+ * array<struct<x, y, rank:int>>`: per-series LTTB selection — sorts the
+ * buffered points by total (x, y) order and runs the unchanged
+ * [[graft.operators.Downsample.lttbCoreIndices]] core (the kernel body
+ * lives beside it, [[graft.operators.Downsample.lttbSelectKernel]]).
+ * Replaces the typed `flatMapGroups` path (Dataset-encoder round-trip per
+ * point, outside whole-stage codegen). */
+case class LttbSelect(child: Expression, threshold: Int) extends ArrayKernelExpression {
+  override protected def elemOk(e: DataType): Boolean = e match {
+    case StructType(fields) =>
+      fields.length == 2 && fields.forall(_.dataType == DoubleType)
+    case _ => false
+  }
+  override protected def expects: String = "array<struct<double,double>>"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("rank", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "lttb_select"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.operators.Downsample.lttbSelectKernel(input.asInstanceOf[ArrayData], threshold)
+  override protected def genCall(ctx0: CodegenContext, c: String): String =
+    s"graft.operators.Downsample$$.MODULE$$.lttbSelectKernel($c, $threshold)"
+  override protected def withNewChildInternal(newChild: Expression): LttbSelect =
+    copy(child = newChild)
+}
+
 /** `eval_pinball_stats(tokens, ctx, hor, stride) -> array<struct<pin
  * array<bigint>, pin_total, say, ndq, medse>>`: fused per-window pinball /
  * order-statistic reductions (see [[ArrayKernels.evalPinballStats]]). */

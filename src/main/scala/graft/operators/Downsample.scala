@@ -81,6 +81,58 @@ object Downsample {
     out
   }
 
+  /** Static kernel behind the `lttb_select` expression: buffer one
+   * series' (x, y) points from an array of 2-double structs, sort by the
+   * SAME total (x, y) order the former typed path used (duplicate x
+   * values under an x-only sort would leave the selection dependent on
+   * the nondeterministic collect order), and run the UNCHANGED
+   * [[lttbCoreIndices]] selection. Returns the selected points in output
+   * order as {x, y, rank} structs (rank = index in the sorted series),
+   * so callers never need the sorted array again. Replaces the
+   * `groupByKey.flatMapGroups` formulation, whose Dataset-encoder
+   * round-trip per point was the last interpreted hot path in a query
+   * (round-8; DownsampleSpec goldens pin the selection bit-for-bit). */
+  def lttbSelectKernel(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      threshold: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val arr = new Array[(Double, Double)](n)
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i), s"lttb_select: null point struct at $i")
+      val r = a.getStruct(i, 2)
+      require(!r.isNullAt(0) && !r.isNullAt(1), s"lttb_select: null coordinate at $i")
+      arr(i) = (r.getDouble(0), r.getDouble(1))
+      i += 1
+    }
+    java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
+    val idx = lttbCoreIndices(arr, threshold)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.map { r =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](arr(r)._1, arr(r)._2, r))
+      }.asInstanceOf[Array[Any]])
+  }
+
+  /** Per-series grouped (key, pts) frame feeding the kernel: one
+   * `collect_list` of (x, y) structs per key. Group size is the caller's
+   * contract (tier series are retention-bounded; unbounded inputs use
+   * [[lttbChunked]]) — the same buffering bound the former
+   * `flatMapGroups` shape had. */
+  private def seriesPoints(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(
+        col(keyCol).cast("string").as("_k"),
+        col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .groupBy(col("_k"))
+      .agg(collect_list(struct(col("_x").as("x"), col("_y").as("y"))).as("_pts"))
+  }
+
   /** Distributed LTTB: downsample each series (identified by `keyCol`) to at
    * most `threshold` points. Output columns: (keyCol, xCol, yCol). */
   def lttb(
@@ -89,24 +141,15 @@ object Downsample {
       keyCol: String,
       xCol: String,
       yCol: String,
-      threshold: Int): DataFrame = {
-    import spark.implicits._
-    df.select(
-        col(keyCol).cast("string"),
-        col(xCol).cast("double"),
-        col(yCol).cast("double"))
-      .as[(String, Double, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray
-        // total (x, y) order, not x alone: duplicate x values under an
-        // x-only sort would leave the point order — and thus the selected
-        // points — dependent on the nondeterministic group iterator order
-        java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
-        lttbCore(arr, threshold).iterator.map { case (x, y) => (k, x, y) }
-      }
-      .toDF(keyCol, xCol, yCol)
-  }
+      threshold: Int): DataFrame =
+    seriesPoints(df, keyCol, xCol, yCol)
+      .select(
+        col("_k"),
+        explode(call_function("lttb_select", col("_pts"), lit(threshold))).as("_s"))
+      .select(
+        col("_k").as(keyCol),
+        col("_s.x").as(xCol),
+        col("_s.y").as(yCol))
 
   /** [[lttb]] additionally emitting the selection geometry per output
    * point: `sel_pos` (position in the output; 0 and n_out-1 are the
@@ -121,23 +164,20 @@ object Downsample {
       keyCol: String,
       xCol: String,
       yCol: String,
-      threshold: Int): DataFrame = {
-    import spark.implicits._
-    df.select(
-        col(keyCol).cast("string"),
-        col(xCol).cast("double"),
-        col(yCol).cast("double"))
-      .as[(String, Double, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray
-        java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
-        lttbCoreIndices(arr, threshold).iterator.zipWithIndex.map { case (r, p) =>
-          (k, arr(r)._1, arr(r)._2, p, r, arr.length)
-        }
-      }
-      .toDF(keyCol, xCol, yCol, "sel_pos", "rank", "n_in")
-  }
+      threshold: Int): DataFrame =
+    seriesPoints(df, keyCol, xCol, yCol)
+      .select(
+        col("_k"),
+        size(col("_pts")).as("_n"),
+        posexplode(call_function("lttb_select", col("_pts"), lit(threshold)))
+          .as(Seq("_p", "_s")))
+      .select(
+        col("_k").as(keyCol),
+        col("_s.x").as(xCol),
+        col("_s.y").as(yCol),
+        col("_p").as("sel_pos"),
+        col("_s.rank").as("rank"),
+        col("_n").as("n_in"))
 
   /** Two-level LTTB for series whose per-key length is NOT bounded by
    * construction (e.g. raw events with a hot key): level 1 splits each
@@ -157,8 +197,8 @@ object Downsample {
       yCol: String,
       chunkSize: Int,
       threshold: Int): DataFrame = {
-    import spark.implicits._
     require(chunkSize > threshold, "chunkSize must exceed threshold for a reduction")
+    graft.functions.GraftFunctions.register(spark)
     val level1 = df
       .select(
         col(keyCol).cast("string").as("_k"),
@@ -171,14 +211,12 @@ object Downsample {
         expr(
           s"CAST((row_number() OVER (PARTITION BY _k ORDER BY _x, _y) - 1) " +
             s"DIV $chunkSize AS INT)"))
-      .as[(String, Double, Double, Int)]
-      .groupByKey(t => (t._1, t._4))
-      .flatMapGroups { (key, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray
-        java.util.Arrays.sort(arr, Ordering.Tuple2[Double, Double])
-        lttbCore(arr, threshold).iterator.map { case (x, y) => (key._1, x, y) }
-      }
-      .toDF(keyCol, xCol, yCol)
+      .groupBy(col("_k"), col("_chunk"))
+      .agg(collect_list(struct(col("_x").as("x"), col("_y").as("y"))).as("_pts"))
+      .select(
+        col("_k"),
+        explode(call_function("lttb_select", col("_pts"), lit(threshold))).as("_s"))
+      .select(col("_k").as(keyCol), col("_s.x").as(xCol), col("_s.y").as(yCol))
     lttb(spark, level1, keyCol, xCol, yCol, threshold)
   }
 }
