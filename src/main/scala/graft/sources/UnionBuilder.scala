@@ -157,7 +157,11 @@ object UnionBuilder {
       .withColumn(
         "mix_ppb",
         // loud, not NULL, when every source is empty (normalizing sum 0):
-        // a silent all-NULL mix would propagate into sampling weights
+        // a silent all-NULL mix would propagate into sampling weights.
+        // The unpartitioned OVER () is INTENTIONAL and safe: it runs over
+        // the per-source aggregate (rows = #sources, tens at most), never
+        // the corpus — the WindowExec single-partition warning in bench
+        // logs traces here and is pre-explained.
         expr(
           "CASE WHEN sum(w_raw) OVER () = 0 THEN " +
             "raise_error('temperatureWeights: all sources have zero size — no mix is defined') " +
