@@ -20,19 +20,13 @@ import org.apache.spark.sql.SparkSession
  */
 object BenchExtra {
 
-  private def consumeAll(df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, hash, sum, count => cnt, lit}
-    df.select(
-        cnt(lit(1)).as("n"),
-        sum(hash(df.columns.map(col): _*).cast("long")).as("h"))
-      .first()
-      .getLong(0)
-  }
+  private def consumeAll(df: org.apache.spark.sql.DataFrame): Long =
+    BenchActions.consumeAll(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val planDir = sys.env.get("SPARK_GRAFT_PLANDIR")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession
@@ -74,8 +68,10 @@ object BenchExtra {
               System.err.println(s"[bench-extra] $name failed: $e"); Double.NaN
           }
         }
+      val ok = times.filterNot(_.isNaN)
       val line =
-        f"$name%-28s min=${times.min}%7.3f  runs=[${times.map(t => f"$t%.3f").mkString(", ")}]"
+        if (ok.isEmpty) f"$name%-28s FAILED (all $reps reps; see stderr)"
+        else f"$name%-28s min=${ok.min}%7.3f  runs=[${times.map(t => f"$t%.3f").mkString(", ")}]"
       println(line)
       out.append(line).append('\n')
     }

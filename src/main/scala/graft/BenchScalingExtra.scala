@@ -40,14 +40,7 @@ object BenchScalingExtra {
     s
   }
 
-  private def consumeAll(df: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, hash, sum, count => cnt, lit}
-    df.select(
-        cnt(lit(1)).as("n"),
-        sum(hash(df.columns.map(col): _*).cast("long")).as("h"))
-      .first()
-      .getLong(0)
-  }
+  private def consumeAll(df: DataFrame): Long = BenchActions.consumeAll(df)
 
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4000000").toLong

@@ -471,6 +471,20 @@ object ArrayKernels {
     if (n < ctx + hor) return new GenericArrayData(Array.empty[Any])
     val nW = (n - (ctx + hor)) / stride + 1
     probeCovered(a, ctx, hor, stride, nW, "eval_pinball_stats")
+    // |value| bound keeping every accumulator exact and the quantized-
+    // double equivalence valid: at 2^28 the worst per-window sums are
+    // medse ≤ hor·(2^29)^2 ≈ 4.6e18 < 2^63 and pin ≤ 9000·2^29·hor·9 ≈
+    // 7e14, and d·1000·Δ stays far inside double's exact-integer range.
+    // The token callers are 5 orders of magnitude below this; a caller
+    // feeding timestamp-scale longs fails LOUDLY instead of wrapping.
+    val maxAbs = 1L << 28
+    def bounded(i: Int): Long = {
+      val x = getLong(a, i, isInt)
+      require(
+        x <= maxAbs && x >= -maxAbs,
+        s"eval_pinball_stats: |value| at $i exceeds 2^28 — exact-long accumulation would overflow")
+      x
+    }
     val out = new Array[Any](nW)
     val sorted = new Array[Long](ctx)
     val deciles = new Array[Long](9)
@@ -481,7 +495,7 @@ object ArrayKernels {
       var ctxSum = 0L
       var i = 0
       while (i < ctx) {
-        val x = getLong(a, fs - ctx + i, isInt)
+        val x = bounded(fs - ctx + i)
         sorted(i) = x
         ctxSum += x
         i += 1
@@ -500,7 +514,7 @@ object ArrayKernels {
       var medse = 0L
       i = fs
       while (i < fs + hor) {
-        val y = getLong(a, i, isInt)
+        val y = bounded(i)
         say += math.abs(y)
         ndq += math.floor(math.abs(y.toDouble - naive) * 10000 + 0.5).toLong
         val dm = y - med

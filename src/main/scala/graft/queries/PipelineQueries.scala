@@ -69,7 +69,10 @@ object PipelineQueries {
       val pairs =
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", 3, 0.5)
           .select(col("doc_a"), col("doc_b"))
-          .localCheckpoint()
+          // lazy: materialized by the first action (plan/schema inspection
+          // of the query must not execute the shingle self-join at
+          // DataFrame-build time), then both branches read the blocks
+          .localCheckpoint(eager = false)
       val isNew = (col("doc_a") + col("doc_b")) % 3 === 0
       val prev = ConnectedComponents.components(pairs.filter(!isNew), "doc_a", "doc_b")
       val labels = ConnectedComponents

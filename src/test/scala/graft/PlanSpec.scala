@@ -517,15 +517,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"source totals must broadcast:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
-    // exactly two source scans: the 4-column window-count aggregate and the
-    // count-only per-source total — the former must NOT be recomputed per
-    // branch (the old join-branch shape re-ran it; exchange reuse does not
-    // canonicalize across the join's attribute dedup)
-    // the fan-out-balancing repartition is a shared AQE stage, so the
-    // count-only per-source branch may ride a ReusedExchange (1 scan);
-    // what must NOT happen is a third scan from a recomputed aggregate
+    // EXACTLY ONE source scan: the per-source grand totals derive from the
+    // pair aggregate (round-8), so the broadcast branch must ride a
+    // ReusedExchange of that aggregate's exchange — two scans would mean
+    // exchange reuse stopped firing and the heavy (source, bucket, window,
+    // tok) explode+aggregate re-ran per branch (strictly worse than the
+    // old count-only scan it replaced)
     val scans = "FileScan".r.findAllIn(plan).size
-    assert(scans <= 2, s"expected the heavy aggregate to execute once:\n$plan")
+    assert(scans == 1, s"expected the heavy aggregate to execute once (1 scan):\n$plan")
+    assert(plan.contains("ReusedExchange"), s"pair exchange must be shared:\n$plan")
   }
 
   test("vocab growth: every stage bounded by aggregates (3 exchanges, join-free)") {
