@@ -161,6 +161,96 @@ class RollupSpec extends SparkSpec {
     points.unpersist()
   }
 
+  test("epoch-domain hardening: maintenance chain exact over BIGINT window_starts > 2^31") {
+    // Round-7 VERDICT #8: the round-6 fixes removed INT casts / float
+    // division on window keys in the tier-MAINTENANCE operators (which
+    // accept externally built tiers keyed by epoch seconds); lock that in
+    // with keys past the 32-bit boundary. The position-domain builders
+    // (rollupFromPoints / reaggregate) intentionally emit INT
+    // window_start — their domain is token position, bounded by doc
+    // length — so the chain under test is the epoch-capable surface:
+    // expire / safeExpire (coverage key arithmetic), consecutiveBreaches
+    // (island DIV), counterRate (spacing), gapFill (spine + LOCF).
+    import spark.implicits._
+    val D = 4299955200L // 49768 days * 86400, > 2^31
+    val Dm1 = D - 86400L
+    val D2 = D + 86400L
+
+    // safeExpire: hours of day D are covered by the coarse 1d row at D
+    // and expire; the hour in day Dm1 has no coverage and is retained
+    // loudly; hours >= the horizon D2 live
+    val fine = Seq(
+      ("src0", 0, Dm1 + 3600L, 7L),
+      ("src0", 0, D, 10L),
+      ("src0", 0, D + 3600L, 11L),
+      ("src0", 0, D2, 12L),
+      ("src0", 0, D2 + 3600L, 13L))
+      .toDF("source", "bucket", "window_start", "sum_tok")
+    val coarse = Seq(("src0", 0, D, 21L)).toDF("source", "bucket", "window_start", "sum_tok")
+    val kept = graft.operators.Retention
+      .safeExpire(fine, coarse, Tier.OneDay, horizonStart = D2)
+      .select("window_start", "retained_uncovered")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+      .toSet
+    assert(kept == Set((Dm1 + 3600L, true), (D2, false), (D2 + 3600L, false)), kept)
+
+    // consecutiveBreaches: adjacency via window_start DIV width must hold
+    // across the 2^31 boundary — two adjacent breaches run, an isolated
+    // one is filtered at k=2
+    val alerts = graft.operators.SeriesAnalytics
+      .consecutiveBreaches(
+        Seq(
+          ("src0", 0, D, 100.0),
+          ("src0", 0, D + 3600L, 101.0),
+          ("src0", 0, D + 7200L, 1.0),
+          ("src0", 0, D + 10800L, 102.0))
+          .toDF("source", "bucket", "window_start", "avg_tok"),
+        "avg_tok",
+        threshold = 50.0,
+        k = 2,
+        windowWidth = 3600)
+      .select("window_start", "run_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(alerts == Set((D, 2), (D + 3600L, 2)), alerts)
+
+    // counterRate: increase and actual-spacing rate exact at epoch keys,
+    // reset branch included
+    val rates = graft.operators.SeriesAnalytics
+      .counterRate(
+        Seq(
+          ("src0", 0, D, 10L),
+          ("src0", 0, D + 3600L, 25L),
+          ("src0", 0, D + 10800L, 5L))
+          .toDF("source", "bucket", "window_start", "sum_tok"),
+        "sum_tok")
+      .select("window_start", "increase", "rate_per_unit")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rates == Set((D, -1L), (D + 3600L, 15L), (D + 10800L, 5L)), rates)
+
+    // gapFill: dense epoch-hour spine + LOCF across the 2^31 boundary
+    val filled = graft.operators.GapFill
+      .gapFill(
+        Seq((1L, D, 4.0, 2L), (1L, D + 7200L, 6.0, 3L))
+          .toDF("user_id", "hour_start", "sum_v", "cnt"),
+        keys = Seq("user_id"),
+        windowCol = "hour_start",
+        width = 3600L,
+        fillCols = Seq("sum_v"),
+        zeroCols = Map("cnt" -> lit(0L)))
+      .select("hour_start", "sum_v", "cnt")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(
+      filled == Set((D, 4.0, 2L), (D + 3600L, 4.0, 0L), (D + 7200L, 6.0, 3L)),
+      filled)
+  }
+
   test("mergeLate convenience path rejects a nondeterministic delta plan") {
     val points = TokenTable.points(spark, dir)
     val base = Rollup.rollupFromPoints(points, Tier.OneMinute)
